@@ -1,0 +1,108 @@
+"""As-of join — tolerance-based temporal alignment (engine extension).
+
+The reference's pair alignment is the degenerate as-of join (exact 5-min
+grid equality, SURVEY §2.3).  A real market-data engine needs the general
+form: for each left row, the most recent right row at-or-before its
+timestamp (optionally within a tolerance), per key.
+
+Spark has no built-in as-of join.  A naive implementation — range
+theta-join + row_number — explodes to O(|L| * window) pairs.  The engine
+uses the union + last(ignorenulls) trick instead (SURVEY §4): tag both
+sides, union, sort within key partitions once, and carry the last seen
+right-side values forward onto left rows.  Cost: ONE shuffle on the key —
+identical asymptotics to a regular sort-merge join, no pair explosion,
+no skew amplification.  This is the classic scalable formulation (cf.
+Flink's event-time join and pandas.merge_asof semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: latest right row with ``right.ts <= left.ts``, per ``on`` key.
+
+    Matches pandas ``merge_asof(direction='backward')`` / DuckDB
+    ``ASOF JOIN`` semantics, as a left join (no match -> NULLs).  When two
+    right rows share a timestamp the one with the greater tiebreak wins
+    (deterministic via the union sort order below).
+
+    ``tolerance_seconds``: matches older than the tolerance are nulled out.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = right.select(
+        F.col(on),
+        F.col(ts),
+        *[F.col(c) for c in right_cols],
+    ).withColumn("__side", F.lit(0))
+
+    # Align schemas for the union: left keeps its payload, right-side value
+    # columns become nullable carriers on both sides.
+    for c in right_cols:
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    rhs_aligned = rhs.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in (on, ts)],
+        F.col(on),
+        F.col(ts),
+        F.col("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    lhs_aligned = lhs.select(
+        *[F.col(c) for c in left.columns if c not in (on, ts)],
+        F.col(on),
+        F.col(ts),
+        F.col("__side"),
+        *[F.col(f"__r_{c}") for c in right_cols],
+    )
+
+    unioned = lhs_aligned.unionByName(rhs_aligned)
+
+    # Right rows sort before left rows at equal ts (__side 0 < 1), so an
+    # exact-timestamp right row IS visible to the left row — backward
+    # inclusive semantics.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in right_cols
+    ]
+    matched_ts = F.last(
+        F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True
+    ).over(w)
+
+    out = unioned.select(
+        "*",
+        *carried,
+        matched_ts.alias(f"{ts}{suffix}"),
+    ).filter(F.col("__side") == 1)
+
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.col(f"{ts}{suffix}").isNotNull()
+            & (
+                F.unix_timestamp(ts) - F.unix_timestamp(f"{ts}{suffix}")
+                <= tolerance_seconds
+            )
+        )
+        for c in right_cols:
+            out = out.withColumn(
+                f"{c}{suffix}", F.when(in_tol, F.col(f"{c}{suffix}"))
+            )
+        out = out.withColumn(f"{ts}{suffix}", F.when(in_tol, F.col(f"{ts}{suffix}")))
+
+    return out.drop("__side")

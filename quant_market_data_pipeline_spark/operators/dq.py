@@ -1,0 +1,132 @@
+"""Data-quality operators: completeness, severity, calendar check.
+
+The reference runs these as driver-side psycopg2 loops
+(/root/reference/project/validate_data.py:138-216,
+/root/reference/validate_calendar_alpaca.py:188-253).  The engine
+re-expresses them as pure DataFrame aggregations (SURVEY §2.4 A1-A6, §2.3
+J4) so they distribute:
+
+- A1 per-(symbol, trading day) bar counts
+- A2 global/grouped min-max
+- A5 conditional aggregation (ok/warn/fail tallies, max-missing)
+- A6 severity classification: missing==0 -> OK, <=tolerance -> WARN,
+  else FAIL (validate_data.py:174-185); the calendar variant also flags
+  *too many* bars = extended-hours leakage
+  (validate_calendar_alpaca.py:226-233)
+- J4 broadcast left join against the calendar dimension, null -> WARN
+  branch for days absent from the calendar
+  (validate_calendar_alpaca.py:208-218)
+
+Expected bars standardizes on the calendar formula
+``(close - open) // bar_minutes`` (validate_calendar_alpaca.py:49-55); the
+divergent dynamic formula at validate_data.py:122-124 is intentionally NOT
+replicated (SURVEY §7 hard part d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def per_day_counts(
+    df: DataFrame, key: str = "symbol", ts: str = "timestamp"
+) -> DataFrame:
+    """A1: bar count per (key, trading_date)."""
+    return df.groupBy(
+        F.col(key), F.to_date(F.col(ts)).alias("trading_date")
+    ).agg(F.count(F.lit(1)).alias("bar_count"))
+
+
+def severity(
+    missing: Column, tolerance: int = 2, ok: str = "OK", warn: str = "WARN", fail: str = "FAIL"
+) -> Column:
+    """A6 classification chain (validate_data.py:174-185)."""
+    return (
+        F.when(missing <= 0, F.lit(ok))
+        .when(missing <= tolerance, F.lit(warn))
+        .otherwise(F.lit(fail))
+    )
+
+
+def completeness_report(
+    df: DataFrame,
+    expected_bars: int,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    tolerance: int = 2,
+) -> DataFrame:
+    """Fixed-expectation completeness: counts + severity per (key, day).
+
+    ``missing_bars`` floors at 0 via GREATEST (P17, validate_data.py:153).
+    """
+    counts = per_day_counts(df, key, ts)
+    missing = F.greatest(F.lit(0), F.lit(expected_bars) - F.col("bar_count"))
+    return counts.select(
+        F.col(key),
+        "trading_date",
+        "bar_count",
+        F.lit(expected_bars).alias("expected_bars"),
+        missing.alias("missing_bars"),
+        severity(missing, tolerance).alias("status"),
+    )
+
+
+def calendar_completeness_report(
+    df: DataFrame,
+    calendar: DataFrame,
+    key: str = "symbol",
+    ts: str = "timestamp",
+    tolerance: int = 2,
+    bar_minutes: int = 5,
+) -> DataFrame:
+    """Calendar-aware completeness (validate_calendar_alpaca.py:188-245).
+
+    ``calendar`` columns: trading_date DATE, open_minutes INT, close_minutes
+    INT (minute-of-day).  Expected = (close-open) // bar_minutes.  Days
+    absent from the calendar -> status NO_CALENDAR (WARN branch ``:208-218``);
+    too many bars -> TOO_MANY (extended-hours leakage ``:230-233``); early
+    closes annotated when the session is shorter than 390 minutes
+    (``:236-237``).
+    """
+    counts = per_day_counts(df, key, ts)
+    cal = calendar.withColumn(
+        "expected_bars",
+        ((F.col("close_minutes") - F.col("open_minutes")) / bar_minutes).cast("int"),
+    ).withColumn(
+        "early_close", (F.col("close_minutes") - F.col("open_minutes")) < 390
+    )
+    joined = counts.join(F.broadcast(cal), "trading_date", "left")
+    missing = F.col("expected_bars") - F.col("bar_count")
+    status = (
+        F.when(F.col("expected_bars").isNull(), F.lit("NO_CALENDAR"))
+        .when(missing > tolerance, F.lit("FAIL"))
+        .when(-missing > tolerance, F.lit("TOO_MANY"))
+        .when(missing != 0, F.lit("WARN"))
+        .otherwise(F.lit("PASS"))
+    )
+    return joined.select(
+        F.col(key),
+        "trading_date",
+        "bar_count",
+        "expected_bars",
+        status.alias("status"),
+        F.coalesce(F.col("early_close"), F.lit(False)).alias("early_close"),
+    )
+
+
+def run_summary(report: DataFrame, status: str = "status") -> DataFrame:
+    """A5: one-row conditional-aggregation summary of a report frame.
+
+    Replaces the reference's driver-side fold over fetched rows
+    (validate_data.py:163-200) with ``sum(when(...))`` — map-side partial
+    aggregation, no data to the driver until the single result row.
+    """
+    s = F.col(status)
+    return report.agg(
+        F.count(F.lit(1)).alias("n_checks"),
+        F.sum(F.when(s.isin("OK", "PASS"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(s == "WARN", 1).otherwise(0)).alias("n_warn"),
+        F.sum(F.when(s == "FAIL", 1).otherwise(0)).alias("n_fail"),
+        F.max("missing_bars").alias("max_missing"),
+    )

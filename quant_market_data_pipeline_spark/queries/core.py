@@ -1,0 +1,621 @@
+"""Core reference-surface queries (SURVEY §2) with DuckDB oracle twins.
+
+Fixture mapping (FIXTURES.md): the ``events`` table plays the tick stream —
+``event_type`` is the symbol, ``value`` the price; pair alignment, rolling
+z-score, grid/anti-join audits and DQ classification all run on it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.operators.asof import asof_join
+from quant_market_data_pipeline_spark.operators.bars import build_bars, floor_bucket
+from quant_market_data_pipeline_spark.operators.clean import dedup_keys_deterministic
+from quant_market_data_pipeline_spark.operators.grid import (
+    expand_per_key,
+    missing_rows,
+    time_grid,
+)
+from quant_market_data_pipeline_spark.operators.rolling import with_lag_lead
+from quant_market_data_pipeline_spark.operators.rth import filter_rth
+from quant_market_data_pipeline_spark.plans.flagship import pair_zscore
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+PAIRS = [("click", "view"), ("purchase", "signup")]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, "events", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: S3->P1-P8->J1->P9->W1-W5->P10-P11->U1 spine on the events ticks.
+# ---------------------------------------------------------------------------
+@register(
+    "flagship_pair_zscore",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), pairs(sym1, sym2) AS (VALUES ('click','view'), ('purchase','signup')),
+aligned AS (
+  SELECT p.sym1 || '_' || p.sym2 AS pair_name, p.sym1, p.sym2,
+         b1.bar_ts AS ts_b, b1.close AS close1, b2.close AS close2,
+         ln(b1.close) - ln(b2.close) AS spread
+  FROM pairs p
+  JOIN bars b1 ON b1.symbol = p.sym1
+  JOIN bars b2 ON b2.symbol = p.sym2 AND b2.bar_ts = b1.bar_ts
+), scored AS (
+  SELECT *, avg(spread) OVER w AS m, stddev_samp(spread) OVER w AS s,
+         count(*) OVER w AS c
+  FROM aligned
+  WINDOW w AS (PARTITION BY pair_name ORDER BY ts_b
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+), z AS (
+  SELECT *, CASE WHEN c >= 30 THEN (spread - m) / NULLIF(s, 0.0) END AS zr
+  FROM scored
+)
+SELECT sym1 AS symbol, ts_b AS "timestamp", close1 AS close,
+       round(spread, 6) AS spread, round(zr, 6) AS z_score, pair_name
+FROM z
+UNION ALL
+SELECT sym2, ts_b, close2, round(-spread, 6), round(-zr, 6), pair_name
+FROM z
+""",
+    doc="Full reference spine: bars -> pair align (J1) -> log-spread (P9) -> "
+    "rolling z-score (W1-W5, P10) -> sign-flipped legs (P11, U1).",
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = pair_zscore(_events(spark, sf_dir), PAIRS)
+    return df.select(
+        "symbol",
+        "timestamp",
+        "close",
+        F.round("spread", 6).alias("spread"),
+        F.round("z_score", 6).alias("z_score"),
+        "pair_name",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bar builder (tick -> OHLCV), deterministic open/close via min_by/max_by.
+# ---------------------------------------------------------------------------
+@register(
+    "bars_5min_ohlcv",
+    oracle="""
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS volume,
+       round(sum(value), 6) AS value_sum
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Tick->OHLCV bar builder: one hash-aggregate shuffle on "
+    "(symbol, bucket); generalizes the reference's fixed 5-min grid.",
+)
+def q_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = build_bars(
+        _events(spark, sf_dir),
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="5 minutes",
+        tiebreak="event_id",
+    )
+    return bars.select(
+        F.col("event_type").alias("symbol"),
+        "bar_ts",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+        F.round("vwap_num", 6).alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RTH filter (P5-P8): UTC -> America/New_York only inside the predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "rth_filter",
+    oracle="""
+WITH localized AS (
+  SELECT event_id, ts, event_type, value,
+         timezone('America/New_York', timezone('UTC', ts)) AS ts_et
+  FROM events
+)
+SELECT event_id, ts, event_type, value
+FROM localized
+WHERE dayofweek(ts_et) BETWEEN 1 AND 5
+  AND (hour(ts_et) * 60 + minute(ts_et)) >= 570
+  AND (hour(ts_et) * 60 + minute(ts_et)) <= 955
+""",
+    doc="Weekday 09:30-15:55 ET bar-start filter; canonical timestamps stay "
+    "UTC (transform_data.py:72-98 semantics).",
+)
+def q_rth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    return filter_rth(ev, ts="ts")
+
+
+# ---------------------------------------------------------------------------
+# A1 + P13: per-(key, trading day) counts.
+# ---------------------------------------------------------------------------
+@register(
+    "group_count_day",
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS trading_date, count(*) AS bar_count
+FROM events GROUP BY 1, 2
+""",
+    doc="Per-(symbol, day) completeness counts (validate_data.py:138-156).",
+)
+def q_group_count_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.to_date("ts").alias("trading_date")
+    ).agg(F.count(F.lit(1)).alias("bar_count"))
+
+
+# ---------------------------------------------------------------------------
+# A6 + P17: severity classification with GREATEST floor.
+# ---------------------------------------------------------------------------
+@register(
+    "severity_classification",
+    oracle="""
+WITH per_day AS (
+  SELECT event_type, CAST(ts AS DATE) AS trading_date, count(*) AS bar_count
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, trading_date, bar_count,
+       greatest(0, 70 - bar_count) AS missing_bars,
+       CASE WHEN greatest(0, 70 - bar_count) <= 0 THEN 'OK'
+            WHEN greatest(0, 70 - bar_count) <= 5 THEN 'WARN'
+            ELSE 'FAIL' END AS status
+FROM per_day
+""",
+    doc="OK/WARN/FAIL severity chain with missing floored at 0 "
+    "(validate_data.py:153,174-185).",
+)
+def q_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("trading_date")
+    ).agg(F.count(F.lit(1)).alias("bar_count"))
+    missing = F.greatest(F.lit(0), F.lit(70) - F.col("bar_count"))
+    status = (
+        F.when(missing <= 0, "OK").when(missing <= 5, "WARN").otherwise("FAIL")
+    )
+    return counts.select(
+        "event_type",
+        "trading_date",
+        "bar_count",
+        missing.cast("long").alias("missing_bars"),
+        status.alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: conditional aggregation (driver-side fold -> sum(when)).
+# ---------------------------------------------------------------------------
+@register(
+    "conditional_agg_orders",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
+       round(sum(o_totalprice), 4) AS sum_total,
+       round(max(o_totalprice), 4) AS max_total
+FROM orders GROUP BY 1
+""",
+    doc="ok/warn/fail-style tallies as distributed conditional aggregation "
+    "(validate_data.py:163-200 re-expressed).",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "n_urgent"
+        ),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
+        F.round(F.max("o_totalprice"), 4).alias("max_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + O4: global min/max bounds.
+# ---------------------------------------------------------------------------
+@register(
+    "minmax_bounds",
+    oracle="""
+SELECT min(ts) AS ts_min, max(ts) AS ts_max,
+       min(value) AS value_min, max(value) AS value_max,
+       count(*) AS n_rows
+FROM events
+""",
+    doc="Frame-wide min/max anchors (audit_pipeline.py:105-114).",
+)
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).agg(
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.min("value").alias("value_min"),
+        F.max("value").alias("value_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: distinct keys.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_symbols",
+    oracle="SELECT DISTINCT event_type FROM events",
+    doc="Distinct symbol dimension (app.py:26, audit_pipeline.py:185).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select("event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# P18: dense time grid via sequence + explode.
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_grid",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '5 minutes', min(ts)) AS lo,
+         time_bucket(INTERVAL '5 minutes', max(ts)) AS hi
+  FROM events
+)
+SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS grid_ts FROM bounds
+""",
+    doc="Expected-timestamp grid generator (audit_pipeline.py:168-181); "
+    "generated, never materialized at rest.",
+)
+def q_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        floor_bucket(F.min("ts")).alias("grid_start"),
+        floor_bucket(F.max("ts")).alias("grid_end"),
+    )
+    return time_grid(bounds, out="grid_ts")
+
+
+# ---------------------------------------------------------------------------
+# J2 + J3: grid x broadcast keys, anti-join against actuals -> missing.
+# ---------------------------------------------------------------------------
+@register(
+    "missing_buckets_audit",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL '5 minutes', min(ts)) AS lo,
+         time_bucket(INTERVAL '5 minutes', max(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS grid_ts FROM bounds
+), expected AS (
+  SELECT e.event_type, g.grid_ts
+  FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM events) e
+), actual AS (
+  SELECT DISTINCT event_type, time_bucket(INTERVAL '5 minutes', ts) AS grid_ts
+  FROM events
+)
+SELECT x.event_type, x.grid_ts
+FROM expected x ANTI JOIN actual a
+  ON x.event_type = a.event_type AND x.grid_ts = a.grid_ts
+""",
+    doc="The set-difference oracle: expected grid x symbols minus actual "
+    "buckets via left anti join (audit_pipeline.py:168-198).",
+)
+def q_missing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        floor_bucket(F.min("ts")).alias("grid_start"),
+        floor_bucket(F.max("ts")).alias("grid_end"),
+    )
+    grid = time_grid(bounds, out="grid_ts")
+    symbols = ev.select("event_type").distinct()
+    expected = expand_per_key(grid, symbols)
+    actual = ev.select(
+        "event_type", floor_bucket("ts").alias("grid_ts")
+    ).distinct()
+    return missing_rows(expected, actual, ["event_type", "grid_ts"])
+
+
+# ---------------------------------------------------------------------------
+# As-of join (engine extension; DuckDB has it native -> perfect oracle).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_backward",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.ts, p.value,
+       c.ts AS ts_click, c.value AS value_click
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+""",
+    doc="Backward-inclusive as-of join via the union + last(ignorenulls) "
+    "plan: ONE shuffle, no pair explosion (operators/asof.py).",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts", right_cols=["value"])
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("ts_click"),
+        F.col("value_right").alias("value_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dedup: UNIQUE(symbol, bucket) as an explicit operator.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_first_per_bucket",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket_ts,
+         event_id, ts, value,
+         row_number() OVER (
+           PARTITION BY event_type, time_bucket(INTERVAL '5 minutes', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type, bucket_ts, event_id, ts, value
+FROM ranked WHERE rn = 1
+""",
+    doc="Deterministic dropDuplicates: first row per (symbol, bucket) under "
+    "explicit ordering — the UNIQUE(symbol,timestamp) contract "
+    "(schema.py:42) as a transformation.",
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).withColumn(
+        "bucket_ts", F.window("ts", "5 minutes").start
+    )
+    out = dedup_keys_deterministic(
+        ev, keys=["event_type", "bucket_ts"], order_by=["ts", "event_id"]
+    )
+    return out.select("event_type", "bucket_ts", "event_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# U1: unionByName of two leg projections.
+# ---------------------------------------------------------------------------
+@register(
+    "union_by_name_legs",
+    oracle="""
+SELECT event_id, user_id, value, 'click_leg' AS leg FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, -value AS value, 'purchase_leg' AS leg
+FROM events WHERE event_type = 'purchase'
+""",
+    doc="unionByName stacking with differing select order "
+    "(transform_data.py:156-180).",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    leg1 = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value", F.lit("click_leg").alias("leg")
+    )
+    # Deliberately different column order: unionByName aligns by name.
+    leg2 = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase_leg").alias("leg"),
+        "event_id",
+        (-F.col("value")).alias("value"),
+        "user_id",
+    )
+    return leg1.unionByName(leg2)
+
+
+# ---------------------------------------------------------------------------
+# O3: top-k latest with deterministic tiebreak.
+# ---------------------------------------------------------------------------
+@register(
+    "topk_latest",
+    oracle="""
+SELECT event_id, ts, event_type, value
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 200
+""",
+    doc="Tail preview: TakeOrderedAndProject, no global sort (app.py:166).",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("event_id", "ts", "event_type", "value")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window extensions: lag/lead and ranking (SURVEY §2.5 note).
+# ---------------------------------------------------------------------------
+@register(
+    "lag_lead_delta",
+    oracle="""
+SELECT event_id, event_type, value,
+       lag(value) OVER w AS value_lag,
+       lead(value) OVER w AS value_lead,
+       round(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+""",
+    doc="Bar-to-bar delta via lag/lead (engine extension).",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = with_lag_lead(
+        ev, value="value", partition_by=["event_type"], order_by=["ts", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        "value_lag",
+        "value_lead",
+        F.round(F.col("value") - F.col("value_lag"), 6).alias("delta"),
+    )
+
+
+@register(
+    "window_rank_topn",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+         rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS rnk,
+         dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS drnk
+  FROM events
+)
+SELECT event_type, event_id, value, rn, rnk, drnk FROM ranked WHERE rn <= 10
+""",
+    doc="Per-key top-N via ranking window (engine extension).",
+)
+def q_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    w2 = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction (props is a JSON string).
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""",
+    doc="get_json_object over the props JSON column + aggregate.",
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2: typed projection with Decimal(15,4) cast discipline (exact arithmetic).
+# ---------------------------------------------------------------------------
+@register(
+    "decimal_cast_sums",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+""",
+    doc="NUMERIC(15,4) cast discipline (schema.py:33-39) — exact decimal "
+    "sums, no float drift.",
+)
+def q_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(15,4)"))
+        .cast("decimal(18,4)")
+        .alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("decimal(15,4)"))
+        .cast("decimal(18,4)")
+        .alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: broadcast calendar-dimension left join with NO_CALENDAR branch.
+# ---------------------------------------------------------------------------
+@register(
+    "calendar_dim_join",
+    oracle="""
+WITH per_day AS (
+  SELECT event_type, CAST(ts AS DATE) AS trading_date, count(*) AS bar_count
+  FROM events GROUP BY 1, 2
+), calendar AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS trading_date, 570 AS open_minutes,
+         955 AS close_minutes
+  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-15'
+)
+SELECT d.event_type, d.trading_date, d.bar_count,
+       CASE WHEN c.trading_date IS NULL THEN 'NO_CALENDAR'
+            WHEN d.bar_count >= 60 THEN 'PASS' ELSE 'FAIL' END AS status
+FROM per_day d LEFT JOIN calendar c ON d.trading_date = c.trading_date
+""",
+    doc="Calendar broadcast left join with null -> NO_CALENDAR WARN branch "
+    "(validate_calendar_alpaca.py:181-218 as a distributed join).",
+)
+def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    per_day = ev.groupBy(
+        "event_type", F.to_date("ts").alias("trading_date")
+    ).agg(F.count(F.lit(1)).alias("bar_count"))
+    calendar = (
+        ev.select(F.to_date("ts").alias("trading_date"))
+        .filter(F.col("trading_date") < F.lit("2024-01-15").cast("date"))
+        .distinct()
+        .select(
+            "trading_date",
+            F.lit(570).alias("open_minutes"),
+            F.lit(955).alias("close_minutes"),
+        )
+    )
+    joined = per_day.join(
+        F.broadcast(calendar.withColumnRenamed("trading_date", "cal_date")),
+        per_day["trading_date"] == F.col("cal_date"),
+        "left",
+    )
+    status = (
+        F.when(F.col("cal_date").isNull(), "NO_CALENDAR")
+        .when(F.col("bar_count") >= 60, "PASS")
+        .otherwise("FAIL")
+    )
+    return joined.select(
+        "event_type", "trading_date", "bar_count", status.alias("status")
+    )

@@ -1,0 +1,86 @@
+"""SparkSession factory and runtime configuration.
+
+The reference pins the session timezone to UTC so naive timestamps parse as
+UTC (``/root/reference/audit_pipeline.py:81-82``) and builds a plain
+``local[*]`` session (``/root/reference/project/transform_data.py:25-33``).
+This engine does the same, plus scale hygiene: AQE (runtime coalescing +
+skew-join handling), a shuffle-partition count sized for the local harness,
+and Arrow for the pandas interchange boundary.
+
+On a real cluster the same factory is used with ``master`` unset (picked up
+from spark-submit) and ``shuffle_partitions`` sized to ~2-3x total cores;
+AQE coalesces the rest.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Static (must be set before the JVM starts) and runtime-mutable confs are
+# kept separate: `configure_runtime` can be applied to a session we did not
+# create (e.g. the verify driver's), `get_spark` applies both.
+_STATIC_CONF: dict[str, str] = {
+    # AQE: runtime partition coalescing, skew-join splitting, broadcast
+    # demotion — all essential at 100 TB where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for toPandas / pandas_udf boundaries (multimodal + serving edge).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Delta-style dynamic partition overwrite: INSERT OVERWRITE only touches
+    # partitions present in the incoming frame (idempotent daily reloads,
+    # replacing the reference's destructive full-table JDBC overwrite at
+    # /root/reference/project/transform_data.py:199-209).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+}
+
+_RUNTIME_CONF: dict[str, str] = {
+    # Naive-UTC canonical timestamps (audit_pipeline.py:81-82).
+    "spark.sql.session.timeZone": "UTC",
+    # Local harness: 32 cores -> 32 shuffle partitions; AQE coalesces below
+    # this when maps are small.  On a cluster this is set to 2-3x cores.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+    # ANSI off: permissive SQL semantics (NULL on bad cast / div-by-zero)
+    # to match the reference's PERMISSIVE reads and the DuckDB oracle's
+    # NULLIF-guarded expressions; the engine still guards divisions
+    # explicitly so this is defense, not a crutch.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine configuration to an existing session.
+
+    Safe to call on a session created elsewhere (e.g. the correctness
+    driver's); only touches confs that Spark allows changing at runtime.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def get_spark(
+    app_name: str = "quant_market_data_pipeline_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (fallback: all cores) so the bench harness controls parallelism.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _STATIC_CONF.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return configure_runtime(spark)

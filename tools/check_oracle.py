@@ -1,0 +1,147 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle at a given
+scale factor, then compares: row count, column names, and order-insensitive
+values (floats to a tolerance, everything else exact).  Use while
+iterating; the driver's own CORRECTNESS_r{N}.json is the source of truth.
+
+Usage:
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def canon(rows: list[tuple], cols: list[str]):
+    """Sort columns by name, normalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            return round(v, 9)
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bool):
+            return bool(v)
+        try:  # Decimal -> float for cross-engine compare
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return round(float(v), 9)
+        except Exception:
+            pass
+        return v
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t)), [
+        cols[i] for i in order
+    ]
+
+
+def values_close(a, b) -> bool:
+    if a is None or b is None:
+        return a is b or a == b
+    if isinstance(a, float) and isinstance(b, float):
+        return math.isclose(a, b, rel_tol=1e-7, abs_tol=1e-9)
+    return a == b
+
+
+def compare(name: str, spark_df, duck_rows, duck_cols) -> list[str]:
+    errs: list[str] = []
+    s_cols = spark_df.columns
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    if sorted(s_cols) != sorted(c.lower() for c in duck_cols) and sorted(
+        s_cols
+    ) != sorted(duck_cols):
+        errs.append(f"schema: spark={sorted(s_cols)} duck={sorted(duck_cols)}")
+    if len(s_rows) != len(duck_rows):
+        errs.append(f"rowcount: spark={len(s_rows)} duck={len(duck_rows)}")
+        return errs
+    sc, _ = canon(s_rows, s_cols)
+    dc, _ = canon(duck_rows, duck_cols)
+    n_bad = 0
+    for i, (sr, dr) in enumerate(zip(sc, dc)):
+        if len(sr) != len(dr) or not all(values_close(a, b) for a, b in zip(sr, dr)):
+            n_bad += 1
+            if n_bad <= 3:
+                errs.append(f"row {i}: spark={sr} duck={dr}")
+    if n_bad:
+        errs.append(f"total mismatching rows: {n_bad}/{len(sc)}")
+    return errs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(master="local[16]")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+
+    registry = load_all()
+    failed = []
+    for name, spec in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = spec.spark(spark, sf_dir)
+            if spec.oracle is None:
+                n = sdf.count()
+                print(f"  {name}: rows-only ({n} rows)")
+                continue
+            res = con.execute(spec.oracle)
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            errs = compare(name, sdf, duck_rows, duck_cols)
+        except Exception as e:  # noqa: BLE001
+            errs = [f"exception: {type(e).__name__}: {e}"]
+        if errs:
+            failed.append(name)
+            print(f"FAIL {name}")
+            for e in errs[:6]:
+                print(f"     {e}")
+        else:
+            print(f"  ok {name}")
+    print(f"\n{len(registry) - len(failed)}/{len(registry)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
