@@ -1,0 +1,150 @@
+"""Dedup families: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+
+- **exact**: md5(normalized) -> hash groupBy.  One shuffle on a uniform
+  key; canonical row by min id keeps it deterministic.
+- **MinHash+LSH**: shingle -> k seeded-md5 mins (ONE shuffle builds all k
+  signature slots) -> band keys -> self-equi-join per band.  Candidate
+  generation never compares non-colliding docs, so cost is
+  O(sum over buckets |bucket|^2), not O(n^2); band-hash keys are md5 ->
+  uniformly distributed -> no join skew.
+- **SimHash**: token-level ±1 votes, one groupBy, 64/16-bit fingerprint;
+  near-dup = small Hamming distance on an integer — cheap block key.
+- **n-gram Jaccard**: exact verification for candidate pairs — an
+  inverted-index equi-join on shingles (only intersecting pairs surface),
+  never an all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.llm.hashing import (
+    band_hash,
+    minhash_agg_exprs,
+    simhash_bit_sums,
+    simhash_from_sums,
+    word_shingles,
+    word_tokens,
+)
+
+
+def doc_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(word_shingles(word_tokens(text), n)).alias("sh")
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str = "doc_id", k: int = 16
+) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature — one shuffle for all k slots."""
+    return shingled.groupBy(id_col).agg(*minhash_agg_exprs(F.col("sh"), k))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Distinct (id_lo, id_hi) pairs colliding in >= 1 LSH band."""
+    sig_cols = [f"h{i}" for i in range(k)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                band_hash(sig_cols, b, rows_per_band).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("b")
+    ).select(id_col, "b.band_id", "b.bh")
+    a = banded.alias("a")
+    bdf = banded.alias("b")
+    return (
+        a.join(
+            bdf,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_lo"),
+            F.col(f"b.{id_col}").alias("doc_hi"),
+        )
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) weighted token-level fingerprint."""
+    toks = docs.select(F.col(id_col), F.explode(word_tokens(text)).alias("tok"))
+    sums = toks.groupBy(id_col).agg(*simhash_bit_sums(F.col("tok"), bits))
+    return sums.select(
+        id_col, simhash_from_sums([f"s{b}" for b in range(bits)]).alias("simhash")
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    min_jaccard: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every intersecting pair (>= threshold).
+
+    Inverted-index join: pairs sharing zero shingles never materialize.
+    ``block_col`` optionally restricts candidates to the same block (e.g.
+    source) — the standard blocking strategy for web-scale corpora.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    cond = (F.col("a.sh") == F.col("b.sh")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = (
+        a.join(b, cond)
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_lo"),
+            F.col(f"b.{id_col}").alias("doc_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_lo"), F.col("sz").alias("sz_lo")),
+            "doc_lo",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_hi"), F.col("sz").alias("sz_hi")),
+            "doc_hi",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_lo") + F.col("sz_hi") - F.col("n_shared")),
+                6,
+            ),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_lo", "doc_hi", "n_shared", "jaccard"
+    )

@@ -1,0 +1,97 @@
+"""Deterministic hashing primitives for dedup & LSH — the md5 trick.
+
+MinHash, SimHash and random-hyperplane LSH all need a family of pseudo-
+random hash functions.  The engine derives every one of them from ``md5``
+over a seeded input (``md5(seed || '|' || value)``): md5 hex strings are
+bit-identical in Spark and DuckDB, so the whole randomized-algorithm
+family is reproducible AND oracle-checkable — no RNG state, no UDFs, no
+seed files.  Lexicographic order on hex strings stands in for integer
+order on the hash (an order-preserving 1:1 relabeling, which is all
+MinHash needs); sign bits come from the first hex nibble (>= '8' = top
+bit set, an unbiased Bernoulli(1/2)).
+
+Everything returns Column expressions over built-ins: explode/groupBy for
+the signature aggregation is the only shuffle, and it's on doc_id —
+perfectly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def word_tokens(text: Column | str) -> Column:
+    """Whitespace tokens, no empties (== DuckDB regexp_extract_all '\\S+')."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-grams joined by single spaces; empty array when < n tokens.
+
+    Guarded: Spark's ``sequence(1, 0)`` counts DOWN, so short docs must
+    short-circuit to an empty array instead.
+    """
+    count = F.size(tokens) - (n - 1)
+    make = F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(count >= 1, make).otherwise(F.array().cast("array<string>"))
+
+
+def seeded_md5(seed: int | str, value: Column) -> Column:
+    """The hash family: md5 of '<seed>|<value>' (hex string)."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), value))
+
+
+def md5_sign(seed: int | str, value: Column) -> Column:
+    """±1 from the top bit of the seeded hash (first hex char >= '8')."""
+    return F.when(
+        F.substring(seeded_md5(seed, value), 1, 1) >= "8", F.lit(1)
+    ).otherwise(F.lit(-1))
+
+
+def minhash_agg_exprs(shingle: Column, k: int = 16) -> list[Column]:
+    """k MinHash aggregate expressions: min seeded-md5 per hash function.
+
+    Use inside a single ``groupBy(doc).agg(*exprs)`` — one shuffle builds
+    the whole signature.
+    """
+    return [F.min(seeded_md5(i, shingle)).alias(f"h{i}") for i in range(k)]
+
+
+def band_hash(sig_cols: list[str], band: int, rows_per_band: int) -> Column:
+    """LSH band key: md5 over the band's slice of the signature."""
+    lo = band * rows_per_band
+    parts = [F.col(c) for c in sig_cols[lo : lo + rows_per_band]]
+    return F.md5(F.concat_ws(",", *parts))
+
+
+def simhash_bit_sums(token: Column, bits: int = 16) -> list[Column]:
+    """Per-bit ±1 vote sums for SimHash (aggregate over exploded tokens)."""
+    return [
+        F.sum(md5_sign(f"b{b}", token)).alias(f"s{b}") for b in range(bits)
+    ]
+
+
+def simhash_from_sums(sum_cols: list[str]) -> Column:
+    """Collapse bit-vote sums into the integer fingerprint (bit b set when
+    the vote sum is >= 0)."""
+    out = F.lit(0)
+    for b, c in enumerate(sum_cols):
+        out = out + F.when(F.col(c) >= 0, F.lit(2**b)).otherwise(F.lit(0))
+    return out
+
+
+def hamming16(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-bit fingerprints (popcount of XOR)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )

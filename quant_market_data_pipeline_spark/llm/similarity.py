@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns.
+
+- **Brute-force cosine top-k**: broadcast the (small) query set against the
+  candidate corpus; the dot product is a JVM-side ``zip_with`` +
+  ``aggregate`` over array<double> — no Python, whole-stage codegen.  The
+  correctness baseline.
+- **Hyperplane-LSH bucketed top-k**: the scale path.  Random hyperplanes
+  with md5-derived ±1 components (deterministic, oracle-checkable —
+  llm/hashing.py) assign every vector a sign-pattern bucket; candidate
+  generation joins within buckets only.  At 100 TB the bucket join
+  replaces the O(n*q) cross product with O(sum |bucket_q| * |bucket_n|),
+  and bucket keys are hash-uniform, so no skew.
+- For cluster deployments Spark MLlib's BucketedRandomProjectionLSH /
+  approxSimilarityJoin offers the same shape; the built-in-expression
+  version here keeps determinism and zero UDF overhead.
+
+Tie handling: ranking orders by (rounded cosine DESC, neighbor id) so
+results are reproducible across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i over array<double> columns (sequential fold — same
+    summation order as the DuckDB oracle's list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> -> array<double> (exact) so arithmetic matches a
+    double-precision oracle bit-for-bit in structure."""
+    return vec.cast("array<double>")
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (excluding self).
+
+    Broadcast-nested-loop over the query side: correct baseline; use the
+    LSH variant when the query set is not broadcastable.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of <vec, h_plane> where h_plane has md5-derived ±1 entries."""
+    products = F.zip_with(
+        vec,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"p{plane}_"), i.cast("string"))), 1, 1
+                )
+                >= "8",
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        ),
+        lambda x, y: x * y,
+    )
+    s = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def lsh_bucket(vec: Column, planes: int, dim: int) -> Column:
+    """Sign-pattern bucket key: concatenated hyperplane sign bits."""
+    return F.concat(*[hyperplane_sign(vec, p, dim) for p in range(planes)])
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    dim: int = 64,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate all-pairs top-k: candidates restricted to the same
+    hyperplane-sign bucket, exact cosine + ranking within the bucket."""
+    vecs = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), planes, dim))
+    a = vecs.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = vecs.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rn")
+    )
+
+
+def blocked_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    min_cosine: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs within a blocking key (cosine >= threshold)."""
+    vecs = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(block_col)
+    )
+    a = vecs.select(
+        F.col(id_col).alias("id_lo"), F.col("v").alias("va"), block_col
+    )
+    b = vecs.select(
+        F.col(id_col).alias("id_hi"), F.col("v").alias("vb"), block_col
+    )
+    return (
+        a.join(b, block_col)
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .select(
+            block_col,
+            "id_lo",
+            "id_hi",
+            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cosine)
+    )

@@ -12,6 +12,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quant_market_data_pipeline_spark.llm.dedup import (
+    doc_shingles,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_fingerprints,
+)
+from quant_market_data_pipeline_spark.llm.hashing import (
+    word_shingles,
+    word_tokens,
+)
+from quant_market_data_pipeline_spark.llm.similarity import (
+    blocked_neardup_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from quant_market_data_pipeline_spark.llm.text import (
     normalized_text,
     quality_columns,
@@ -105,6 +121,370 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Language ID: stopword-hit heuristic over a broadcast lexicon.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH candidate pairs + Jaccard verification.
+# The md5 hash family is bit-identical in Spark and DuckDB, so these
+# randomized-flavored algorithms are fully oracle-checked (llm/hashing.py).
+# ---------------------------------------------------------------------------
+_SHINGLE_CTE = """
+toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, sh FROM (
+    SELECT doc_id, source,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM toks)
+)"""
+
+_MIN_EXPRS = ",\n       ".join(
+    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+)
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+       {_MIN_EXPRS}
+FROM sh GROUP BY doc_id
+""",
+    doc="16-slot MinHash signature over distinct word-3-gram shingles — "
+    "one shuffle builds all slots (llm/dedup.py).",
+)
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return minhash_signatures(doc_shingles(d))
+
+
+_BAND_UNION = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || ',' || h{2*b+1}) AS bh FROM sig"
+    for b in range(8)
+)
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, regexp_extract_all(text, '\\S+')[1:30] FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM corpus)
+), sig AS (
+  SELECT doc_id,
+       {_MIN_EXPRS}
+  FROM sh GROUP BY doc_id
+), banded AS (
+{_BAND_UNION}
+)
+SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+""",
+    doc="MinHash+LSH near-dup candidates (8 bands x 2 rows) over the corpus "
+    "plus planted 30-token-prefix near-duplicates; candidate generation "
+    "joins band buckets only — never all pairs.",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    planted = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice("tokens", 1, 30).alias("tokens"),
+    )
+    corpus = toks.unionByName(planted)
+    shingled = corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("tokens"))).alias("sh")
+    ).distinct()
+    sigs = minhash_signatures(shingled)
+    return lsh_candidate_pairs(sigs, k=16, bands=8, rows_per_band=2)
+
+
+_SIM_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN substr(md5('b{b}|' || tok), 1, 1) >= '8' "
+    f"THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(16)
+)
+_SIM_BITS = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN {2**b} ELSE 0 END)" for b in range(16)
+)
+
+@register(
+    "simhash_fingerprints",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), sums AS (
+  SELECT doc_id,
+       {_SIM_SUMS}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, {_SIM_BITS} AS simhash FROM sums
+""",
+    doc="16-bit SimHash: md5-derived per-bit ±1 votes summed per doc; "
+    "near-dup = small Hamming distance on one integer.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    out = simhash_fingerprints(d, bits=16)
+    return out.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_lo, doc_hi, n_shared,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_lo
+JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.1
+""",
+    doc="Exact word-3-gram Jaccard via inverted-index equi-join, blocked by "
+    "source — non-intersecting pairs never materialize.",
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    shingled = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+        )
+        .distinct()
+    )
+    return jaccard_pairs(shingled, block_col="source", min_jaccard=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over the embeddings table.
+# ---------------------------------------------------------------------------
+_COS = (
+    "round(list_dot_product(qv, cv) / "
+    "nullif(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)), "
+    "0.0), 6)"
+)
+
+@register(
+    "knn_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos_sim
+  FROM c CROSS JOIN q WHERE neighbor_id <> query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
+""",
+    doc="Brute-force cosine top-5 (broadcast query set, zip_with/aggregate "
+    "dot product — JVM codegen, no UDF). The exactness baseline for ANN.",
+)
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk(queries, emb, k=5)
+
+
+def _plane_sql(p: int) -> str:
+    return (
+        "CASE WHEN list_sum([CASE WHEN substr(md5('p"
+        + str(p)
+        + "_' || (i - 1)::VARCHAR), 1, 1) >= '8' THEN cv[i] ELSE -cv[i] END "
+        "for i in generate_series(1, 64)]) >= 0 THEN '1' ELSE '0' END"
+    )
+
+
+_BUCKET_SQL = " || ".join(_plane_sql(p) for p in range(4))
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), bucketed AS (
+  SELECT vec_id, cv, {_BUCKET_SQL} AS bucket FROM vecs
+), pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+         round(list_dot_product(a.cv, b.cv) /
+               nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                      sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rn FROM ranked WHERE rn <= 3
+""",
+    doc="Approximate top-3 neighbors via md5-derived random-hyperplane LSH "
+    "buckets — the scale path: bucket equi-join replaces the O(n^2) cross "
+    "product; keys are hash-uniform (no skew).",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_cosine_topk(emb, planes=4, dim=64, k=3)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings
+)
+SELECT a.label AS label, a.vec_id AS id_lo, b.vec_id AS id_hi,
+       round(list_dot_product(a.cv, b.cv) /
+             nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                    sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.cv, b.cv) /
+            nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                   sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) >= 0.25
+""",
+    doc="Embedding-cosine near-dup pairs blocked by label (the blocking-key "
+    "pattern that bounds pair generation at corpus scale).",
+)
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    emb = load_table(spark, "embeddings", sf_dir)
+    return blocked_neardup_pairs(emb, min_cosine=0.25)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload column -> Arrow-batched mapInPandas feature
+# extraction.  The fake decoder derives dims from sha256 with the same
+# formula as this oracle, so even the Python-UDF path is value-gated.
+# ---------------------------------------------------------------------------
+@register(
+    "media_features",
+    oracle="""
+WITH media AS (
+  -- payload = UTF-8 bytes of text; DuckDB 1.0 sha256 takes VARCHAR and
+  -- hashes its UTF-8 bytes, which is the identical byte stream.
+  SELECT doc_id AS media_id, 'image' AS kind, text,
+         octet_length(encode(text)) AS n_bytes, sha256(text) AS h
+  FROM documents
+)
+SELECT media_id, kind,
+       n_bytes::INTEGER AS n_bytes,
+       h AS sha256,
+       (64 + ascii(substr(h, 1, 1)))::INTEGER AS width,
+       (64 + ascii(substr(h, 2, 1)))::INTEGER AS height,
+       ((n_bytes % 7) + 1)::INTEGER AS n_frames
+FROM media
+""",
+    doc="Multimodal plumbing: binary payload + mapInPandas (Arrow batches) "
+    "feature extraction; decode step is a deterministic fake (no media "
+    "libs in-container), plumbing is real and value-checked.",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        extract_media_features,
+        media_from_documents,
+    )
+
+    d = _docs(spark, sf_dir)
+    media = media_from_documents(d)
+    return extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Language ID: lexicon-hit heuristic with deterministic priority argmax.
+# ---------------------------------------------------------------------------
+_LEX = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "es": ("el", "la", "de", "los", "y", "que"),
+    "fr": ("le", "les", "et", "des", "un", "une"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def _lex_sql(lang: str) -> str:
+    vals = ", ".join(f"'{w}'" for w in _LEX[lang])
+    return (
+        f"len([t for t in regexp_extract_all(lower(text), '\\S+') "
+        f"if t IN ({vals})]) AS hits_{lang}"
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_lex_sql('en')},
+         {_lex_sql('de')},
+         {_lex_sql('es')},
+         {_lex_sql('fr')},
+         {_lex_sql('zh')}
+  FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       CASE
+         WHEN hits_en >= hits_de AND hits_en >= hits_es
+              AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+         WHEN hits_de >= hits_es AND hits_de >= hits_fr
+              AND hits_de >= hits_zh THEN 'de'
+         WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+         WHEN hits_fr >= hits_zh THEN 'fr'
+         ELSE 'zh'
+       END AS pred_lang
+FROM hits
+""",
+    doc="Stopword-lexicon language ID with a deterministic priority argmax "
+    "(en>de>es>fr>zh on ties) — pure built-ins, broadcastable lexicon.",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    def _hits(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hit_cols = {lang: _hits(words) for lang, words in _LEX.items()}
+    hits = d.select(
+        "doc_id",
+        "lang",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in _LEX],
+    )
+    h = {lang: F.col(f"hits_{lang}") for lang in _LEX}
+    pred = (
+        F.when(
+            (h["en"] >= h["de"]) & (h["en"] >= h["es"]) & (h["en"] >= h["fr"])
+            & (h["en"] >= h["zh"]),
+            "en",
+        )
+        .when((h["de"] >= h["es"]) & (h["de"] >= h["fr"]) & (h["de"] >= h["zh"]), "de")
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["zh"]), "es")
+        .when(h["fr"] >= h["zh"], "fr")
+        .otherwise("zh")
+    )
+    return hits.withColumn("pred_lang", pred)
+
+
 @register(
     "token_lang_profile",
     oracle="""

@@ -1,0 +1,135 @@
+"""Streaming tick -> bar pipeline.
+
+Maps the reference's batch semantics onto Structured Streaming
+(SURVEY §2.8):
+
+- file-source ``readStream`` over the landing dir replaces the batch
+  S1/S3 scan (`/root/reference/project/ingest_data.py:104-106`,
+  ``transform_data.py:36-43``);
+- tumbling ``F.window(ts, width)`` builds bars from ticks, generalizing
+  the fixed 5-min grid assumed at ``audit_pipeline.py:146,178``;
+- ``withWatermark`` bounds state and handles late data — the role the
+  reference's UNIQUE(symbol,timestamp) constraint + full overwrite loads
+  (``schema.py:42``, ``transform_data.py:207``) play offline;
+- ``dropDuplicates`` within the watermark is the stateful dedup;
+- ``foreachBatch`` writes idempotent partitioned parquet, replacing the
+  destructive JDBC overwrite (S5).
+
+State sizing at scale: the watermark delay bounds the window state to
+(symbols x windows-in-delay); with a 10-minute delay on 5-minute bars
+that's 3 windows per symbol regardless of throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import DataStreamWriter
+
+TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+    ]
+)
+
+
+def read_tick_stream(
+    spark,
+    landing_dir: str,
+    schema: T.StructType = TICK_SCHEMA,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the landing zone (JSONL or parquet).
+
+    An explicit schema is mandatory for streams; PERMISSIVE mode mirrors
+    the reference's untrusted-JSON posture (transform_data.py:41).
+    """
+    reader = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(landing_dir)
+
+
+def dedup_stream(
+    ticks: DataFrame,
+    keys: list[str],
+    ts: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stateful dedup within the watermark horizon (late dupes beyond the
+    delay age out of state — the streaming UNIQUE constraint)."""
+    return ticks.withWatermark(ts, watermark_delay).dropDuplicates(keys)
+
+
+def stream_bars(
+    ticks: DataFrame,
+    key: str = "symbol",
+    ts: str = "ts",
+    price: str = "price",
+    width: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV aggregation.
+
+    Deterministic open/close via min_by/max_by over (ts, event_id) —
+    identical semantics to the batch builder (operators/bars.py), so a
+    backfill and the live stream produce the same bars.
+    """
+    order = F.struct(ts, "event_id")
+    return (
+        ticks.withWatermark(ts, watermark_delay)
+        .groupBy(F.col(key), F.window(ts, width))
+        .agg(
+            F.min_by(price, order).alias("open"),
+            F.max(price).alias("high"),
+            F.min(price).alias("low"),
+            F.max_by(price, order).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            key,
+            F.col("window.start").alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def parquet_bar_sink(
+    bars: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    partition_by: str = "symbol",
+) -> DataStreamWriter:
+    """Idempotent partitioned-parquet sink via foreachBatch.
+
+    Dynamic partition overwrite keyed by the micro-batch's partitions: a
+    replayed batch (failure/retry) rewrites the same partitions instead of
+    appending duplicates — exactly-once at the partition level.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("trading_date", F.to_date("bar_ts"))
+            .write.mode("overwrite")
+            .partitionBy("trading_date")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_dir)
+        )
+
+    return (
+        bars.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )

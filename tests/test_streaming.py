@@ -1,0 +1,114 @@
+"""Streaming bar builder == batch bar builder on the same ticks
+(backfill/live parity), plus stateful dedup."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.operators.bars import build_bars
+from quant_market_data_pipeline_spark.streaming.bars_stream import (
+    dedup_stream,
+    read_tick_stream,
+    stream_bars,
+)
+
+
+def _write_landing(spark, events, landing):
+    (
+        events.select(
+            "event_id",
+            F.col("ts"),
+            F.col("event_type").alias("symbol"),
+            F.col("value").alias("price"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(landing)
+    )
+
+
+def test_stream_bars_match_batch(spark, events):
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        _write_landing(spark, events, landing)
+
+        ticks = read_tick_stream(spark, landing)
+        bars = stream_bars(ticks, width="1 hour", watermark_delay="10 minutes")
+        q = (
+            bars.writeStream.format("memory")
+            .queryName("bars_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        got = spark.sql(
+            "SELECT * FROM bars_stream_test"
+        ).toPandas().set_index(["symbol", "bar_ts"]).sort_index()
+
+        want_all = (
+            build_bars(
+                events.select(
+                    "event_id",
+                    "ts",
+                    F.col("event_type").alias("symbol"),
+                    F.col("value").alias("price"),
+                ),
+                key="symbol",
+                ts="ts",
+                price="price",
+                width="1 hour",
+                tiebreak="event_id",
+            )
+            .drop("vwap_num")
+            .toPandas()
+            .set_index(["symbol", "bar_ts"])
+            .sort_index()
+        )
+
+        # Append mode emits only windows finalized by the watermark; every
+        # emitted bar must equal its batch twin, and most windows close.
+        assert len(got) > 0
+        want = want_all.loc[got.index]
+        pd.testing.assert_frame_equal(got[want.columns], want)
+        # all but the tail windows (inside the watermark delay) were emitted
+        assert len(got) >= len(want_all) - 2 * events.select(
+            "event_type"
+        ).distinct().count()
+
+
+def test_dedup_stream_drops_duplicates(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1, 1, 2, 2, 3],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:01"] * 2
+                    + ["2024-01-01 00:00:02"] * 2
+                    + ["2024-01-01 00:00:03"]
+                ),
+                "symbol": ["A"] * 5,
+                "price": [1.0, 1.0, 2.0, 2.0, 3.0],
+            }
+        )
+        landing = f"{tmp}/landing"
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").json(landing)
+
+        ticks = read_tick_stream(spark, landing)
+        deduped = dedup_stream(ticks, keys=["symbol", "event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_stream_test")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM dedup_stream_test").toPandas()
+        assert sorted(got["event_id"].tolist()) == [1, 2, 3]
