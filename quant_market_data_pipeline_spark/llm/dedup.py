@@ -32,15 +32,23 @@ from quant_market_data_pipeline_spark.llm.hashing import (
 
 
 def doc_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the set representation."""
-    return (
-        docs.select(
-            F.col(id_col), F.explode(word_shingles(word_tokens(text), n)).alias("sh")
-        )
-        .distinct()
+    """(id, shingle) pairs; ``distinct=True`` gives the set representation.
+
+    MinHash consumers pass ``distinct=False``: min over a multiset equals
+    min over its set, so the dedup shuffle (the largest intermediate in
+    the whole pipeline) is pure waste there.  Jaccard NEEDS the set form —
+    its counts are set cardinalities.
+    """
+    out = docs.select(
+        F.col(id_col), F.explode(word_shingles(word_tokens(text), n)).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

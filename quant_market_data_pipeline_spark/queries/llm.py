@@ -155,7 +155,7 @@ FROM sh GROUP BY doc_id
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return minhash_signatures(doc_shingles(d))
+    return minhash_signatures(doc_shingles(d, distinct=False))
 
 
 _BAND_UNION = "\nUNION ALL\n".join(
@@ -201,7 +201,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = toks.unionByName(planted)
     shingled = corpus.select(
         "doc_id", F.explode(word_shingles(F.col("tokens"))).alias("sh")
-    ).distinct()
+    )
     sigs = minhash_signatures(shingled)
     return lsh_candidate_pairs(sigs, k=16, bands=8, rows_per_band=2)
 
