@@ -104,3 +104,62 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").alias("payload"),
         F.create_map(F.lit("origin"), F.col("source")).alias("meta"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha256", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 2, decode_fn=fake_decode
+) -> DataFrame:
+    """Frame sampling: one output row per kept frame (idx 0, every_n, ...).
+
+    mapInPandas is a flat-map over Arrow batches — the output cardinality
+    is decoupled from the input (a 2-hour video expands to thousands of
+    rows without ever materializing all frames in one buffer).  The fake
+    'decoder' derives the frame count from the payload and each frame's
+    bytes as sha256(payload + b'#' + idx) — deterministic, oracle-matched.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for mid, payload, kind in zip(
+                pdf["media_id"], pdf["payload"], pdf["kind"]
+            ):
+                n_frames = decode_fn(payload, kind)[2]
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            bytes(payload) + b"#" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": shas}
+            )
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_plan(media_features: DataFrame, max_dim: int = 128) -> DataFrame:
+    """Aspect-preserving resize dimensions (the metadata half of a resize;
+    the pixel half needs a real codec).  Pure JVM column math — the
+    planning stage a real resize UDF would consume."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim)
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return media_features.withColumn(
+        "resized_width", F.ceil(F.col("width") * scale).cast("int")
+    ).withColumn(
+        "resized_height", F.ceil(F.col("height") * scale).cast("int")
+    )

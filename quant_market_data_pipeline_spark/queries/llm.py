@@ -35,12 +35,28 @@ from quant_market_data_pipeline_spark.llm.text import (
 )
 from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import configure_runtime
-from quant_market_data_pipeline_spark.sources.tables import load_table
+from quant_market_data_pipeline_spark.sources.tables import (
+    load_table,
+    repartition_for_compute,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     return load_table(spark, "documents", sf_dir)
+
+
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents widened to cluster parallelism — for the shingle-hash
+    pipelines (k x md5 per shingle is CPU-bound; a 1-split scan would
+    serialize it).  Light per-row queries use the plain ``_docs``: for
+    them the rebalance shuffle costs more than it buys."""
+    return repartition_for_compute(_docs(spark, sf_dir))
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return repartition_for_compute(load_table(spark, "embeddings", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -154,7 +170,7 @@ FROM sh GROUP BY doc_id
     "one shuffle builds all slots (llm/dedup.py).",
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     return minhash_signatures(doc_shingles(d, distinct=False))
 
 
@@ -192,7 +208,7 @@ FROM banded a JOIN banded b
     "joins band buckets only — never all pairs.",
 )
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     toks = d.select("doc_id", word_tokens("text").alias("tokens"))
     planted = toks.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
@@ -231,7 +247,7 @@ SELECT doc_id, {_SIM_BITS} AS simhash FROM sums
     "near-dup = small Hamming distance on one integer.",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     out = simhash_fingerprints(d, bits=16)
     return out.select("doc_id", F.col("simhash").cast("long").alias("simhash"))
 
@@ -258,7 +274,7 @@ WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.1
     "source — non-intersecting pairs never materialize.",
 )
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_wide(spark, sf_dir)
     shingled = (
         d.select(
             "doc_id",
@@ -301,8 +317,7 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 5
     "dot product — JVM codegen, no UDF). The exactness baseline for ANN.",
 )
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_runtime(spark)
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
     return cosine_topk(queries, emb, k=5)
 
@@ -344,8 +359,7 @@ SELECT query_id, neighbor_id, bucket, cos_sim, rn FROM ranked WHERE rn <= 3
     "product; keys are hash-uniform (no skew).",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_runtime(spark)
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _embeddings(spark, sf_dir)
     return lsh_cosine_topk(emb, planes=4, dim=64, k=3)
 
 
@@ -368,8 +382,7 @@ WHERE round(list_dot_product(a.cv, b.cv) /
     "pattern that bounds pair generation at corpus scale).",
 )
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    configure_runtime(spark)
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = _embeddings(spark, sf_dir)
     return blocked_neardup_pairs(emb, min_cosine=0.25)
 
 
@@ -502,4 +515,159 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_column("text"))).alias("total_tokens"),
         F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: letter runs / digit runs / symbol runs — the
+# pre-tokenizer split rule most BPE vocabularies (GPT-2 style) apply
+# before merges.  Pure JVM regexp; a real BPE merge table would sit in a
+# broadcast map over these pieces.
+# ---------------------------------------------------------------------------
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_pieces,
+       len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(text, '\\S+')), 0), 6)
+         AS pieces_per_token
+FROM documents
+""",
+    doc="BPE-style pre-tokenizer piece count (letter/digit/symbol runs) vs "
+    "whitespace tokens — the fertility ratio quality signal.",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+    ws = F.size(word_tokens("text"))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_pieces"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe.cast("double") / F.nullif(ws, F.lit(0)), 6).alias(
+            "pieces_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken): min hash per sliding
+# window of consecutive shingle hashes -> a position-robust document
+# sketch.  All map-side higher-order array ops — ZERO shuffle: each doc's
+# fingerprint set derives from its own text alone, so this scales
+# embarrassingly at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "winnow_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tokens) - 2 >= 1 THEN
+           [array_to_string(tokens[i:i+2], ' ')
+            for i in generate_series(1, len(tokens) - 2)]
+         ELSE []::VARCHAR[] END AS shs
+  FROM toks
+), h AS (
+  SELECT doc_id, list_transform(shs, s -> md5(s)) AS hs FROM sh
+), wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) - 3 >= 1 THEN
+           list_distinct([list_min(hs[i:i+3])
+                          for i in generate_series(1, len(hs) - 3)])
+         ELSE []::VARCHAR[] END AS mins
+  FROM h
+)
+SELECT doc_id, unnest(mins) AS fp FROM wins
+""",
+    doc="Winnowing: md5 per word-3-gram, min over each 4-hash sliding "
+    "window, per-doc distinct -> (doc_id, fp) sketch rows; shuffle-free "
+    "map-side fingerprinting.",
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    hs = F.transform(word_shingles(word_tokens("text")), F.md5)
+    n_wins = F.size(hs) - 3
+    mins = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda i: F.array_min(F.slice(hs, i, 4)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(mins).alias("fp"))
+
+
+@register(
+    "media_frame_sample",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, text
+  FROM documents
+), frames AS (
+  SELECT media_id, text,
+         unnest(generate_series(0, (n_bytes % 7), 2)) AS frame_idx
+  FROM media
+)
+SELECT media_id, frame_idx::INTEGER AS frame_idx,
+       sha256(text || '#' || frame_idx::VARCHAR) AS frame_sha256
+FROM frames
+""",
+    doc="Multimodal frame sampling: mapInPandas flat-map, one row per kept "
+    "frame (every 2nd of (n_bytes % 7) + 1 fake frames); output "
+    "cardinality decoupled from input — the video-expansion pattern.",
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    d = _docs(spark, sf_dir)
+    return sample_frames(media_from_documents(d), every_n=2)
+
+
+@register(
+    "media_resize_plan",
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS h,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+), dims AS (
+  SELECT media_id,
+         (64 + ascii(substr(h, 1, 1)))::INTEGER AS width,
+         (64 + ascii(substr(h, 2, 1)))::INTEGER AS height
+  FROM media
+)
+SELECT media_id, width, height,
+       ceil(width * least(1.0, 128.0 / greatest(width, height)))::INTEGER
+         AS resized_width,
+       ceil(height * least(1.0, 128.0 / greatest(width, height)))::INTEGER
+         AS resized_height
+FROM dims
+""",
+    doc="Aspect-preserving resize planning over extracted media dims "
+    "(max edge 128) — metadata half of resize; pixel half is the "
+    "pluggable codec.",
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        extract_media_features,
+        media_from_documents,
+        resize_plan,
+    )
+
+    d = _docs(spark, sf_dir)
+    feats = extract_media_features(media_from_documents(d))
+    return resize_plan(feats, max_dim=128).select(
+        "media_id", "width", "height", "resized_width", "resized_height"
     )

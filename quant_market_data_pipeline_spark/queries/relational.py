@@ -1,0 +1,424 @@
+"""Relational operator families beyond the reference surface.
+
+SURVEY.md §2.3 notes the reference has "no theta, range, as-of, semi,
+outer, or interval joins" and §2.4 "no grouping sets / cube / rollup, no
+distinct-agg" — a complete engine exposes them anyway (all Catalyst
+built-ins; pair research and DQ reporting need them).  Each query pins the
+semantics with a DuckDB oracle.
+
+Scale notes per operator are in the individual docstrings; the common
+theme: every join here is an equi-join (hash-partitionable) or carries an
+equi prefix (the range join), dimension sides are broadcast, and
+aggregations are partial-agg friendly (map-side combine before the
+shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Semi join: orders with at least one heavy lineitem.  Semi joins beat
+# join+distinct at scale: the build side stores keys only and each probe
+# row emits at most once (no fan-out, no post-dedup shuffle).
+# ---------------------------------------------------------------------------
+@register(
+    "semi_join_heavy_orders",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 6) AS total_price
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+""",
+    doc="Left-semi join (EXISTS): orders having >= 1 lineitem with "
+    "quantity > 45; probe-side rows emit at most once.",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    heavy = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(
+        heavy, orders["o_orderkey"] == heavy["l_orderkey"], "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: nation coverage of customers vs suppliers.  Aggregate
+# FIRST (tiny per-key frames), then outer-join the aggregates — never
+# outer-join the raw fact tables.
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_nation_coverage",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+           FROM customer GROUP BY 1),
+s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+      FROM supplier GROUP BY 1)
+SELECT coalesce(c.nk, s.nk) AS nationkey,
+       coalesce(n_customers, 0) AS n_customers,
+       coalesce(n_suppliers, 0) AS n_suppliers
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+    doc="Full outer join of two pre-aggregated per-nation counts with "
+    "coalesce'd keys — aggregate-then-join keeps the outer join tiny.",
+)
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = cust.join(supp, cust["nk"] == supp["nk"], "full_outer")
+    return joined.select(
+        F.coalesce(cust["nk"], supp["nk"]).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join with an equi prefix: events within 3 days after the order,
+# by the same user/customer key.  The equi key (user = cust) makes this
+# hash-partitionable; the range predicate evaluates post-shuffle, so no
+# O(n*m) explosion — the degenerate interval-join pattern.
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_view_purchase",
+    oracle="""
+SELECT v.event_id AS view_id, count(*) AS n_purchases,
+       round(sum(p.value), 6) AS purchased_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+GROUP BY 1
+""",
+    doc="Equi+range join (attribution funnel): purchases by the same user "
+    "within 1 hour after each view; the equi prefix (user_id) keeps it "
+    "hash-partitionable — the range predicate filters post-shuffle.",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    cond = (
+        (purchases["user_id"] == views["v_user"])
+        & (purchases["ts"] > views["v_ts"])
+        & (purchases["ts"] <= views["v_ts"] + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        views.join(purchases, cond)
+        .groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("purchased_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube: hierarchical + full-lattice subtotals in ONE pass.
+# Spark expands grouping sets before the partial aggregate, so subtotals
+# ride the same single shuffle as the base aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_regional_revenue",
+    oracle="""
+SELECT r_name, n_name,
+       grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
+       round(sum(o_totalprice), 4) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="ROLLUP (region -> nation -> grand total) over the order fact "
+    "joined through broadcast dims; GROUPING() flags disambiguate real "
+    "NULLs from subtotal rows.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    fact = (
+        orders.join(
+            F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+        )
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return fact.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus) AS g_status,
+       grouping(o_orderpriority) AS g_priority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority): all 4 grouping sets in one shuffle.",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: long -> wide with explicit value list (explicit values keep the
+# plan static — no extra distinct-values job, mandatory at scale).
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_status_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
+         AS rev_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4)
+         AS rev_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4)
+         AS rev_p
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot order status into revenue columns; explicit pivot values "
+    "avoid the pre-pass distinct scan.",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F").alias("rev_f"),
+        F.col("O").alias("rev_o"),
+        F.col("P").alias("rev_p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated, a sort-based aggregate).  At 100 TB
+# use approx_percentile for the same shape at sketch cost; the exact form
+# is the oracle-checkable semantic anchor.
+# ---------------------------------------------------------------------------
+@register(
+    "percentiles_quantity",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+       round(min(l_quantity), 6) AS min_qty,
+       round(max(l_quantity), 6) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (p50/p90/p99) per return flag — "
+    "percentile_cont semantics on both engines.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.min("l_quantity"), 6).alias("min_qty"),
+        F.round(F.max("l_quantity"), 6).alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation: Spark rewrites count(DISTINCT x) into a two-phase
+# expand+agg — still one logical pass, no driver-side dedup.
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_agg_parts",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Multi-column distinct aggregation (expand + two-phase agg); the "
+    "exact anchor for approx_count_distinct at scale.",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: EXCEPT / INTERSECT (set semantics, dedup built in).
+# ---------------------------------------------------------------------------
+@register(
+    "except_churned_customers",
+    oracle="""
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE year(o_orderdate) = 2001
+""",
+    doc="EXCEPT (churn cohort): customers active in 1995 but not in 2001 "
+    "(set difference on keys; plans as aggregate + anti join).",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    c95 = orders.filter(yr == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    c01 = orders.filter(yr == 2001).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c95.subtract(c01)  # EXCEPT == set difference w/ dedup
+
+
+@register(
+    "intersect_buyer_event_users",
+    oracle="""
+SELECT o_custkey AS user_key FROM orders
+INTERSECT
+SELECT user_id AS user_key FROM events
+""",
+    doc="INTERSECT: keys present in both the order fact and the event "
+    "stream (set semantics).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buyers = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_key")
+    )
+    users = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("user_key")
+    )
+    return buyers.intersect(users)
+
+
+# ---------------------------------------------------------------------------
+# Extended ranking windows: ntile / percent_rank / cume_dist — single sort
+# per partition serves all four functions.
+# ---------------------------------------------------------------------------
+@register(
+    "window_rank_suite",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey,
+         round(o_totalprice, 6) AS total_price,
+         row_number() OVER w AS rn,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey)
+)
+SELECT * FROM ranked WHERE rn <= 50
+""",
+    doc="Ranking suite (row_number / ntile / percent_rank / cume_dist) "
+    "sharing one window sort; deterministic tiebreak on the key.",
+)
+def q_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("total_price"),
+            F.row_number().over(w).alias("rn"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested array round-trip: collect_list into array<struct>, then explode —
+# the bronze-payload shape (SURVEY §1.1: one JSON doc per symbol with a
+# nested bars array; P1/P14 semantics) exercised end-to-end in one query.
+# ---------------------------------------------------------------------------
+@register(
+    "nested_explode_bars",
+    oracle="""
+WITH nested AS (
+  SELECT event_type,
+         list({'ts': ts, 'value': value} ORDER BY ts, event_id) AS bars
+  FROM events
+  WHERE user_id < 50
+  GROUP BY event_type
+)
+SELECT event_type, len(bars) AS n_bars,
+       b.ts AS bar_ts, round(b.value, 6) AS bar_value
+FROM nested, unnest(bars) AS t(b)
+""",
+    doc="Nested array<struct> build (collect_list w/ deterministic "
+    "sort_array) + size + explode — the raw-JSON bronze shape "
+    "(ingest_data.py:80-88, transform_data.py:47-49) as one query.",
+)
+def q_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    nested = ev.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("bars")
+    )
+    return nested.select(
+        "event_type",
+        F.size("bars").alias("n_bars"),
+        F.explode("bars").alias("b"),
+    ).select(
+        "event_type",
+        "n_bars",
+        F.col("b.ts").alias("bar_ts"),
+        F.round(F.col("b.value"), 6).alias("bar_value"),
+    )

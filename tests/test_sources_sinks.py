@@ -1,0 +1,109 @@
+"""Bronze JSON source (explicit schema, PERMISSIVE quarantine) and the
+idempotent partition-overwrite parquet sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.sources.json_bronze import (
+    corrupt_records,
+    explode_to_bars,
+    read_raw_json,
+)
+from quant_market_data_pipeline_spark.sources.sink import (
+    read_partitioned,
+    write_partitioned,
+)
+
+PAYLOAD = {
+    "symbol": "MSFT",
+    "timeframe": "5Min",
+    "source": "alpaca",
+    "feed": "iex",
+    "start_utc": "2024-05-01T00:00:00+00:00",
+    "end_utc": "2024-05-02T00:00:00+00:00",
+    "bars": [
+        {
+            "timestamp": "2024-05-01T13:30:00+00:00",
+            "open": 400.1234,
+            "high": 401.5,
+            "low": 399.9,
+            "close": 401.0001,
+            "volume": 12345,
+        },
+        {
+            "timestamp": "2024-05-01T13:35:00+00:00",
+            "open": 401.0,
+            "high": 402.0,
+            "low": 400.5,
+            "close": None,  # dropped by the null-gate (P4)
+            "volume": 1000,
+        },
+    ],
+}
+
+
+def test_bronze_roundtrip_and_quarantine(spark, tmp_path):
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir()
+    (raw_dir / "MSFT_intraday_5min.json").write_text(
+        json.dumps(PAYLOAD, indent=2)
+    )
+    (raw_dir / "BROKEN_intraday_5min.json").write_text("{not json at all")
+
+    raw = read_raw_json(spark, str(raw_dir))
+    assert corrupt_records(raw).count() == 1
+
+    bars = explode_to_bars(raw)
+    rows = {r["timestamp"]: r for r in bars.collect()}
+    # null-close bar dropped; survivor typed and parsed as UTC
+    assert len(rows) == 1
+    ts = dt.datetime(2024, 5, 1, 13, 30)
+    assert ts in rows
+    row = rows[ts]
+    assert str(row["close"]) == "401.0001"  # Decimal(15,4)
+    assert row["volume"] == 12345
+    assert dict(bars.dtypes)["close"] == "decimal(15,4)"
+
+
+def test_partition_overwrite_is_idempotent_per_day(spark, tmp_path):
+    path = str(tmp_path / "lake")
+    d1, d2 = dt.date(2024, 5, 1), dt.date(2024, 5, 2)
+
+    def frame(day, close):
+        return spark.createDataFrame(
+            [("MSFT", dt.datetime.combine(day, dt.time(13, 30)), close)],
+            "symbol string, timestamp timestamp, close double",
+        )
+
+    write_partitioned(frame(d1, 1.0).union(frame(d2, 2.0)), path)
+    # re-run day 2 with corrected data: day 1 must be untouched
+    write_partitioned(frame(d2, 99.0), path)
+
+    out = {
+        r["trading_date"]: r["close"]
+        for r in read_partitioned(spark, path).collect()
+    }
+    assert out == {d1: 1.0, d2: 99.0}
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    path = str(tmp_path / "lake2")
+    base = dt.datetime(2024, 5, 1, 13, 30)
+    df = spark.createDataFrame(
+        [
+            ("MSFT", base + dt.timedelta(days=i), float(i))
+            for i in range(5)
+        ],
+        "symbol string, timestamp timestamp, close double",
+    )
+    write_partitioned(df, path)
+    scan = read_partitioned(spark, path).filter(
+        F.col("trading_date") == dt.date(2024, 5, 3)
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert scan.count() == 1
