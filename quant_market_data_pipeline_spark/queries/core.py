@@ -619,3 +619,50 @@ def q_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_type", "trading_date", "bar_count", status.alias("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows: gap-based activity sessions (the dynamic-window cousin
+# of the fixed 5-min bar grid).  Spark's session_window merges events
+# closer than the gap; the oracle derives identical islands via
+# lag + cumulative-sum.  Same operator powers streaming sessionization
+# (streaming/stateful.py) — batch/stream parity is tested.
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_stats",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), islands AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM islands GROUP BY user_id, sess_id
+""",
+    doc="Gap-based session windows (30-min inactivity closes a session) "
+    "via F.session_window; oracle reproduces the islands with "
+    "lag + cumulative sum.",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .drop("session_window")
+    )

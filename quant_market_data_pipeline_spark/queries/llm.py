@@ -4,7 +4,7 @@ All built-ins (regexp, md5, higher-order array functions) — no Python in
 the hot path.  The md5-based hashing primitives are chosen deliberately:
 both Spark and DuckDB expose bit-identical ``md5`` hex strings, so even the
 randomized-flavored algorithms (MinHash, SimHash, hyperplane LSH) are fully
-deterministic and oracle-checkable (see functions/texthash.py).
+deterministic and oracle-checkable (see llm/hashing.py; re-exported by the functions package).
 """
 
 from __future__ import annotations

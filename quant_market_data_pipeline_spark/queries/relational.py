@@ -422,3 +422,44 @@ def q_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.ts").alias("bar_ts"),
         F.round(F.col("b.value"), 6).alias("bar_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches: the at-scale replacements for exact distinct / percentile.
+# No DuckDB oracle — HLL/KLL estimates are engine-specific — so the
+# driver records the weaker rows-only check; tests/test_sketches.py
+# bounds the estimates against the exact twins instead.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_distinct_users",
+    oracle=None,
+    doc="HyperLogLog++ distinct users/types per event day (rsd=0.01) — "
+    "mergeable sketch state, one pass, no expand; the scale path for "
+    "distinct_agg_parts.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("event_date"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=None,
+    doc="approx_percentile (Greenwald-Khanna, accuracy 10000) of order "
+    "totals per status — the sketch twin of percentiles_quantity.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+        ).alias("approx_p50_p90_p99"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

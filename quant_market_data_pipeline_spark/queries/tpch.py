@@ -171,3 +171,127 @@ def q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "returned_item_revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(c_acctbal, 6) AS acctbal,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer — selective "
+    "fact filters pushed to the scan, shuffled fact-fact join on "
+    "orderkey, broadcast customer/nation dims.",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            "n_items",
+        )
+    )
+
+
+@register(
+    "large_volume_orders",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 180
+)
+SELECT c_custkey, o_orderkey, o_orderdate,
+       round(o_totalprice, 6) AS total_price,
+       round(sum(l_quantity), 4) AS sum_qty
+FROM orders
+JOIN big ON big.l_orderkey = o_orderkey
+JOIN lineitem ON lineitem.l_orderkey = o_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+""",
+    doc="TPC-H Q18 shape: HAVING-gated aggregate feeding a semi-style "
+    "join back to the fact — the two-pass big-order pattern.",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .filter(F.col("__sq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 6).alias("total_price"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "brand_supplier_stats",
+    oracle="""
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lineitems,
+       round(avg(p_retailprice), 6) AS avg_retail
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_size >= 20
+GROUP BY p_brand, p_type
+""",
+    doc="TPC-H Q16 shape: distinct-supplier counts per brand/type over a "
+    "filtered part dim joined to the fact (broadcast dim, distinct agg).",
+)
+def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+        )
+    )

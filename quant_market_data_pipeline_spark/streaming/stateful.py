@@ -1,0 +1,128 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The built-in surface covers tumbling bars + watermark dedup
+(bars_stream.py) and gap sessions (``F.session_window``).  This module is
+the escape hatch the engine offers when semantics outgrow built-ins —
+arbitrary per-key state machines fed Arrow batches.
+
+``sessionize_with_state`` re-implements gap sessionization as an explicit
+state machine (same semantics as the batch ``session_window_stats`` query
+— parity-tested) to pin down the pattern: accumulate the open session in
+state, emit sessions closed by in-batch gaps immediately, and let an
+EVENT-TIME TIMEOUT flush the final session once the watermark passes
+``session_end + gap``.  State per key is O(1) (one open session), so
+total state is bounded by the live-key cardinality regardless of
+throughput — the property that keeps it viable at 100 TB/day.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+# Open-session accumulator: bounds in MICROSECONDS since epoch (long state
+# survives restarts via the state store; micros preserve the source
+# precision exactly).
+STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def _emit(user_id: int, sessions: list[tuple[int, int, int, float]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": pd.to_datetime([s[0] for s in sessions], unit="us"),
+            "session_end": pd.to_datetime([s[1] for s in sessions], unit="us"),
+            "n_events": [s[2] for s in sessions],
+            "total_value": [s[3] for s in sessions],
+        }
+    )
+
+
+def sessionize_with_state(
+    ticks: DataFrame,
+    gap: str = "30 minutes",
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "user_id",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Gap-sessionize a stream with an explicit per-key state machine.
+
+    Semantics match ``F.session_window(ts, gap)``: a new session starts
+    when an event arrives >= ``gap`` after the previous one (strict
+    boundary — windows are [t, t+gap) half-open).
+    """
+    n, unit = gap.split()
+    gap_us = int(n) * {
+        "seconds": 1_000_000,
+        "minutes": 60_000_000,
+        "hours": 3_600_000_000,
+    }[unit if unit.endswith("s") else unit + "s"]
+
+    def fn(
+        key_tuple: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key_tuple
+        if state.hasTimedOut:
+            # Watermark passed end+gap: nothing can extend this session.
+            yield _emit(user_id, [state.get])
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts)
+        times = rows[ts].astype("int64") // 1000  # ns -> us
+        vals = rows[value]
+
+        start = end = None
+        n_ev, total = 0, 0.0
+        if state.exists:
+            start, end, n_ev, total = state.get
+
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in zip(times, vals):
+            t, v = int(t), float(v)
+            if start is None:
+                start, end, n_ev, total = t, t, 1, v
+            elif t - end >= gap_us:
+                closed.append((start, end, n_ev, total))
+                start, end, n_ev, total = t, t, 1, v
+            else:
+                end, n_ev, total = t, n_ev + 1, total + v
+
+        state.update((start, end, n_ev, total))
+        # Flush once the watermark clears the gap horizon; never set a
+        # timeout at/behind the current watermark (Spark rejects it).
+        state.setTimeoutTimestamp(
+            max((end + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield _emit(user_id, closed)
+
+    return (
+        ticks.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,97 @@
+"""applyInPandasWithState sessionizer == batch session_window (parity).
+
+Sentinel ticks one day after each user's last event force every real
+session closed via in-batch gap detection, so the parity check does not
+depend on timeout scheduling; the sentinels' own (still-open) sessions
+are excluded from the comparison.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from quant_market_data_pipeline_spark.streaming.bars_stream import (
+    read_tick_stream,
+)
+from quant_market_data_pipeline_spark.streaming.stateful import (
+    sessionize_with_state,
+)
+
+TICK_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def test_stateful_sessions_match_batch(spark, events):
+    sub = events.filter(F.col("user_id") < 20).select("ts", "user_id", "value")
+    sentinels = (
+        sub.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            (F.col("mx") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    corpus = sub.unionByName(sentinels)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        # parquet landing: Spark's JSON writer serializes timestamps at
+        # millisecond precision, which would desync stream vs batch input
+        corpus.coalesce(2).write.mode("overwrite").parquet(landing)
+
+        stream = read_tick_stream(spark, landing, schema=TICK_SCHEMA, fmt="parquet")
+        sessions = sessionize_with_state(stream, gap="30 minutes")
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("stateful_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        sentinel_keys = {
+            (r["user_id"], r["ts"]) for r in sentinels.collect()
+        }
+        got_all = spark.sql("SELECT * FROM stateful_sessions").toPandas()
+        # Sentinel-only sessions MAY flush via event-time timeout (when the
+        # final watermark passes their gap horizon) — that's correct
+        # operator behavior; exclude them from the parity set.
+        is_sentinel = [
+            (u, s.to_pydatetime()) in sentinel_keys
+            for u, s in zip(got_all["user_id"], got_all["session_start"])
+        ]
+        got = (
+            got_all[[not s for s in is_sentinel]]
+            .sort_values(["user_id", "session_start"])
+            .reset_index(drop=True)
+        )
+
+    want = (
+        sub.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("session_window")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    # Sessions NOT emitted by the stream: exactly one open sentinel session
+    # per user; sentinel sessions contain only the sentinel tick, so every
+    # REAL session must match the batch twin exactly.
+    assert len(got) == len(want), (len(got), len(want))
+    pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
