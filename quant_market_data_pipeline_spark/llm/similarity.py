@@ -178,3 +178,83 @@ def blocked_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF coarse quantizer).
+
+    Centroids broadcast; assignment is a map-side argmax over
+    n_centroids cosines — deterministic tiebreak (lower centroid id wins)
+    so the partition function is reproducible and oracle-checkable.
+    ``vecs``: (id_col, v); ``centroids``: (cid, cv).
+    """
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), round_digits).alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    query_pred=None,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells, search within the query's
+    cell only (n_probe=1).
+
+    Centroids here are the first ``n_centroids`` vectors by id —
+    deterministic for the oracle; a production deployment plugs k-means
+    centroids (MLlib) into the same plan.  At scale: assignment is one
+    broadcast map pass; the search join shuffles on the cell key, so cost
+    is O(sum over cells |q_cell| * |c_cell|) instead of O(n * q).
+    """
+    vecs = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    cents = vecs.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = ivf_assign(vecs, cents, id_col)
+    q = assigned.select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    if query_pred is not None:
+        q = q.filter(query_pred)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cell",
+            F.round(cosine(F.col("qv"), F.col("cv2")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
+    )

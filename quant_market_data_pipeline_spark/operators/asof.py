@@ -29,16 +29,25 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: latest right row with ``right.ts <= left.ts``, per ``on`` key.
+    """For each left row: the nearest right row per ``on`` key, as a left
+    join (no match -> NULLs).
 
-    Matches pandas ``merge_asof(direction='backward')`` / DuckDB
-    ``ASOF JOIN`` semantics, as a left join (no match -> NULLs).  When two
-    right rows share a timestamp the one with the greater tiebreak wins
-    (deterministic via the union sort order below).
+    ``direction`` (pandas ``merge_asof`` semantics, inclusive):
+    - ``backward``: latest right with ``right.ts <= left.ts`` (DuckDB
+      ``ASOF JOIN ... ON r.ts <= l.ts``);
+    - ``forward``: earliest right with ``right.ts >= left.ts`` — same
+      plan traversed in descending order (the extra cost is one local
+      re-sort, not a new shuffle).
 
-    ``tolerance_seconds``: matches older than the tolerance are nulled out.
+    When two right rows share a timestamp the one encountered last in
+    traversal order wins (deterministic via the union sort order below).
+
+    ``tolerance_seconds``: matches farther than the tolerance are nulled.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
 
     lhs = left.withColumn("__side", F.lit(1))
@@ -70,11 +79,16 @@ def asof_join(
     unioned = lhs_aligned.unionByName(rhs_aligned)
 
     # Right rows sort before left rows at equal ts (__side 0 < 1), so an
-    # exact-timestamp right row IS visible to the left row — backward
-    # inclusive semantics.
+    # exact-timestamp right row IS visible to the left row — inclusive
+    # semantics in both directions.  Forward = the same scan descending.
+    order = (
+        [F.col(ts).asc(), F.col("__side").asc()]
+        if direction == "backward"
+        else [F.col(ts).desc(), F.col("__side").asc()]
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
@@ -92,13 +106,10 @@ def asof_join(
     ).filter(F.col("__side") == 1)
 
     if tolerance_seconds is not None:
-        in_tol = (
-            F.col(f"{ts}{suffix}").isNotNull()
-            & (
-                F.unix_timestamp(ts) - F.unix_timestamp(f"{ts}{suffix}")
-                <= tolerance_seconds
-            )
-        )
+        gap = F.unix_timestamp(ts) - F.unix_timestamp(f"{ts}{suffix}")
+        if direction == "forward":
+            gap = -gap
+        in_tol = F.col(f"{ts}{suffix}").isNotNull() & (gap <= tolerance_seconds)
         for c in right_cols:
             out = out.withColumn(
                 f"{c}{suffix}", F.when(in_tol, F.col(f"{c}{suffix}"))

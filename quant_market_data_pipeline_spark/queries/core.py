@@ -666,3 +666,41 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("session_window")
     )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+WITH purchases AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.ts, p.value,
+       c.ts AS ts_click, c.value AS value_click
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts >= p.ts
+""",
+    doc="Forward-inclusive as-of join (earliest right at-or-after): same "
+    "single-shuffle union + last(ignorenulls) plan scanned descending "
+    "(operators/asof.py direction='forward').",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", ts="ts", right_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("ts_click"),
+        F.col("value_right").alias("value_click"),
+    )

@@ -671,3 +671,52 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_plan(feats, max_dim=128).select(
         "media_id", "width", "height", "resized_width", "resized_height"
     )
+
+
+_IVF_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "nullif(sqrt(list_dot_product({a}, {a})) * "
+    "sqrt(list_dot_product({b}, {b})), 0.0), 6)"
+)
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
+), scored AS (
+  SELECT vec_id, v, cid,
+         {_IVF_COS.format(a='v', b='cv')} AS cs
+  FROM vecs CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell,
+         {_IVF_COS.format(a='q.v', b='c.v')} AS cos_sim
+  FROM assigned q JOIN assigned c
+    ON q.cell = c.cell AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rn FROM ranked WHERE rn <= 3
+""",
+    doc="IVF-style ANN (coarse quantize -> search own cell, n_probe=1): "
+    "deterministic seed centroids, broadcast assignment pass, cell-key "
+    "search join — the inverted-file scale path next to the hyperplane-"
+    "LSH variant.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb, n_centroids=8, query_pred=F.col("query_id") < 20, k=3
+    )

@@ -83,3 +83,30 @@ def test_asof_tolerance(spark):
         rtol=1e-12,
         equal_nan=True,
     )
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames()
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            ts="ts",
+            right_cols=["rv"],
+            tolerance_seconds=500,
+            direction="forward",
+        )
+        .orderBy("ts", "lv")
+        .toPandas()
+    )
+    golden = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k",
+        direction="forward", tolerance=pd.Timedelta(seconds=500),
+    ).sort_values(["ts", "lv"], kind="stable")
+    np.testing.assert_allclose(
+        out["rv_right"].to_numpy(dtype=float),
+        golden["rv"].to_numpy(dtype=float),
+        rtol=1e-12,
+        equal_nan=True,
+    )
