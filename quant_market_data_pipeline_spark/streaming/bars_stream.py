@@ -133,3 +133,43 @@ def parquet_bar_sink(
         .option("checkpointLocation", checkpoint_dir)
         .foreachBatch(write_batch)
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    horizon: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``horizon`` after a view
+    by the same user (the streaming twin of the batch
+    ``range_join_view_purchase`` query).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark can size the join state: view-side state ages
+    out after ``horizon + delay``, purchase-side after ``delay`` — bounded
+    regardless of stream length (the unbounded-state trap is exactly what
+    the time-range condition avoids).
+    """
+    v = (
+        views.withWatermark(ts, watermark_delay)
+        .select(
+            F.col(key).alias("v_user"),
+            F.col(ts).alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    p = purchases.withWatermark(ts, watermark_delay).select(
+        F.col(key).alias("p_user"),
+        F.col(ts).alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("view_id", "v_user", "v_ts", "p_ts", "p_value")

@@ -126,3 +126,101 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("pair_name", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("spread", T.DoubleType()),
+        T.StructField("z_score", T.DoubleType()),
+    ]
+)
+
+# Trailing spreads ring buffer (timestamps + values), capped at the window.
+ZSTATE_SCHEMA = "ts array<long>, sp array<double>"
+
+
+def rolling_zscore_stream(
+    spreads: DataFrame,
+    window_bars: int = 60,
+    min_periods: int = 30,
+    key: str = "pair_name",
+    ts: str = "timestamp",
+    value: str = "spread",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """The flagship rolling z-score as a live streaming operator.
+
+    Input: an aligned per-pair spread stream (e.g. ``stream_bars`` output
+    joined across legs, or a precomputed spread feed).  Per key the state
+    holds the trailing ``window_bars`` (ts, spread) pairs — O(window)
+    doubles per pair, independent of throughput — and every arriving bar
+    emits its z-score against the sample stddev (ddof=1, matching
+    ``F.stddev`` and transform_data.py:145-153) with the min-periods
+    NULL gate.
+
+    Batch/stream parity caveat (tested): rows must arrive in event-time
+    order per key within a batch — the operator sorts each batch, and
+    cross-batch disorder inside the watermark produces the same bars a
+    late-data-aware batch recompute would.
+    """
+    import math
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (pair,) = key_tuple
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts)
+        times = rows[ts].astype("int64") // 1000
+        vals = rows[value]
+
+        if state.exists:
+            hist_ts, hist_sp = state.get
+            hist_ts, hist_sp = list(hist_ts), list(hist_sp)
+        else:
+            hist_ts, hist_sp = [], []
+
+        out_ts, out_sp, out_z = [], [], []
+        for t, v in zip(times, vals):
+            t, v = int(t), float(v)
+            hist_ts.append(t)
+            hist_sp.append(v)
+            if len(hist_sp) > window_bars:
+                hist_ts = hist_ts[-window_bars:]
+                hist_sp = hist_sp[-window_bars:]
+            n = len(hist_sp)
+            if n >= min_periods:
+                mean = sum(hist_sp) / n
+                var = sum((x - mean) ** 2 for x in hist_sp) / (n - 1)
+                sd = math.sqrt(var)
+                z = (v - mean) / sd if sd > 0 else None
+            else:
+                z = None
+            out_ts.append(t)
+            out_sp.append(v)
+            out_z.append(z)
+
+        state.update((hist_ts, hist_sp))
+        yield pd.DataFrame(
+            {
+                "pair_name": [pair] * len(out_ts),
+                "timestamp": pd.to_datetime(out_ts, unit="us"),
+                "spread": out_sp,
+                "z_score": out_z,
+            }
+        )
+
+    return (
+        spreads.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ZSCORE_SCHEMA,
+            stateStructType=ZSTATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -95,3 +95,73 @@ def test_stateful_sessions_match_batch(spark, events):
     # REAL session must match the batch twin exactly.
     assert len(got) == len(want), (len(got), len(want))
     pd.testing.assert_frame_equal(got, want[got.columns], check_dtype=False)
+
+
+def test_streaming_zscore_matches_batch_window(spark, events):
+    """rolling_zscore_stream == the batch W1-W5 rolling z-score on the
+    same per-pair spread series (multi-batch stream to exercise state
+    carry-over)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    from quant_market_data_pipeline_spark.plans.flagship import pair_zscore
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        rolling_zscore_stream,
+    )
+
+    # Batch truth: the flagship pair spread + z-score, leg 1 only.
+    batch = (
+        pair_zscore(events, [("click", "view")], width="1 hour")
+        .filter(F.col("symbol") == "click")
+        .select("pair_name", "timestamp", "spread", "z_score")
+    )
+    spreads = batch.select("pair_name", "timestamp", "spread")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        # multiple files -> multiple micro-batches (maxFilesPerTrigger=1):
+        # state must carry the trailing window across batches.  Files are
+        # time-split so later batches hold later bars (in-order arrival).
+        s = spreads.withColumn(
+            "part", (F.dayofmonth("timestamp") <= 15).cast("int")
+        )
+        s.repartition("part").write.mode("overwrite").parquet(landing)
+
+        schema = T.StructType(
+            [
+                T.StructField("pair_name", T.StringType()),
+                T.StructField("timestamp", T.TimestampType()),
+                T.StructField("spread", T.DoubleType()),
+                T.StructField("part", T.IntegerType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        scored = rolling_zscore_stream(stream.drop("part"))
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("zscore_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.sql("SELECT * FROM zscore_stream")
+            .toPandas()
+            .sort_values("timestamp")
+            .reset_index(drop=True)
+        )
+
+    want = batch.toPandas().sort_values("timestamp").reset_index(drop=True)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(
+        got["z_score"].to_numpy(dtype=float),
+        want["z_score"].to_numpy(dtype=float),
+        rtol=1e-9,
+        equal_nan=True,
+    )

@@ -112,3 +112,71 @@ def test_dedup_stream_drops_duplicates(spark):
         q.awaitTermination(120)
         got = spark.sql("SELECT * FROM dedup_stream_test").toPandas()
         assert sorted(got["event_id"].tolist()) == [1, 2, 3]
+
+
+def test_stream_stream_join_matches_batch(spark, events):
+    """Watermarked stream-stream attribution join == the batch range join
+    on the same events."""
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        stream_stream_attribution,
+    )
+
+    sub = events.select("event_id", "ts", "user_id", "event_type", "value")
+    with _tf.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        sub.coalesce(2).write.mode("overwrite").parquet(landing)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+
+        def src():
+            return spark.readStream.schema(schema).parquet(landing)
+
+        joined = stream_stream_attribution(
+            src().filter(F.col("event_type") == "view"),
+            src().filter(F.col("event_type") == "purchase"),
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql(
+            "SELECT view_id, p_ts, p_value FROM ss_join"
+        ).toPandas()
+
+    views = sub.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    purchases = sub.filter(F.col("event_type") == "purchase")
+    want = (
+        views.join(
+            purchases,
+            (purchases["user_id"] == views["v_user"])
+            & (purchases["ts"] > views["v_ts"])
+            & (purchases["ts"] <= views["v_ts"] + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("view_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+        .toPandas()
+    )
+    key = ["view_id", "p_ts", "p_value"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s[key].values == want_s[key].values).all()
