@@ -123,10 +123,18 @@ def run_summary(report: DataFrame, status: str = "status") -> DataFrame:
     aggregation, no data to the driver until the single result row.
     """
     s = F.col(status)
-    return report.agg(
+    agg = report.agg(
         F.count(F.lit(1)).alias("n_checks"),
         F.sum(F.when(s.isin("OK", "PASS"), 1).otherwise(0)).alias("n_ok"),
         F.sum(F.when(s == "WARN", 1).otherwise(0)).alias("n_warn"),
         F.sum(F.when(s == "FAIL", 1).otherwise(0)).alias("n_fail"),
         F.max("missing_bars").alias("max_missing"),
+    )
+    # The badge the reference prints + exit-codes on (validate_data.py:
+    # 218-227): any FAIL fails the run; else any WARN degrades it.
+    return agg.withColumn(
+        "run_status",
+        F.when(F.col("n_fail") > 0, "FAIL")
+        .when(F.col("n_warn") > 0, "WARN")
+        .otherwise("OK"),
     )

@@ -704,3 +704,57 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_right").alias("ts_click"),
         F.col("value_right").alias("value_click"),
     )
+
+
+@register(
+    "dq_run_summary",
+    oracle="""
+WITH per_day AS (
+  SELECT event_type, CAST(ts AS DATE) AS trading_date, count(*) AS bar_count
+  FROM events GROUP BY 1, 2
+), report AS (
+  SELECT *, greatest(0, 70 - bar_count) AS missing_bars,
+         CASE WHEN greatest(0, 70 - bar_count) <= 0 THEN 'OK'
+              WHEN greatest(0, 70 - bar_count) <= 5 THEN 'WARN'
+              ELSE 'FAIL' END AS status
+  FROM per_day
+)
+SELECT count(*) AS n_checks,
+       sum(CASE WHEN status IN ('OK','PASS') THEN 1 ELSE 0 END) AS n_ok,
+       sum(CASE WHEN status = 'WARN' THEN 1 ELSE 0 END) AS n_warn,
+       sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS n_fail,
+       max(missing_bars) AS max_missing,
+       CASE WHEN sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) > 0
+            THEN 'FAIL'
+            WHEN sum(CASE WHEN status = 'WARN' THEN 1 ELSE 0 END) > 0
+            THEN 'WARN' ELSE 'OK' END AS run_status
+FROM report
+""",
+    doc="One-row DQ run summary (validate_data.py:193-216 re-expressed as "
+    "distributed conditional aggregation via operators/dq.py:run_summary "
+    "— no driver-side fold).",
+)
+def q_dq_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.operators.dq import (
+        completeness_report,
+        run_summary,
+    )
+
+    ev = _events(spark, sf_dir)
+    report = completeness_report(
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.col("ts").alias("timestamp"),
+        ),
+        expected_bars=70,
+        tolerance=5,
+    )
+    out = run_summary(report)
+    return out.select(
+        "n_checks",
+        "n_ok",
+        "n_warn",
+        "n_fail",
+        F.col("max_missing").cast("long").alias("max_missing"),
+        "run_status",
+    )
