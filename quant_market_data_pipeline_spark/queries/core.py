@@ -758,3 +758,150 @@ def q_dq_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_missing").cast("long").alias("max_missing"),
         "run_status",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair co-movement statistics: the research step that picks the reference's
+# 3 hardcoded pairs (ingest_data.py:10) — correlation + OLS hedge ratio
+# over aligned bar closes, one row per candidate pair.
+# ---------------------------------------------------------------------------
+@register(
+    "pair_comovement_stats",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), pairs(sym1, sym2) AS (
+  VALUES ('click','view'), ('click','purchase'), ('view','purchase'),
+         ('view','signup'), ('purchase','signup')
+), aligned AS (
+  SELECT p.sym1 || '_' || p.sym2 AS pair_name,
+         ln(b1.close) AS x, ln(b2.close) AS y
+  FROM pairs p
+  JOIN bars b1 ON b1.symbol = p.sym1
+  JOIN bars b2 ON b2.symbol = p.sym2 AND b2.bar_ts = b1.bar_ts
+)
+SELECT pair_name,
+       count(*) AS n_bars,
+       round(corr(y, x), 6) AS log_corr,
+       round(regr_slope(y, x), 6) AS hedge_ratio,
+       round(regr_intercept(y, x), 6) AS alpha
+FROM aligned GROUP BY pair_name
+""",
+    doc="Pair-selection statistics: correlation + OLS hedge ratio "
+    "(regr_slope) of log closes per candidate pair — the quantitative "
+    "basis for the reference's hardcoded pair list; one shuffle per "
+    "aggregation level.",
+)
+def q_pair_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bars = build_bars(
+        ev, key="event_type", ts="ts", price="value",
+        width="5 minutes", tiebreak="event_id",
+    ).select(
+        F.col("event_type").alias("symbol"),
+        "bar_ts",
+        F.col("close"),
+    )
+    pairs = [
+        ("click", "view"), ("click", "purchase"), ("view", "purchase"),
+        ("view", "signup"), ("purchase", "signup"),
+    ]
+    pdim = spark.createDataFrame(pairs, ["sym1", "sym2"])
+    b1 = bars.select(
+        F.col("symbol").alias("s1"), "bar_ts", F.log("close").alias("x")
+    )
+    b2 = bars.select(
+        F.col("symbol").alias("s2"),
+        F.col("bar_ts").alias("bt2"),
+        F.log("close").alias("y"),
+    )
+    aligned = (
+        b1.join(F.broadcast(pdim), F.col("s1") == F.col("sym1"))
+        .join(b2, (F.col("s2") == F.col("sym2")) & (F.col("bar_ts") == F.col("bt2")))
+        .select(
+            F.concat_ws("_", "sym1", "sym2").alias("pair_name"), "x", "y"
+        )
+    )
+    return aligned.groupBy("pair_name").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.round(F.corr("y", "x"), 6).alias("log_corr"),
+        F.round(F.regr_slope("y", "x"), 6).alias("hedge_ratio"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + forward fill: densify each symbol's bar series onto the 5-min
+# grid and carry the last close forward — the hypertable
+# time_bucket_gapfill/locf shape, via grid + left join + last(ignorenulls).
+# ---------------------------------------------------------------------------
+@register(
+    "gap_fill_ffill",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), bounds AS (
+  SELECT min(bar_ts) AS lo, max(bar_ts) AS hi FROM bars
+), grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS grid_ts
+  FROM bounds
+), dense AS (
+  SELECT s.symbol, g.grid_ts, b.close
+  FROM grid g
+  CROSS JOIN (SELECT DISTINCT symbol FROM bars) s
+  LEFT JOIN bars b ON b.symbol = s.symbol AND b.bar_ts = g.grid_ts
+)
+SELECT symbol, grid_ts,
+       close IS NOT NULL AS observed,
+       round(last_value(close IGNORE NULLS) OVER (
+         PARTITION BY symbol ORDER BY grid_ts
+         ROWS UNBOUNDED PRECEDING), 6) AS close_ffill
+FROM dense
+""",
+    doc="Gap fill + LOCF forward fill: sequence grid x symbols, left join "
+    "actual bars, last(ignorenulls) carries closes across gaps — "
+    "time_bucket_gapfill/locf re-expressed in one window pass.",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    bars = build_bars(
+        ev, key="event_type", ts="ts", price="value",
+        width="5 minutes", tiebreak="event_id",
+    ).select(
+        F.col("event_type").alias("symbol"), "bar_ts", F.col("close")
+    )
+    bounds = bars.agg(
+        F.min("bar_ts").alias("lo"), F.max("bar_ts").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+        ).alias("grid_ts")
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("grid_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # re-attach the grid symbol (left join nulls bars.symbol on gaps)
+    dense2 = grid.crossJoin(
+        F.broadcast(bars.select("symbol").distinct())
+    ).join(bars.withColumnRenamed("symbol", "__bs"),
+           (F.col("__bs") == F.col("symbol")) & (F.col("bar_ts") == F.col("grid_ts")),
+           "left")
+    return dense2.select(
+        "symbol",
+        "grid_ts",
+        F.col("close").isNotNull().alias("observed"),
+        F.round(F.last("close", ignorenulls=True).over(w), 6).alias(
+            "close_ffill"
+        ),
+    )

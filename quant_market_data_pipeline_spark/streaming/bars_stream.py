@@ -75,17 +75,24 @@ def stream_bars(
     ts: str = "ts",
     price: str = "price",
     width: str = "5 minutes",
-    watermark_delay: str = "10 minutes",
+    watermark_delay: str | None = "10 minutes",
 ) -> DataFrame:
     """Watermarked tumbling-window OHLCV aggregation.
 
     Deterministic open/close via min_by/max_by over (ts, event_id) —
     identical semantics to the batch builder (operators/bars.py), so a
     backfill and the live stream produce the same bars.
+
+    ``watermark_delay=None``: reuse the watermark already declared
+    upstream — required when chaining stateful operators (e.g. after
+    ``dedup_stream``); Spark forbids redefining it.
     """
     order = F.struct(ts, "event_id")
+    src = (
+        ticks.withWatermark(ts, watermark_delay) if watermark_delay else ticks
+    )
     return (
-        ticks.withWatermark(ts, watermark_delay)
+        src
         .groupBy(F.col(key), F.window(ts, width))
         .agg(
             F.min_by(price, order).alias("open"),
