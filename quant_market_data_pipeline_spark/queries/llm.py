@@ -155,7 +155,8 @@ toks AS (
 )"""
 
 _MIN_EXPRS = ",\n       ".join(
-    f"min(md5('{i}|' || sh)) AS h{i}" for i in range(16)
+    f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS h{i}"
+    for i in range(16)
 )
 
 @register(
@@ -175,7 +176,8 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BAND_UNION = "\nUNION ALL\n".join(
-    f"SELECT doc_id, {b} AS band_id, md5(h{2*b} || ',' || h{2*b+1}) AS bh FROM sig"
+    f"SELECT doc_id, {b} AS band_id, "
+    f"md5(h{2*b}::VARCHAR || ',' || h{2*b+1}::VARCHAR) AS bh FROM sig"
     for b in range(8)
 )
 
