@@ -722,3 +722,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, n_centroids=8, query_pred=F.col("query_id") < 20, k=3
     )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+WITH arrs AS (
+  SELECT doc_id,
+         [s for s in list_transform(
+            string_split_regex(text, '\\.\\s+'), x -> trim(x)) if s <> '']
+           AS sents
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id, i::INTEGER AS sentence_idx, sents[i] AS sentence,
+       len(regexp_extract_all(sents[i], '\\S+'))::INTEGER AS n_words
+FROM arrs, unnest(generate_series(1, len(sents))) AS t(i)
+""",
+    doc="Python UDTF (table function) surface: LATERAL sentence_split over "
+    "documents — one output row per sentence; the UDTF escape hatch for "
+    "expansion logic that needs real Python.",
+)
+def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.udtf import register_udtfs
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    register_udtfs(spark)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_words
+        FROM __udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )

@@ -84,3 +84,31 @@ def write_jdbc(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "trading_date",
+    files_per_partition: int = 1,
+    partitions: list | None = None,
+) -> None:
+    """Small-file compaction: rewrite each (or the given) partition into
+    ``files_per_partition`` files.
+
+    Streaming sinks and incremental loads accrete small files (one per
+    micro-batch task); scans then pay per-file open/footer costs.  This
+    rewrites data unchanged — same dynamic partition-overwrite mechanism
+    as ``write_partitioned``, so un-listed partitions are untouched and a
+    crash mid-compaction loses nothing (overwrite is per-partition
+    atomic-ish via the commit protocol).
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col(partition_col).isin(partitions))
+    (
+        df.repartition(files_per_partition, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

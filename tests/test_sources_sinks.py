@@ -107,3 +107,38 @@ def test_partition_pruning_in_plan(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert scan.count() == 1
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from quant_market_data_pipeline_spark.sources.sink import (
+        compact_partitions,
+    )
+
+    path = str(tmp_path / "lake3")
+    base = dt.datetime(2024, 5, 1, 13, 30)
+    df = spark.createDataFrame(
+        [
+            ("MSFT", base + dt.timedelta(days=d, minutes=m), float(d * 100 + m))
+            for d in range(3)
+            for m in range(20)
+        ],
+        "symbol string, timestamp timestamp, close double",
+    )
+    # fragment: many files per partition
+    frag = df.withColumn("trading_date", F.to_date("timestamp")).repartition(8)
+    frag.write.mode("overwrite").partitionBy("trading_date").parquet(path)
+
+    import glob
+
+    def n_files():
+        return len(glob.glob(f"{path}/trading_date=*/*.parquet"))
+
+    before_rows = spark.read.parquet(path).count()
+    assert n_files() > 3
+    compact_partitions(spark, path)
+    assert n_files() == 3  # one file per day
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.groupBy().sum("close").first()[0] == df.groupBy().sum(
+        "close"
+    ).first()[0]
