@@ -295,3 +295,84 @@ def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
         )
     )
+
+
+@register(
+    "nation_trade_volume",
+    oracle="""
+SELECT n_c.n_name AS cust_nation, n_s.n_name AS supp_nation,
+       count(*) AS n_lineitems,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n_c ON n_c.n_nationkey = c_nationkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n_s ON n_s.n_nationkey = s_nationkey
+WHERE n_c.n_name <> n_s.n_name
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q7 shape: cross-border trade volume between customer and "
+    "supplier nations — the same dimension broadcast twice under "
+    "different roles; only the fact-fact orderkey join shuffles.",
+)
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("nk_c"), F.col("n_name").alias("cust_nation")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("nk_s"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n_c), cust["c_nationkey"] == F.col("nk_c"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_s), supp["s_nationkey"] == F.col("nk_s"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("volume"),
+        )
+    )
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total_price,
+       round(cust_avg, 6) AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+  FROM orders
+)
+WHERE o_totalprice > 1.5 * cust_avg
+""",
+    doc="Correlated-subquery shape (orders above 1.5x their customer's "
+    "average) decorrelated into one window pass — no per-row subquery, "
+    "no self-join.",
+)
+def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 6).alias("total_price"),
+            F.round("cust_avg", 6).alias("cust_avg"),
+        )
+    )
