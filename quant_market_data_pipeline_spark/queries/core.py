@@ -905,3 +905,59 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "close_ffill"
         ),
     )
+
+
+@register(
+    "unpivot_ohlc",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '1 hour', ts) AS bar_ts,
+         arg_max(value, ts) AS close, max(value) AS high, min(value) AS low
+  FROM events GROUP BY 1, 2
+)
+SELECT symbol, bar_ts, field, round(val, 6) AS val
+FROM bars
+UNPIVOT (val FOR field IN (close, high, low))
+""",
+    doc="Unpivot/melt: wide OHLC columns -> long (field, value) rows — "
+    "the wide->long reshape (inverse of pivot), zero shuffle.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bars = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.window("ts", "1 hour").start.alias("bar_ts"),
+    ).agg(
+        F.max(F.struct("ts", "value")).getField("value").alias("close"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+    )
+    return bars.unpivot(
+        ["symbol", "bar_ts"], ["close", "high", "low"], "field", "__v"
+    ).select("symbol", "bar_ts", "field", F.round("__v", 6).alias("val"))
+
+
+@register(
+    "value_histogram",
+    oracle="""
+SELECT event_type,
+       least(floor(value / 50)::INTEGER, 9) AS bucket,
+       count(*) AS n,
+       round(min(value), 6) AS lo,
+       round(max(value), 6) AS hi
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Fixed-width histogram via arithmetic bucketing (floor + clamp) — "
+    "one partial-agg shuffle; the building block for distribution "
+    "profiling at scale.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return ev.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

@@ -754,3 +754,103 @@ def q_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL sentence_split(d.text) s
         """
     )
+
+
+@register(
+    "quality_filter_verdicts",
+    oracle="""
+WITH stats AS (
+  SELECT doc_id,
+         length(text) AS n_char,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len([t for t in regexp_extract_all(lower(text), '\\S+')
+              if t IN ('the','and','of','to','in','is','a',
+                       'der','die','und','el','la','le','et','的','是')])
+           AS n_stopwords
+  FROM documents
+)
+SELECT doc_id,
+       n_char >= 80 AS len_ok,
+       (n_punct::DOUBLE / NULLIF(n_char, 0)) <= 0.1 AS punct_ok,
+       (n_digits::DOUBLE / NULLIF(n_char, 0)) <= 0.2 AS digit_ok,
+       n_stopwords >= 1 AS stopword_ok,
+       (n_char >= 80 AND (n_punct::DOUBLE / NULLIF(n_char, 0)) <= 0.1
+        AND (n_digits::DOUBLE / NULLIF(n_char, 0)) <= 0.2
+        AND n_stopwords >= 1) AS keep
+FROM stats
+""",
+    doc="C4-style quality gate: length / punctuation-ratio / digit-ratio / "
+    "stopword-presence rules with per-rule verdict columns and the final "
+    "keep flag — the corpus-filtering step of a training-data pipeline, "
+    "all JVM regexp.",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks_l = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != "")
+    stop = (
+        "the", "and", "of", "to", "in", "is", "a",
+        "der", "die", "und", "el", "la", "le", "et", "的", "是",
+    )
+    n_char = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[\\p{Punct}]"), 0))
+    n_digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    n_stop = F.size(F.filter(toks_l, lambda t: t.isin(*stop)))
+    len_ok = n_char >= 80
+    punct_ok = (n_punct.cast("double") / F.nullif(n_char, F.lit(0))) <= 0.1
+    digit_ok = (n_digits.cast("double") / F.nullif(n_char, F.lit(0))) <= 0.2
+    stop_ok = n_stop >= 1
+    return d.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        punct_ok.alias("punct_ok"),
+        digit_ok.alias("digit_ok"),
+        stop_ok.alias("stopword_ok"),
+        (len_ok & punct_ok & digit_ok & stop_ok).alias("keep"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    oracle="""
+SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+       levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
+FROM documents a
+JOIN documents b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE a.doc_id < 150 AND b.doc_id < 150
+  AND levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40
+""",
+    doc="Levenshtein verification pass over (source, lang)-blocked "
+    "candidate pairs — the exact edit-distance confirm step after "
+    "LSH candidate generation; blocking bounds the quadratic term.",
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    a = d.select(
+        F.col("doc_id").alias("doc_lo"),
+        F.substring("text", 1, 80).alias("ta"),
+        "source",
+        "lang",
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_hi"),
+        F.substring("text", 1, 80).alias("tb"),
+        F.col("source").alias("sb"),
+        F.col("lang").alias("lb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("source") == F.col("sb"))
+            & (F.col("lang") == F.col("lb"))
+            & (F.col("doc_lo") < F.col("doc_hi")),
+        )
+        .select(
+            "doc_lo",
+            "doc_hi",
+            F.levenshtein("ta", "tb").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )
