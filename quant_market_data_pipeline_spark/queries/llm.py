@@ -854,3 +854,46 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= 40)
     )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+WITH rated AS (
+  SELECT doc_id, lang,
+         CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 40 ELSE 20 END AS pct,
+         ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 4))::INTEGER
+           % 100 AS slot
+  FROM documents
+)
+SELECT doc_id, lang, slot FROM rated WHERE slot < pct
+""",
+    doc="Deterministic stratified sampling: md5-derived slot in [0,100) "
+    "per doc, per-language keep rates (en 60% / de 40% / rest 20%) — "
+    "reproducible across engines and runs, unlike RNG-based sample(); "
+    "THE downsampling pattern for corpus mixture tuning.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    pct = (
+        F.when(F.col("lang") == "en", 60)
+        .when(F.col("lang") == "de", 40)
+        .otherwise(20)
+    )
+    return (
+        d.select("doc_id", "lang", slot.alias("slot"), pct.alias("__pct"))
+        .filter(F.col("slot") < F.col("__pct"))
+        .drop("__pct")
+    )
