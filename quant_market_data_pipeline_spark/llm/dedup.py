@@ -112,14 +112,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_col: str | None = None,
     min_jaccard: float = 0.1,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for every intersecting pair (>= threshold).
 
     Inverted-index join: pairs sharing zero shingles never materialize.
     ``block_col`` optionally restricts candidates to the same block (e.g.
     source) — the standard blocking strategy for web-scale corpora.
+
+    ``max_df``: drop shingles appearing in more than ``max_df`` documents
+    BEFORE the self-join (stop-shingle cut).  At corpus scale this is not
+    optional: one shingle shared by 1M docs alone contributes ~5*10^11
+    candidate pairs.  Ultra-frequent shingles carry almost no similarity
+    signal (they match everything), so the cut bounds the join quadratic
+    at negligible recall cost.  Doc sizes (the Jaccard denominator) are
+    still computed on the UNCUT sets, so reported similarity values are
+    exact for every surviving pair, slightly under-counted only by the
+    dropped shingles' intersections.
     """
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        rare = (
+            shingled.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        shingled = shingled.join(rare, "sh")
     a = shingled.alias("a")
     b = shingled.alias("b")
     cond = (F.col("a.sh") == F.col("b.sh")) & (

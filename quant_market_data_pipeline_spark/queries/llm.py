@@ -897,3 +897,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("slot") < F.col("__pct"))
         .drop("__pct")
     )
+
+
+@register(
+    "jaccard_pairs_df_capped",
+    oracle=f"""
+WITH {_SHINGLE_CTE},
+rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+  WHERE df <= 50
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cut AS (SELECT s.* FROM sh s JOIN rare USING (sh)),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_shared
+  FROM cut a JOIN cut b
+    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_lo, doc_hi, n_shared,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_lo
+JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.1
+""",
+    doc="Jaccard with the stop-shingle DF cut (df <= 50): bounds the "
+    "inverted-index self-join quadratic at corpus scale — the variant "
+    "that survives 100 TB; denominators stay exact (uncut set sizes).",
+)
+def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    shingled = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+        )
+        .distinct()
+    )
+    return jaccard_pairs(
+        shingled, block_col="source", min_jaccard=0.1, max_df=50
+    )

@@ -78,6 +78,9 @@ def repartition_for_compute(df: DataFrame) -> DataFrame:
     """
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() is a metadata-only probe (no RDD plan conversion); a
+    # scan with >= target files already parallelizes without help.
+    n_files = len(df.inputFiles())
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
