@@ -112,3 +112,44 @@ def compact_partitions(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def upsert_rows(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str = "trading_date",
+    ts_col: str | None = "timestamp",
+) -> None:
+    """Row-level MERGE (upsert) into a partitioned parquet lake.
+
+    Without a table format (Delta/Iceberg) a row update must rewrite
+    files; this bounds the rewrite to the TOUCHED PARTITIONS only:
+    read just those partitions (partition pruning), anti-join out rows
+    whose keys are being replaced, union the updates, and dynamic-
+    partition-overwrite exactly those partitions back.  Cost scales with
+    the touched partitions, not the table — the practical upsert shape
+    for an append-mostly time-partitioned lake.  For heavy random-update
+    workloads, use a real table format instead.
+    """
+    up = updates
+    if partition_col not in up.columns:
+        if ts_col is None or ts_col not in up.columns:
+            raise ValueError(f"updates need {partition_col!r} or {ts_col!r}")
+        up = up.withColumn(partition_col, F.to_date(F.col(ts_col)))
+    touched = [r[0] for r in up.select(partition_col).distinct().collect()]
+
+    current = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    kept = current.join(
+        F.broadcast(up.select(*keys).distinct()), keys, "left_anti"
+    )
+    merged = kept.unionByName(up.select(*kept.columns))
+    (
+        merged.repartition(1, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -142,3 +142,54 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
     assert after.groupBy().sum("close").first()[0] == df.groupBy().sum(
         "close"
     ).first()[0]
+
+
+def test_upsert_rows_replaces_and_inserts(spark, tmp_path):
+    from quant_market_data_pipeline_spark.sources.sink import (
+        upsert_rows,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "lake4")
+    t0 = dt.datetime(2024, 5, 1, 13, 30)
+    t1 = dt.datetime(2024, 5, 2, 13, 30)
+    base = spark.createDataFrame(
+        [("MSFT", t0, 1.0), ("AAPL", t0, 2.0), ("MSFT", t1, 3.0)],
+        "symbol string, timestamp timestamp, close double",
+    )
+    write_partitioned(base, path)
+
+    updates = spark.createDataFrame(
+        [("MSFT", t0, 99.0), ("TSLA", t0, 42.0)],  # update + insert, day 1
+        "symbol string, timestamp timestamp, close double",
+    )
+    upsert_rows(spark, path, updates, keys=["symbol", "timestamp"])
+
+    out = {
+        (r["symbol"], r["timestamp"]): r["close"]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert out == {
+        ("MSFT", t0): 99.0,  # replaced
+        ("AAPL", t0): 2.0,   # untouched same partition
+        ("TSLA", t0): 42.0,  # inserted
+        ("MSFT", t1): 3.0,   # untouched other partition
+    }
+
+
+def test_bronze_schema_drift_tolerated(spark, tmp_path):
+    """Extra unknown fields are dropped, missing optional fields null —
+    PERMISSIVE + explicit schema keeps old readers working."""
+    drifted = dict(PAYLOAD)
+    drifted["new_api_field"] = {"nested": True}  # unknown extra
+    drifted = {k: v for k, v in drifted.items() if k != "feed"}  # missing
+    raw_dir = tmp_path / "raw2"
+    raw_dir.mkdir()
+    (raw_dir / "MSFT_intraday_5min.json").write_text(json.dumps(drifted))
+
+    raw = read_raw_json(spark, str(raw_dir))
+    assert corrupt_records(raw).count() == 0
+    row = raw.first()
+    assert row["feed"] is None  # missing optional -> null
+    bars = explode_to_bars(raw)
+    assert bars.count() == 1  # same null-gate behavior as the clean doc
