@@ -961,3 +961,48 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+SELECT event_type, ts, round(value, 6) AS value,
+       round(first_value(value) OVER w, 6) AS day_open,
+       round(last_value(value) OVER w_full, 6) AS day_close,
+       round(nth_value(value, 2) OVER w, 6) AS second_tick
+FROM events
+WHERE user_id < 5
+WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE) ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_full AS (PARTITION BY event_type, CAST(ts AS DATE)
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+""",
+    doc="first_value / last_value / nth_value window family: running day "
+    "open, full-frame day close, second tick — one sort serves all "
+    "three frames.",
+)
+def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 5)
+    part = ["event_type", F.to_date("ts")]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy(*part)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_type",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round(F.first("value").over(w), 6).alias("day_open"),
+        F.round(F.last("value").over(w_full), 6).alias("day_close"),
+        F.round(F.nth_value("value", 2).over(w), 6).alias("second_tick"),
+    )
