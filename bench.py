@@ -49,8 +49,8 @@ def main() -> None:
     # session bootstrap (the driver compares operator cost, not cold start).
     from quant_market_data_pipeline_spark.sources.tables import load_table
 
-    load_table(spark, "events", sf_dir).count()
-    load_table(spark, "lineitem", sf_dir).count()
+    for t in ("events", "lineitem", "orders", "documents", "embeddings"):
+        load_table(spark, t, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

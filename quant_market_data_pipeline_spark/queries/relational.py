@@ -463,3 +463,62 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p50_p90_p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "except_all_multiset",
+    oracle="""
+SELECT o_custkey AS ckey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT ALL
+SELECT o_custkey AS ckey FROM orders WHERE year(o_orderdate) = 1997
+""",
+    doc="EXCEPT ALL (multiset difference): per-customer 1996 order count "
+    "minus 1997 count, surviving occurrences kept — bag semantics the "
+    "set-based EXCEPT can't express.",
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    a = orders.filter(yr == 1996).select(F.col("o_custkey").alias("ckey"))
+    b = orders.filter(yr == 1997).select(F.col("o_custkey").alias("ckey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+SELECT r_name, n_name,
+       grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+""",
+    doc="Explicit GROUPING SETS (region-only, nation-only, grand total — "
+    "a lattice ROLLUP/CUBE can't express) in one shuffle via SQL on the "
+    "joined frame.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    fact = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("r_name", "n_name", "o_totalprice")
+    )
+    fact.createOrReplaceTempView("__gs_fact")
+    return fact.sparkSession.sql(
+        """
+        SELECT r_name, n_name,
+               CAST(grouping(r_name) AS INT) AS g_region,
+               CAST(grouping(n_name) AS INT) AS g_nation,
+               round(sum(o_totalprice), 4) AS revenue
+        FROM __gs_fact
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )

@@ -376,3 +376,35 @@ def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cust_avg", 6).alias("cust_avg"),
         )
     )
+
+
+@register(
+    "order_priority_check",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: priority counts for a date window of orders with "
+    "at least one lineitem shipped after the order date — semi join with "
+    "a cross-table predicate, window filter pushed to the orders scan.",
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > orders["o_orderdate"]
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
