@@ -71,6 +71,10 @@ def pair_zscore(
         leg_rows, ["symbol", "pair_name", "sym1", "sym2", "leg"]
     )
 
+    # Validity gate: zero/negative prices are data errors for a log-price
+    # model (clean_data's null-drop spirit, transform_data.py:65) — and
+    # ln(0) diverges engines (Spark NULL vs ANSI error).
+    ticks = ticks.filter(F.col(price) > 0)
     tagged = ticks.join(F.broadcast(leg_map), ticks[key] == leg_map["symbol"])
 
     # Fused bar-build + pair-align: one hash shuffle on (pair, bucket).

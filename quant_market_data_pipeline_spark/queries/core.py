@@ -43,7 +43,7 @@ WITH bars AS (
   SELECT event_type AS symbol,
          time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
          arg_max(value, ts) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value > 0 GROUP BY 1, 2
 ), pairs(sym1, sym2) AS (VALUES ('click','view'), ('purchase','signup')),
 aligned AS (
   SELECT p.sym1 || '_' || p.sym2 AS pair_name, p.sym1, p.sym2,
@@ -63,10 +63,12 @@ aligned AS (
   FROM scored
 )
 SELECT sym1 AS symbol, ts_b AS "timestamp", close1 AS close,
-       round(spread, 6) AS spread, round(zr, 6) AS z_score, pair_name
+       round(spread, 6) + 0.0 AS spread, round(zr, 6) + 0.0 AS z_score,
+       pair_name
 FROM z
 UNION ALL
-SELECT sym2, ts_b, close2, round(-spread, 6), round(-zr, 6), pair_name
+SELECT sym2, ts_b, close2, round(-spread, 6) + 0.0, round(-zr, 6) + 0.0,
+       pair_name
 FROM z
 """,
     doc="Full reference spine: bars -> pair align (J1) -> log-spread (P9) -> "
@@ -78,8 +80,10 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol",
         "timestamp",
         "close",
-        F.round("spread", 6).alias("spread"),
-        F.round("z_score", 6).alias("z_score"),
+        # + 0.0 normalizes IEEE -0.0 (the leg-2 sign flip of a zero
+        # spread) to +0.0 on both engines
+        (F.round("spread", 6) + F.lit(0.0)).alias("spread"),
+        (F.round("z_score", 6) + F.lit(0.0)).alias("z_score"),
         "pair_name",
     )
 
@@ -772,7 +776,7 @@ WITH bars AS (
   SELECT event_type AS symbol,
          time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
          arg_max(value, ts) AS close
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value > 0 GROUP BY 1, 2
 ), pairs(sym1, sym2) AS (
   VALUES ('click','view'), ('click','purchase'), ('view','purchase'),
          ('view','signup'), ('purchase','signup')
@@ -796,7 +800,7 @@ FROM aligned GROUP BY pair_name
     "aggregation level.",
 )
 def q_pair_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
     bars = build_bars(
         ev, key="event_type", ts="ts", price="value",
         width="5 minutes", tiebreak="event_id",
