@@ -1010,3 +1010,47 @@ def q_window_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("value").over(w_full), 6).alias("day_close"),
         F.round(F.nth_value("value", 2).over(w), 6).alias("second_tick"),
     )
+
+
+@register(
+    "user_event_sequence",
+    oracle="""
+SELECT user_id, event_id,
+       row_number() OVER w AS seq_no,
+       CAST(coalesce(epoch_us(ts - lag(ts) OVER w), -1) AS BIGINT)
+         AS gap_us
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="Grouped-map applyInPandas surface: per-user event sequencing "
+    "(seq_no + inter-event gap in exact integer micros) computed in "
+    "pandas per group — the Arrow grouped-map API between mapInPandas "
+    "and the stateful variant; integer outputs keep the oracle exact.",
+)
+def q_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "event_id", "ts")
+    )
+
+    def sequence(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "seq_no": range(1, len(pdf) + 1),
+            }
+        )
+        gaps = (pdf["ts"].astype("int64") // 1000).diff()
+        out["gap_us"] = gaps.fillna(-1).astype("int64")
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(
+        sequence,
+        schema="user_id long, event_id long, seq_no int, gap_us long",
+    )
