@@ -103,13 +103,5 @@ def simhash_from_sums(sum_cols: list[str]) -> Column:
 
 
 def hamming16(a: Column, b: Column) -> Column:
-    """Hamming distance between two 16-bit fingerprints (popcount of XOR)."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda i: F.shiftrightunsigned(x, i).bitwiseAND(F.lit(1)),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
+    """Hamming distance between two fingerprints (popcount of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -939,3 +939,93 @@ def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
         shingled, block_col="source", min_jaccard=0.1, max_df=50
     )
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_number_spans,
+       md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+       length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_len
+FROM documents
+""",
+    doc="PII-style scrubbing: numeric spans replaced with a sentinel "
+    "token, span count + redacted-content hash per doc — the privacy "
+    "scrub pass of a training-data pipeline, pure JVM regexp (value-"
+    "checked via the md5 of the full redacted text).",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    redacted = F.regexp_replace("text", "[0-9]+", "<NUM>")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias(
+            "n_number_spans"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+_SIM_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id,
+       {_SIM_SUMS}
+  FROM toks GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, ({_SIM_BITS})::BIGINT AS simhash FROM sums
+)"""
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+WITH {_SIM_CTE}
+SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM fp a JOIN fp b
+  ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="SimHash near-dup candidates: block on the fingerprint's high "
+    "byte (identical high byte => hamming of the low byte only), join "
+    "within blocks, keep hamming <= 3 — the integer-blocking dedup that "
+    "replaces pairwise text comparison at corpus scale.",
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        simhash_fingerprints,
+    )
+    from quant_market_data_pipeline_spark.llm.hashing import hamming16
+
+    d = _docs_wide(spark, sf_dir)
+    fp = simhash_fingerprints(d, bits=16).select(
+        "doc_id", F.col("simhash").cast("long").alias("simhash")
+    )
+    a = fp.select(
+        F.col("doc_id").alias("doc_lo"),
+        F.col("simhash").alias("sh_a"),
+        (F.col("simhash") / 256).cast("long").alias("blk_a"),
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_hi"),
+        F.col("simhash").alias("sh_b"),
+        (F.col("simhash") / 256).cast("long").alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_lo") < F.col("doc_hi")),
+        )
+        .select(
+            "doc_lo",
+            "doc_hi",
+            hamming16(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )

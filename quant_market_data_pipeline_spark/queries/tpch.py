@@ -408,3 +408,50 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@register(
+    "cumulative_monthly_revenue",
+    oracle="""
+WITH monthly AS (
+  SELECT n_name,
+         date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE year(o_orderdate) = 1998
+  GROUP BY 1, 2
+)
+SELECT n_name, month, revenue,
+       round(sum(revenue) OVER (
+         PARTITION BY n_name ORDER BY month
+         ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue
+FROM monthly
+""",
+    doc="Cumulative (running-total) window over a pre-aggregated monthly "
+    "rollup — aggregate first, window the small frame; never window the "
+    "raw fact.",
+)
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1998
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    monthly = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.withColumn(
+        "cum_revenue", F.round(F.sum("revenue").over(w), 4)
+    )
