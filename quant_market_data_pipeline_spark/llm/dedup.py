@@ -175,3 +175,60 @@ def jaccard_pairs(
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_lo", "doc_hi", "n_shared", "jaccard"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_lo",
+    dst: str = "doc_hi",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (node, component) with component =
+    min node id in the connected component of the candidate-pair graph.
+
+    Iterative min-label propagation (the alternating large-star/small-star
+    idea reduced to its simple form): each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds — near-dup clusters are tiny (star-ish), so a
+    handful of rounds suffice.  Each round is one join + one groupBy —
+    both shuffles on node id, no driver-side graph state; the fixpoint
+    check is a single count of changed labels.
+
+    This is the step that turns pairwise candidates into dedup DECISIONS
+    (keep min id per cluster) at corpus scale.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        # localCheckpoint: truncate the per-iteration lineage so the plan
+        # doesn't grow exponentially across rounds
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels

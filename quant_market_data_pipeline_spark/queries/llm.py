@@ -814,27 +814,41 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "edit_distance_pairs",
     oracle="""
+WITH corpus AS (
+  SELECT doc_id, text, source, lang FROM documents WHERE doc_id < 150
+  UNION ALL
+  -- planted near-duplicates: originals with the 2 leading chars dropped
+  SELECT doc_id + 100000, substr(text, 3), source, lang
+  FROM documents WHERE doc_id < 150
+)
 SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
        levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS edit_dist
-FROM documents a
-JOIN documents b
+FROM corpus a
+JOIN corpus b
   ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE a.doc_id < 150 AND b.doc_id < 150
-  AND levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 40
+WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
 """,
     doc="Levenshtein verification pass over (source, lang)-blocked "
-    "candidate pairs — the exact edit-distance confirm step after "
-    "LSH candidate generation; blocking bounds the quadratic term.",
+    "candidate pairs (corpus + planted 2-char-shifted near-dups) — the "
+    "exact edit-distance confirm step after LSH candidate generation; "
+    "blocking bounds the quadratic term.",
 )
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
-    a = d.select(
+    planted = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, 3)").alias("text"),
+        "source",
+        "lang",
+    )
+    corpus = d.select("doc_id", "text", "source", "lang").unionByName(planted)
+    a = corpus.select(
         F.col("doc_id").alias("doc_lo"),
         F.substring("text", 1, 80).alias("ta"),
         "source",
         "lang",
     )
-    b = d.select(
+    b = corpus.select(
         F.col("doc_id").alias("doc_hi"),
         F.substring("text", 1, 80).alias("tb"),
         F.col("source").alias("sb"),
@@ -852,7 +866,7 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_hi",
             F.levenshtein("ta", "tb").alias("edit_dist"),
         )
-        .filter(F.col("edit_dist") <= 40)
+        .filter(F.col("edit_dist") <= 10)
     )
 
 
@@ -1029,3 +1043,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+@register(
+    "dedup_components",
+    oracle=None,
+    doc="Connected components over the (source,lang)-blocked Levenshtein "
+    "near-dup graph: iterative min-label propagation (join+groupBy per "
+    "round, localCheckpoint lineage truncation) -> (node, component) "
+    "cluster assignment; rows-only check (iterative algorithm), "
+    "union-find parity in tests/test_components.py.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        connected_components,
+    )
+
+    edges = q_edit_distance(spark, sf_dir).select("doc_lo", "doc_hi")
+    return connected_components(edges)
