@@ -1054,3 +1054,60 @@ def q_user_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         sequence,
         schema="user_id long, event_id long, seq_no int, gap_us long",
     )
+
+
+@register(
+    "calendar_completeness",
+    oracle="""
+WITH counts AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_date,
+         count(*) AS bar_count
+  FROM events GROUP BY 1, 2
+), cal AS (
+  -- deterministic synthetic exchange calendar over the observed dates:
+  -- every 7th day-of-month is an early close (13:00 ET), weekends open
+  -- too (synthetic events span all days)
+  SELECT DISTINCT CAST(ts AS DATE) AS trading_date,
+         570 AS open_minutes,
+         CASE WHEN day(CAST(ts AS DATE)) % 7 = 0 THEN 780 ELSE 960 END
+           AS close_minutes
+  FROM events
+), expected AS (
+  SELECT trading_date, open_minutes, close_minutes,
+         ((close_minutes - open_minutes) // 5)::INTEGER AS expected_bars,
+         (close_minutes - open_minutes) < 390 AS early_close
+  FROM cal
+)
+SELECT c.symbol, c.trading_date, c.bar_count, e.expected_bars,
+       CASE WHEN e.expected_bars IS NULL THEN 'NO_CALENDAR'
+            WHEN e.expected_bars - c.bar_count > 2 THEN 'FAIL'
+            WHEN c.bar_count - e.expected_bars > 2 THEN 'TOO_MANY'
+            WHEN e.expected_bars - c.bar_count != 0 THEN 'WARN'
+            ELSE 'PASS' END AS status,
+       coalesce(e.early_close, false) AS early_close
+FROM counts c LEFT JOIN expected e USING (trading_date)
+""",
+    doc="Calendar-aware completeness (validate_calendar_alpaca.py:188-245 "
+    "semantics): expected bars = (close-open)//5 from a broadcast "
+    "calendar dim, PASS/WARN/FAIL/TOO_MANY/NO_CALENDAR branches, early-"
+    "close annotation — via operators/dq.py:calendar_completeness_report.",
+)
+def q_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.operators.dq import (
+        calendar_completeness_report,
+    )
+
+    ev = _events(spark, sf_dir)
+    calendar = (
+        ev.select(F.to_date("ts").alias("trading_date"))
+        .distinct()
+        .withColumn("open_minutes", F.lit(570))
+        .withColumn(
+            "close_minutes",
+            F.when(F.dayofmonth("trading_date") % 7 == 0, 780).otherwise(960),
+        )
+    )
+    bars = ev.select(
+        F.col("event_type").alias("symbol"), F.col("ts").alias("timestamp")
+    )
+    return calendar_completeness_report(bars, calendar, tolerance=2)

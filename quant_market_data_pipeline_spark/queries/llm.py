@@ -1061,3 +1061,45 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = q_edit_distance(spark, sf_dir).select("doc_lo", "doc_hi")
     return connected_components(edges)
+
+
+@register(
+    "pandas_udf_quality_score",
+    oracle="""
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(
+         (length(text) - 300.0) / 100.0
+         - 5.0 * (len(regexp_extract_all(text, '[0-9]')) ::DOUBLE
+                  / NULLIF(length(text), 0))
+       ))), 6) AS quality_score
+FROM documents
+""",
+    doc="Scalar Arrow pandas_udf surface: vectorized logistic quality "
+    "score over numpy batches — completes the Python matrix (scalar "
+    "pandas_udf / mapInPandas / applyInPandas / ...WithState / UDTF).  "
+    "The inputs are computed JVM-side; only the final vectorized math "
+    "crosses the Arrow boundary.",
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them, which pandas_udf's signature inspection rejects
+    def _logistic(n_char, digit_ratio):
+        x = (n_char - 300.0) / 100.0 - 5.0 * digit_ratio
+        return 1.0 / (1.0 + np.exp(-x))
+
+    logistic_score = pandas_udf(_logistic, "double")
+
+    d = _docs(spark, sf_dir)
+    n_char = F.length("text").cast("double")
+    digit_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).cast("double")
+        / F.nullif(F.length("text"), F.lit(0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(logistic_score(n_char, digit_ratio), 6).alias("quality_score"),
+    )
