@@ -1103,3 +1103,85 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(logistic_score(n_char, digit_ratio), 6).alias("quality_score"),
     )
+
+
+@register(
+    "label_centroids",
+    oracle="""
+WITH elems AS (
+  SELECT label, i AS pos, embedding[i]::DOUBLE AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, count(DISTINCT pos) AS dim,
+       round(sum(v) / (count(*) / count(DISTINCT pos)), 6) AS centroid_l1_mean
+FROM elems GROUP BY label
+""",
+    doc="Vector aggregation: element-wise stats per label via posexplode "
+    "+ (label, pos) aggregation — the distributed centroid primitive "
+    "(summarized to a scalar per label for the value check).",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    elems = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", (F.col("pos") + 1).alias("pos"), F.col("col").alias("v"))
+    return elems.groupBy("label").agg(
+        F.countDistinct("pos").alias("dim"),
+        F.round(
+            F.sum("v") / (F.count(F.lit(1)) / F.countDistinct("pos")), 6
+        ).alias("centroid_l1_mean"),
+    )
+
+
+@register(
+    "kmeans_one_iteration",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < 8
+), scored AS (
+  SELECT vec_id, v, cid,
+         {_IVF_COS.format(a='v', b='cv')} AS cs
+  FROM vecs CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cid AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM scored) WHERE rn = 1
+), elems AS (
+  SELECT cell, i AS pos, v[i] AS val
+  FROM assigned, unnest(generate_series(1, len(v))) AS t(i)
+)
+SELECT cell, count(DISTINCT pos) AS dim,
+       (count(*) / count(DISTINCT pos))::BIGINT AS n_members,
+       round(sum(val), 4) AS coord_sum
+FROM elems GROUP BY cell
+""",
+    doc="One Lloyd iteration: assign every vector to its nearest seed "
+    "centroid (broadcast argmax) then recompute per-cell element sums — "
+    "the k-means/IVF index-build step as two shuffles; iterating this "
+    "to convergence is a driver loop over the same plan.",
+)
+def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        ivf_assign,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    assigned = ivf_assign(vecs, cents)
+    elems = assigned.select(
+        "cell", F.posexplode("v")
+    ).select("cell", (F.col("pos") + 1).alias("pos"), F.col("col").alias("val"))
+    return elems.groupBy("cell").agg(
+        F.countDistinct("pos").alias("dim"),
+        (F.count(F.lit(1)) / F.countDistinct("pos"))
+        .cast("long")
+        .alias("n_members"),
+        F.round(F.sum("val"), 4).alias("coord_sum"),
+    )

@@ -293,3 +293,63 @@ def test_pipeline_rerun_is_idempotent(spark, events):
         second = spark.read.parquet(f"{tmp}/lake").count()
     assert first > 0
     assert second == first  # replay overwrote, never appended
+
+
+def test_update_mode_emits_final_counts(spark, events):
+    """Update output mode: windows re-emit as data arrives across
+    micro-batches; the LAST emission per key equals the batch truth
+    (the dashboard-feed mode, vs append's emit-once-final)."""
+    import tempfile as _tf
+
+    from pyspark.sql import types as T
+
+    ticks = events.limit(3000).select(
+        "ts", F.col("event_type").alias("symbol"), F.col("value").alias("price")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("symbol", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    with _tf.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        ticks.repartition(3).write.mode("overwrite").parquet(landing)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("symbol", F.window("ts", "1 day").start.alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("update_counts")
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        emitted = spark.sql("SELECT * FROM update_counts").toPandas()
+
+    # multiple emissions per key across batches; last one is the truth
+    last = (
+        emitted.groupby(["symbol", "day"]).last().reset_index()
+    )
+    want = (
+        ticks.groupBy("symbol", F.window("ts", "1 day").start.alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    merged = last.merge(
+        want, on=["symbol", "day"], suffixes=("_got", "_want")
+    )
+    assert len(merged) == len(want)
+    assert (merged["n_got"] == merged["n_want"]).all()
+    # update mode re-emitted at least some keys more than once
+    assert len(emitted) > len(want)
