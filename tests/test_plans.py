@@ -84,3 +84,18 @@ def test_whole_stage_codegen_active(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan, q
         assert re.search(r"\*\(\d+\)", plan), q
+
+
+def test_no_cartesian_product_in_any_query(spark):
+    """Global safety net: no registered query may plan an unconstrained
+    CartesianProduct — the accidental-cross-join failure mode that is
+    invisible at sf0.01 and fatal at 100 TB.  (Intentional small-side
+    cross joins appear as BroadcastNestedLoopJoin and are allowed.)"""
+    spark.catalog.clearCache()
+    reg = load_all()
+    offenders = []
+    for name, spec in sorted(reg.items()):
+        plan = spec.spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
