@@ -229,7 +229,11 @@ def ivf_topk(
     cents = vecs.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
-    assigned = ivf_assign(vecs, cents, id_col)
+    # Materialize the assignment: both join sides reference it, and an
+    # index build IS a materialization step — without this the whole
+    # assignment pipeline (n_centroids cosines per vector + argmax)
+    # executes twice, once per self-join side.
+    assigned = ivf_assign(vecs, cents, id_col).localCheckpoint()
     q = assigned.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )
