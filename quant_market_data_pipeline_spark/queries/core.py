@@ -1111,3 +1111,79 @@ def q_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("symbol"), F.col("ts").alias("timestamp")
     )
     return calendar_completeness_report(bars, calendar, tolerance=2)
+
+
+@register(
+    "range_frame_rolling_sum",
+    oracle="""
+SELECT user_id, ts, round(value, 6) AS value,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+         AS sum_1h,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         AS n_1h
+FROM events WHERE user_id < 10
+""",
+    doc="RANGE window frame (time-based, not row-count): trailing 1-hour "
+    "sum/count per user keyed on event-time seconds — the frame kind "
+    "rowsBetween can't express when events are irregularly spaced.",
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("value"),
+        F.round(F.sum("value").over(w), 6).alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@register(
+    "temporal_features",
+    oracle="""
+SELECT event_id, ts,
+       year(ts)::INTEGER AS yr,
+       quarter(ts)::INTEGER AS qtr,
+       month(ts)::INTEGER AS mo,
+       isodow(ts)::INTEGER AS iso_dow,
+       hour(ts)::INTEGER AS hr,
+       (isodow(ts) >= 6) AS is_weekend,
+       round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
+       round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos
+FROM events WHERE user_id < 10
+""",
+    doc="Temporal feature extraction (calendar parts + cyclical hour "
+    "encoding) — the ML feature-engineering pass over event time, all "
+    "JVM-side datetime built-ins.",
+)
+def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    iso_dow = F.when(
+        F.dayofweek("ts") == 1, 7
+    ).otherwise(F.dayofweek("ts") - 1)
+    angle = 2 * math.pi * F.hour("ts") / 24.0
+    return ev.select(
+        "event_id",
+        "ts",
+        F.year("ts").alias("yr"),
+        F.quarter("ts").alias("qtr"),
+        F.month("ts").alias("mo"),
+        iso_dow.cast("int").alias("iso_dow"),
+        F.hour("ts").alias("hr"),
+        (iso_dow >= 6).alias("is_weekend"),
+        F.round(F.sin(angle), 6).alias("hour_sin"),
+        F.round(F.cos(angle), 6).alias("hour_cos"),
+    )
