@@ -1185,3 +1185,64 @@ def q_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_members"),
         F.round(F.sum("val"), 4).alias("coord_sum"),
     )
+
+
+@register(
+    "explode_outer_shingles",
+    oracle="""
+WITH arrs AS (
+  SELECT doc_id,
+         [array_to_string(toks[i:i+2], ' ')
+          for i in generate_series(1, len(toks) - 2)] AS shs
+  FROM (SELECT doc_id, regexp_extract_all(substr(text, 1, 40), '\\S+')
+               AS toks
+        FROM documents WHERE doc_id < 100)
+)
+SELECT doc_id, unnest(CASE WHEN len(shs) = 0 THEN [NULL] ELSE shs END)
+         AS sh
+FROM arrs
+""",
+    doc="explode_outer semantics: docs whose (truncated) text yields zero "
+    "shingles survive as a NULL row instead of disappearing — the "
+    "row-preserving explode needed when downstream joins must not drop "
+    "short documents.",
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    shs = word_shingles(word_tokens(F.substring("text", 1, 40)))
+    return d.select("doc_id", F.explode_outer(shs).alias("sh"))
+
+
+@register(
+    "dedup_keep_list",
+    oracle="""
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint,
+       (doc_id = min(doc_id) OVER (PARTITION BY fingerprint)) AS keep,
+       count(*) OVER (PARTITION BY fingerprint) AS cluster_size
+FROM fp
+""",
+    doc="The dedup pipeline's actionable output: a per-document keep/drop "
+    "verdict (canonical = min id per exact-content cluster) + cluster "
+    "size — one window pass over the fingerprints; filtering keep=true "
+    "yields the deduplicated corpus.",
+)
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id", F.md5(normalized_text("text")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id",
+        "fingerprint",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
