@@ -114,3 +114,50 @@ def explode_to_bars(raw: DataFrame) -> DataFrame:
         )
         .na.drop(subset=["close", "timestamp"])
     )
+
+
+CSV_BAR_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("timestamp", T.StringType()),  # ISO-8601 with offset
+        T.StructField("open", T.DoubleType()),
+        T.StructField("high", T.DoubleType()),
+        T.StructField("low", T.DoubleType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("volume", T.LongType()),
+        T.StructField(CORRUPT_COL, T.StringType()),
+    ]
+)
+
+
+def read_csv_bars(spark: SparkSession, path: str) -> DataFrame:
+    """CSV bronze variant: one bar per line (header, explicit schema,
+    PERMISSIVE + corrupt-record quarantine).  CSV is splittable, so a
+    single huge file still parallelizes — unlike the multiline-JSON
+    documents, which cost one task per file."""
+    return (
+        spark.read.schema(CSV_BAR_SCHEMA)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def csv_bars_to_silver(raw: DataFrame) -> DataFrame:
+    """CSV rows -> typed silver bars (same casts/null-gate as the JSON
+    path, minus the explode — CSV is already one bar per row)."""
+    dec = T.DecimalType(15, 4)
+    return (
+        raw.filter(F.col(CORRUPT_COL).isNull())
+        .select(
+            "symbol",
+            F.to_timestamp("timestamp", TS_FORMAT).alias("timestamp"),
+            F.col("open").cast(dec).alias("open"),
+            F.col("high").cast(dec).alias("high"),
+            F.col("low").cast(dec).alias("low"),
+            F.col("close").cast(dec).alias("close"),
+            F.col("volume").cast("int").alias("volume"),
+        )
+        .na.drop(subset=["close", "timestamp"])
+    )

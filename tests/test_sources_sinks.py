@@ -193,3 +193,46 @@ def test_bronze_schema_drift_tolerated(spark, tmp_path):
     assert row["feed"] is None  # missing optional -> null
     bars = explode_to_bars(raw)
     assert bars.count() == 1  # same null-gate behavior as the clean doc
+
+
+def test_csv_bronze_roundtrip(spark, tmp_path):
+    from quant_market_data_pipeline_spark.sources.json_bronze import (
+        CORRUPT_COL,
+        csv_bars_to_silver,
+        read_csv_bars,
+    )
+
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "bars.csv").write_text(
+        "symbol,timestamp,open,high,low,close,volume\n"
+        "MSFT,2024-05-01T13:30:00+00:00,400.1,401.5,399.9,401.0001,12345\n"
+        "MSFT,2024-05-01T13:35:00+00:00,401.0,402.0,400.5,,1000\n"  # null close
+        "BROKEN,not-a-timestamp,x,y,z,w,NaNv\n"  # malformed row
+    )
+    raw = read_csv_bars(spark, str(csv_dir))
+    assert raw.cache().filter(F.col(CORRUPT_COL).isNotNull()).count() == 1
+    silver = csv_bars_to_silver(raw)
+    rows = silver.collect()
+    assert len(rows) == 1
+    assert str(rows[0]["close"]) == "401.0001"
+    assert dict(silver.dtypes)["close"] == "decimal(15,4)"
+
+
+def test_orc_lake_roundtrip(spark, tmp_path):
+    """ORC as an alternative columnar lake format: partitioned write +
+    predicate-pushdown read parity with the parquet path."""
+    path = str(tmp_path / "orc_lake")
+    base = dt.datetime(2024, 5, 1, 13, 30)
+    df = spark.createDataFrame(
+        [("MSFT", base + dt.timedelta(days=i), float(i)) for i in range(4)],
+        "symbol string, timestamp timestamp, close double",
+    ).withColumn("trading_date", F.to_date("timestamp"))
+    df.write.mode("overwrite").partitionBy("trading_date").orc(path)
+
+    back = spark.read.orc(path)
+    assert back.count() == 4
+    one_day = back.filter(F.col("trading_date") == dt.date(2024, 5, 3))
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning works on ORC too
+    assert one_day.count() == 1
