@@ -42,8 +42,78 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Registry iteration order doubles as the correctness-gate priority: a
+# driver that verifies a prefix of the registry must see (a) queries whose
+# oracle entries are new or recently fixed, (b) every bench headliner,
+# before queries that already carry a green verdict from a prior round.
+_PRIORITY = [
+    # --- TPC-H shapes (first oracle check round 2) ---
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "forecast_revenue_change",
+    "returned_item_revenue",
+    "large_volume_orders",
+    "brand_supplier_stats",
+    "nation_trade_volume",
+    "above_avg_orders",
+    "order_priority_check",
+    "cumulative_monthly_revenue",
+    # --- relational operator suite (first oracle check round 2) ---
+    "semi_join_heavy_orders",
+    "full_outer_nation_coverage",
+    "range_join_view_purchase",
+    "rollup_regional_revenue",
+    "cube_status_priority",
+    "pivot_status_revenue",
+    "percentiles_quantity",
+    "distinct_agg_parts",
+    "except_churned_customers",
+    "intersect_buyer_event_users",
+    "window_rank_suite",
+    "nested_explode_bars",
+    "except_all_multiset",
+    "grouping_sets_revenue",
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    # --- LLM-pipeline queries beyond round 1's checked prefix ---
+    "quality_filter_verdicts",
+    "edit_distance_pairs",
+    "stratified_sample_docs",
+    "jaccard_pairs_df_capped",
+    "pii_redaction",
+    "simhash_neardup_pairs",
+    "dedup_components",
+    "pandas_udf_quality_score",
+    "label_centroids",
+    "kmeans_one_iteration",
+    "explode_outer_shingles",
+    "dedup_keep_list",
+    # --- round-1 hash mismatches, fixed round 2 (exact decimal / BIGINT
+    #     / -0.0 discipline) — must re-verify ---
+    "decimal_cast_sums",
+    "conditional_agg_orders",
+    "dq_run_summary",
+    "temporal_features",
+    "token_lang_profile",
+    # --- bench headliners (green round 1; keep inside the checked window
+    #     so every benched query always has a same-round verdict) ---
+    "flagship_pair_zscore",
+    "bars_5min_ohlcv",
+    "missing_buckets_audit",
+    "asof_join_backward",
+    "dedup_exact_docs",
+    "minhash_lsh_pairs",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query module (side-effect: fills REGISTRY)."""
+    """Import every query module (side-effect: fills REGISTRY).
+
+    Returns the registry re-ordered so priority queries (new/fixed oracle
+    entries, bench headliners) come first; everything else follows in
+    registration order with a green round-1 verdict already on file.
+    """
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
         llm,
@@ -51,4 +121,6 @@ def load_all() -> dict[str, QuerySpec]:
         tpch,
     )
 
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quant_market_data_pipeline_spark.functions.exact import money_sum
 from quant_market_data_pipeline_spark.operators.asof import asof_join
 from quant_market_data_pipeline_spark.operators.bars import build_bars, floor_bucket
 from quant_market_data_pipeline_spark.operators.clean import dedup_keys_deterministic
@@ -218,9 +219,11 @@ def q_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n_orders,
-       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent,
-       round(sum(o_totalprice), 4) AS sum_total,
-       round(max(o_totalprice), 4) AS max_total
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_urgent,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(38,4))
+            AS DOUBLE) AS sum_total,
+       max(o_totalprice) AS max_total
 FROM orders GROUP BY 1
 """,
     doc="ok/warn/fail-style tallies as distributed conditional aggregation "
@@ -234,8 +237,8 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
             "n_urgent"
         ),
-        F.round(F.sum("o_totalprice"), 4).alias("sum_total"),
-        F.round(F.max("o_totalprice"), 4).alias("max_total"),
+        money_sum("o_totalprice").alias("sum_total"),
+        F.max("o_totalprice").alias("max_total"),
     )
 
 
@@ -551,23 +554,28 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_cast_sums",
     oracle="""
 SELECT l_returnflag,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_price,
-       CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DECIMAL(18,4)) AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(15,4))) AS DECIMAL(38,4))
+            AS DOUBLE) AS sum_price,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(15,4))) AS DECIMAL(38,4))
+            AS DOUBLE) AS sum_qty,
        count(*) AS n
 FROM lineitem GROUP BY 1
 """,
     doc="NUMERIC(15,4) cast discipline (schema.py:33-39) — exact decimal "
-    "sums, no float drift.",
+    "sums, no float drift; emitted as double at the result boundary "
+    "(decimal objects hash engine-specifically).",
 )
 def q_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(15,4)"))
-        .cast("decimal(18,4)")
+        .cast("decimal(38,4)")
+        .cast("double")
         .alias("sum_price"),
         F.sum(F.col("l_quantity").cast("decimal(15,4)"))
-        .cast("decimal(18,4)")
+        .cast("decimal(38,4)")
+        .cast("double")
         .alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -724,9 +732,12 @@ WITH per_day AS (
   FROM per_day
 )
 SELECT count(*) AS n_checks,
-       sum(CASE WHEN status IN ('OK','PASS') THEN 1 ELSE 0 END) AS n_ok,
-       sum(CASE WHEN status = 'WARN' THEN 1 ELSE 0 END) AS n_warn,
-       sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) AS n_fail,
+       CAST(sum(CASE WHEN status IN ('OK','PASS') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_ok,
+       CAST(sum(CASE WHEN status = 'WARN' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_warn,
+       CAST(sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_fail,
        max(missing_bars) AS max_missing,
        CASE WHEN sum(CASE WHEN status = 'FAIL' THEN 1 ELSE 0 END) > 0
             THEN 'FAIL'
@@ -1159,13 +1170,14 @@ SELECT event_id, ts,
        isodow(ts)::INTEGER AS iso_dow,
        hour(ts)::INTEGER AS hr,
        (isodow(ts) >= 6) AS is_weekend,
-       round(sin(2 * pi() * hour(ts) / 24.0), 6) AS hour_sin,
-       round(cos(2 * pi() * hour(ts) / 24.0), 6) AS hour_cos
+       round(sin(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_sin,
+       round(cos(2 * pi() * hour(ts) / 24.0), 6) + 0.0 AS hour_cos
 FROM events WHERE user_id < 10
 """,
     doc="Temporal feature extraction (calendar parts + cyclical hour "
     "encoding) — the ML feature-engineering pass over event time, all "
-    "JVM-side datetime built-ins.",
+    "JVM-side datetime built-ins.  `+ 0.0` collapses IEEE negative zero "
+    "(cos(3*pi/2) rounds to -0.0 in DuckDB, +0.0 in the JVM).",
 )
 def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -1184,6 +1196,6 @@ def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_dow.cast("int").alias("iso_dow"),
         F.hour("ts").alias("hr"),
         (iso_dow >= 6).alias("is_weekend"),
-        F.round(F.sin(angle), 6).alias("hour_sin"),
-        F.round(F.cos(angle), 6).alias("hour_cos"),
+        (F.round(F.sin(angle), 6) + F.lit(0.0)).alias("hour_sin"),
+        (F.round(F.cos(angle), 6) + F.lit(0.0)).alias("hour_cos"),
     )

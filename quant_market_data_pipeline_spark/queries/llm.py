@@ -505,8 +505,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
-       round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+         AS total_tokens,
+       CAST(sum(length(text)) AS DOUBLE) / count(*) AS avg_chars
 FROM documents GROUP BY lang, source
 """,
     doc="Corpus profile per (lang, source): doc/token/char rollup.",
@@ -516,7 +517,9 @@ def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens_column("text"))).alias("total_tokens"),
-        F.round(F.avg(F.length("text").cast("double")), 6).alias("avg_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
     )
 
 

@@ -18,6 +18,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from quant_market_data_pipeline_spark.functions.exact import (
+    money,
+    money_avg,
+    money_sum,
+    sql_money,
+    sql_money_avg,
+    sql_money_sum,
+)
 from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import configure_runtime
 from quant_market_data_pipeline_spark.sources.tables import load_table
@@ -148,10 +156,10 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "rollup_regional_revenue",
-    oracle="""
+    oracle=f"""
 SELECT r_name, n_name,
        grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
-       round(sum(o_totalprice), 4) AS revenue,
+       {sql_money_sum('o_totalprice')} AS revenue,
        count(*) AS n_orders
 FROM orders
 JOIN customer ON c_custkey = o_custkey
@@ -178,19 +186,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact.rollup("r_name", "n_name").agg(
         F.grouping("r_name").cast("int").alias("g_region"),
         F.grouping("n_name").cast("int").alias("g_nation"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        money_sum("o_totalprice").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 @register(
     "cube_status_priority",
-    oracle="""
+    oracle=f"""
 SELECT o_orderstatus, o_orderpriority,
        grouping(o_orderstatus) AS g_status,
        grouping(o_orderpriority) AS g_priority,
        count(*) AS n_orders,
-       round(avg(o_totalprice), 6) AS avg_price
+       {sql_money_avg('o_totalprice')} AS avg_price
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
@@ -202,7 +210,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        money_avg("o_totalprice").alias("avg_price"),
     )
 
 
@@ -212,13 +220,13 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "pivot_status_revenue",
-    oracle="""
+    oracle=f"""
 SELECT o_orderpriority,
-       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4)
+       {sql_money_sum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")}
          AS rev_f,
-       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4)
+       {sql_money_sum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")}
          AS rev_o,
-       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4)
+       {sql_money_sum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")}
          AS rev_p
 FROM orders GROUP BY o_orderpriority
 """,
@@ -230,7 +238,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         orders.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 4))
+        .agg(money_sum("o_totalprice"))
     )
     return wide.select(
         "o_orderpriority",
@@ -486,10 +494,10 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "grouping_sets_revenue",
-    oracle="""
+    oracle=f"""
 SELECT r_name, n_name,
        grouping(r_name) AS g_region, grouping(n_name) AS g_nation,
-       round(sum(o_totalprice), 4) AS revenue
+       {sql_money_sum('o_totalprice')} AS revenue
 FROM orders
 JOIN customer ON c_custkey = o_custkey
 JOIN nation ON n_nationkey = c_nationkey
@@ -513,11 +521,11 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fact.createOrReplaceTempView("__gs_fact")
     return fact.sparkSession.sql(
-        """
+        f"""
         SELECT r_name, n_name,
                CAST(grouping(r_name) AS INT) AS g_region,
                CAST(grouping(n_name) AS INT) AS g_nation,
-               round(sum(o_totalprice), 4) AS revenue
+               {sql_money_sum('o_totalprice')} AS revenue
         FROM __gs_fact
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
         """

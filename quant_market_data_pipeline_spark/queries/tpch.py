@@ -12,6 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from quant_market_data_pipeline_spark.functions.exact import (
+    fin,
+    money,
+    money_avg,
+    money_sum,
+    one_minus,
+    one_plus,
+    sql_fin,
+    sql_money,
+    sql_money_avg,
+    sql_money_sum,
+    sql_one_minus,
+    sql_one_plus,
+)
 from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import configure_runtime
 from quant_market_data_pipeline_spark.sources.tables import load_table
@@ -22,17 +36,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+# Exact decimal forms of the TPC-H money expressions (see functions/exact.py:
+# float sums are partition-order-dependent; decimal sums hash-match the
+# oracle bit-for-bit).
+_DISC_PRICE = f"({sql_money('l_extendedprice')} * {sql_one_minus('l_discount')})"
+_CHARGE = f"({_DISC_PRICE} * {sql_one_plus('l_tax')})"
+
+
+def _disc_price():
+    return money("l_extendedprice") * one_minus("l_discount")
+
+
+def _charge():
+    return _disc_price() * one_plus("l_tax")
+
+
 @register(
     "pricing_summary",
-    oracle="""
+    oracle=f"""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4) AS sum_qty,
-       round(sum(l_extendedprice), 4) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       {sql_money_sum('l_quantity')} AS sum_qty,
+       {sql_money_sum('l_extendedprice')} AS sum_base_price,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS sum_disc_price,
+       {sql_fin(f'sum({_CHARGE})', 6)} AS sum_charge,
+       {sql_money_avg('l_quantity')} AS avg_qty,
+       {sql_money_avg('l_extendedprice')} AS avg_price,
+       {sql_money_avg('l_discount')} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -43,18 +72,20 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(_disc_price()).alias("sum_disc_price"),
+            # scale 6 = the charge expression's natural scale: the final
+            # rescale must be lossless (a lossy one hits half-up vs
+            # half-even tie divergence between engines)
+            money_sum(_charge(), scale=6).alias("sum_charge"),
+            money_avg("l_quantity").alias("avg_qty"),
+            money_avg("l_extendedprice").alias("avg_price"),
+            money_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -62,9 +93,9 @@ def q_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shipping_priority",
-    oracle="""
+    oracle=f"""
 SELECT l.l_orderkey AS l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS revenue,
        o.o_orderdate AS o_orderdate, o.o_orderpriority AS o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -90,11 +121,7 @@ def q_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
-        )
+        .agg(money_sum(_disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(20)
@@ -103,9 +130,9 @@ def q_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regional_revenue",
-    oracle="""
+    oracle=f"""
 SELECT r.r_name AS r_name, n.n_name AS n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS revenue,
        count(*) AS n_lineitems
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -133,9 +160,7 @@ def q_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), o["o_custkey"] == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            money_sum(_disc_price()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .select("r_name", "n_name", "revenue", "n_lineitems")
@@ -144,8 +169,8 @@ def q_regional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "forecast_revenue_change",
-    oracle="""
-SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+    oracle=f"""
+SELECT {sql_fin(f"sum({sql_money('l_extendedprice')} * CAST(l_discount AS DECIMAL(4,2)))")} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -166,18 +191,18 @@ def q_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
-                "revenue"
-            )
+            money_sum(
+                money("l_extendedprice") * F.col("l_discount").cast("decimal(4,2)")
+            ).alias("revenue")
         )
     )
 
 
 @register(
     "returned_item_revenue",
-    oracle="""
+    oracle=f"""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS revenue,
        round(c_acctbal, 6) AS acctbal,
        count(*) AS n_items
 FROM customer
@@ -207,9 +232,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
+            money_sum(_disc_price()).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
@@ -225,14 +248,14 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "large_volume_orders",
-    oracle="""
+    oracle=f"""
 WITH big AS (
   SELECT l_orderkey FROM lineitem
   GROUP BY l_orderkey HAVING sum(l_quantity) > 180
 )
 SELECT c_custkey, o_orderkey, o_orderdate,
        round(o_totalprice, 6) AS total_price,
-       round(sum(l_quantity), 4) AS sum_qty
+       {sql_money_sum('l_quantity')} AS sum_qty
 FROM orders
 JOIN big ON big.l_orderkey = o_orderkey
 JOIN lineitem ON lineitem.l_orderkey = o_orderkey
@@ -257,7 +280,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders["o_orderkey"] == li["l_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .agg(money_sum("l_quantity").alias("sum_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -270,11 +293,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "brand_supplier_stats",
-    oracle="""
+    oracle=f"""
 SELECT p_brand, p_type,
        count(DISTINCT l_suppkey) AS n_suppliers,
        count(*) AS n_lineitems,
-       round(avg(p_retailprice), 6) AS avg_retail
+       {sql_money_avg('p_retailprice')} AS avg_retail
 FROM part
 JOIN lineitem ON l_partkey = p_partkey
 WHERE p_size >= 20
@@ -292,17 +315,17 @@ def q_brand_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("l_suppkey").alias("n_suppliers"),
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(F.avg("p_retailprice"), 6).alias("avg_retail"),
+            money_avg("p_retailprice").alias("avg_retail"),
         )
     )
 
 
 @register(
     "nation_trade_volume",
-    oracle="""
+    oracle=f"""
 SELECT n_c.n_name AS cust_nation, n_s.n_name AS supp_nation,
        count(*) AS n_lineitems,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+       {sql_fin(f'sum({_DISC_PRICE})')} AS volume
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -338,42 +361,46 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("volume"),
+            money_sum(_disc_price()).alias("volume"),
         )
     )
 
 
 @register(
     "above_avg_orders",
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS total_price,
-       round(cust_avg, 6) AS cust_avg
+       cust_avg
 FROM (
   SELECT o_orderkey, o_custkey, o_totalprice,
-         avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+         {sql_fin(f"sum({sql_money('o_totalprice')}) OVER (PARTITION BY o_custkey)")}
+           / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
   FROM orders
 )
 WHERE o_totalprice > 1.5 * cust_avg
 """,
     doc="Correlated-subquery shape (orders above 1.5x their customer's "
     "average) decorrelated into one window pass — no per-row subquery, "
-    "no self-join.",
+    "no self-join.  The per-customer mean is an exact decimal sum over "
+    "the window divided by the window count, so the 1.5x threshold "
+    "comparison is engine-deterministic even at exact ties.",
 )
 def q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     orders = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
+    cust_avg = fin(F.sum(money("o_totalprice")).over(w)) / F.count(
+        F.lit(1)
+    ).over(w)
     return (
-        orders.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        orders.withColumn("cust_avg", cust_avg)
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select(
             "o_orderkey",
             "o_custkey",
             F.round("o_totalprice", 6).alias("total_price"),
-            F.round("cust_avg", 6).alias("cust_avg"),
+            "cust_avg",
         )
     )
 
@@ -412,11 +439,11 @@ def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cumulative_monthly_revenue",
-    oracle="""
+    oracle=f"""
 WITH monthly AS (
   SELECT n_name,
          date_trunc('month', o_orderdate)::TIMESTAMP AS month,
-         round(sum(o_totalprice), 4) AS revenue
+         {sql_money_sum('o_totalprice')} AS revenue
   FROM orders
   JOIN customer ON c_custkey = o_custkey
   JOIN nation ON n_nationkey = c_nationkey
@@ -424,9 +451,9 @@ WITH monthly AS (
   GROUP BY 1, 2
 )
 SELECT n_name, month, revenue,
-       round(sum(revenue) OVER (
+       {sql_fin('''sum(CAST(revenue AS DECIMAL(18,4))) OVER (
          PARTITION BY n_name ORDER BY month
-         ROWS UNBOUNDED PRECEDING), 4) AS cum_revenue
+         ROWS UNBOUNDED PRECEDING)''')} AS cum_revenue
 FROM monthly
 """,
     doc="Cumulative (running-total) window over a pre-aggregated monthly "
@@ -445,13 +472,15 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name", F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
     )
     w = (
         Window.partitionBy("n_name")
         .orderBy("month")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # revenue is a double holding an exact 4-decimal value; the running
+    # total re-enters decimal space so the cumulative sum is exact too.
     return monthly.withColumn(
-        "cum_revenue", F.round(F.sum("revenue").over(w), 4)
+        "cum_revenue", fin(F.sum(F.col("revenue").cast("decimal(18,4)")).over(w))
     )

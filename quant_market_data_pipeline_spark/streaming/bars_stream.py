@@ -65,8 +65,17 @@ def dedup_stream(
     watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Stateful dedup within the watermark horizon (late dupes beyond the
-    delay age out of state — the streaming UNIQUE constraint)."""
-    return ticks.withWatermark(ts, watermark_delay).dropDuplicates(keys)
+    delay age out of state — the streaming UNIQUE constraint).
+
+    ``dropDuplicatesWithinWatermark`` is mandatory here, not plain
+    ``dropDuplicates``: with key-only subsets (no event-time column, e.g.
+    ``[symbol, event_id]``) the plain variant never evicts its state via
+    the watermark, so state grows unboundedly; the WithinWatermark variant
+    expires each key once the watermark passes its first-seen event time
+    plus the delay."""
+    return ticks.withWatermark(ts, watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def stream_bars(
@@ -117,20 +126,32 @@ def parquet_bar_sink(
     bars: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
-    partition_by: str = "symbol",
+    partition_by: str | None = "symbol",
 ) -> DataStreamWriter:
     """Idempotent partitioned-parquet sink via foreachBatch.
 
-    Dynamic partition overwrite keyed by the micro-batch's partitions: a
-    replayed batch (failure/retry) rewrites the same partitions instead of
-    appending duplicates — exactly-once at the partition level.
+    Append-mode emits each finalized window exactly once, so distinct
+    micro-batches never produce the same (key, bar_ts) — but they DO share
+    trading dates, so the overwrite scope must be batch-granular, not
+    date-granular: overwriting whole ``trading_date`` partitions would let
+    every batch wipe the bars earlier batches wrote for that date (silent
+    data loss in continuous operation or any multi-batch availableNow run).
+    Each write therefore lands under ``(trading_date, .., batch_id)`` with
+    dynamic partition overwrite: a replayed micro-batch (failure/retry with
+    the same checkpoint) rewrites exactly its own ``batch_id`` leaves —
+    exactly-once at the batch level — while other batches' output is
+    untouched.  Readers prune on ``trading_date`` (and ``partition_by``)
+    as before; ``batch_id`` is just the idempotence scope.
     """
+
+    part_cols = ["trading_date"] + ([partition_by] if partition_by else [])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
             batch_df.withColumn("trading_date", F.to_date("bar_ts"))
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
-            .partitionBy("trading_date")
+            .partitionBy(*part_cols, "batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_dir)
         )

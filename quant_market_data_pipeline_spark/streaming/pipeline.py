@@ -35,13 +35,23 @@ def run_live_bars(
     width: str = "5 minutes",
     watermark_delay: str = "10 minutes",
     available_now: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Wire the full chain and start it.
 
     ``available_now=True`` drains the current landing contents and stops —
     the backfill/verification mode; ``False`` runs continuously.
+    ``max_files_per_trigger`` splits the drain into multiple micro-batches
+    (smaller state high-water marks; also how the multi-batch no-loss
+    property of the sink is exercised in tests).
     """
-    ticks = read_tick_stream(spark, landing_dir, schema=schema, fmt=fmt)
+    ticks = read_tick_stream(
+        spark,
+        landing_dir,
+        schema=schema,
+        fmt=fmt,
+        max_files_per_trigger=max_files_per_trigger,
+    )
     clean = dedup_stream(
         ticks, keys=["symbol", "event_id"], watermark_delay=watermark_delay
     )
