@@ -41,8 +41,12 @@ def asof_join(
       plan traversed in descending order (the extra cost is one local
       re-sort, not a new shuffle).
 
-    When two right rows share a timestamp the one encountered last in
-    traversal order wins (deterministic via the union sort order below).
+    All right-side payload columns come from ONE matched right row (they
+    are carried as a single struct, exactly pandas ``merge_asof``
+    semantics): if the matched row holds a NULL payload value, the result
+    holds that NULL — never a value scavenged from an older row.  When two
+    right rows share a timestamp, the tie breaks deterministically on the
+    payload struct ordering (greatest payload wins in either direction).
 
     ``tolerance_seconds``: matches farther than the tolerance are nulled.
     """
@@ -78,32 +82,47 @@ def asof_join(
 
     unioned = lhs_aligned.unionByName(rhs_aligned)
 
+    # The whole right row rides as ONE struct so matched_ts and every
+    # payload value stay row-consistent (per-column last(ignorenulls)
+    # would scavenge non-null values from OLDER right rows whenever the
+    # matched row holds a NULL — and let stale values leak through the
+    # tolerance gate).
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col(ts).alias("__matched_ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
+    )
+    unioned = unioned.withColumn("__r_payload", payload)
+
     # Right rows sort before left rows at equal ts (__side 0 < 1), so an
     # exact-timestamp right row IS visible to the left row — inclusive
     # semantics in both directions.  Forward = the same scan descending.
+    # The payload struct is the deterministic tiebreak between right rows
+    # sharing a timestamp (its first field is ts, so the tie breaks on
+    # the payload values themselves; the greatest struct wins).
     order = (
-        [F.col(ts).asc(), F.col("__side").asc()]
+        [F.col(ts).asc(), F.col("__side").asc(), F.col("__r_payload").asc()]
         if direction == "backward"
-        else [F.col(ts).desc(), F.col("__side").asc()]
+        else [F.col(ts).desc(), F.col("__side").asc(), F.col("__r_payload").asc()]
     )
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in right_cols
-    ]
-    matched_ts = F.last(
-        F.when(F.col("__side") == 0, F.col(ts)), ignorenulls=True
-    ).over(w)
+    matched = F.last("__r_payload", ignorenulls=True).over(w)
 
-    out = unioned.select(
-        "*",
-        *carried,
-        matched_ts.alias(f"{ts}{suffix}"),
-    ).filter(F.col("__side") == 1)
+    out = (
+        unioned.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(
+            "*",
+            *[F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols],
+            F.col("__m")["__matched_ts"].alias(f"{ts}{suffix}"),
+        )
+    )
 
     if tolerance_seconds is not None:
         gap = F.unix_timestamp(ts) - F.unix_timestamp(f"{ts}{suffix}")
@@ -116,4 +135,4 @@ def asof_join(
             )
         out = out.withColumn(f"{ts}{suffix}", F.when(in_tol, F.col(f"{ts}{suffix}")))
 
-    return out.drop("__side")
+    return out.drop("__side", "__m", "__r_payload", *[f"__r_{c}" for c in right_cols])

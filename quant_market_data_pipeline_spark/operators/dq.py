@@ -85,9 +85,10 @@ def calendar_completeness_report(
     ``calendar`` columns: trading_date DATE, open_minutes INT, close_minutes
     INT (minute-of-day).  Expected = (close-open) // bar_minutes.  Days
     absent from the calendar -> status NO_CALENDAR (WARN branch ``:208-218``);
-    too many bars -> TOO_MANY (extended-hours leakage ``:230-233``); early
-    closes annotated when the session is shorter than 390 minutes
-    (``:236-237``).
+    ANY over-count -> TOO_MANY (extended-hours leakage fails the reference
+    gate, ``:230-233``); under-counts within tolerance stay PASS (the
+    reference has no WARN tier for in-calendar days); early closes
+    annotated when the session is shorter than 390 minutes (``:236-237``).
     """
     counts = per_day_counts(df, key, ts)
     cal = calendar.withColumn(
@@ -98,11 +99,14 @@ def calendar_completeness_report(
     )
     joined = counts.join(F.broadcast(cal), "trading_date", "left")
     missing = F.col("expected_bars") - F.col("bar_count")
+    # Exactly the reference gate (validate_calendar_alpaca.py:224-233):
+    # under-counts within tolerance stay PASS (there is no WARN tier for
+    # in-calendar days), but ANY over-count is extended-hours leakage and
+    # fail-grade (TOO_MANY); days the calendar doesn't know are warn-grade.
     status = (
         F.when(F.col("expected_bars").isNull(), F.lit("NO_CALENDAR"))
         .when(missing > tolerance, F.lit("FAIL"))
-        .when(-missing > tolerance, F.lit("TOO_MANY"))
-        .when(missing != 0, F.lit("WARN"))
+        .when(F.col("bar_count") > F.col("expected_bars"), F.lit("TOO_MANY"))
         .otherwise(F.lit("PASS"))
     )
     return joined.select(
@@ -123,13 +127,26 @@ def run_summary(report: DataFrame, status: str = "status") -> DataFrame:
     aggregation, no data to the driver until the single result row.
     """
     s = F.col(status)
-    agg = report.agg(
+    # Every status an engine report can emit lands in a tally: TOO_MANY is
+    # fail-grade (reference treats over-counts as FAIL), NO_CALENDAR is
+    # warn-grade (reference's not-in-calendar WARN) — nothing inflates
+    # n_checks without degrading the badge.
+    aggs = [
         F.count(F.lit(1)).alias("n_checks"),
         F.sum(F.when(s.isin("OK", "PASS"), 1).otherwise(0)).alias("n_ok"),
-        F.sum(F.when(s == "WARN", 1).otherwise(0)).alias("n_warn"),
-        F.sum(F.when(s == "FAIL", 1).otherwise(0)).alias("n_fail"),
-        F.max("missing_bars").alias("max_missing"),
-    )
+        F.sum(F.when(s.isin("WARN", "NO_CALENDAR"), 1).otherwise(0)).alias(
+            "n_warn"
+        ),
+        F.sum(F.when(s.isin("FAIL", "TOO_MANY"), 1).otherwise(0)).alias(
+            "n_fail"
+        ),
+    ]
+    # Calendar reports carry no missing_bars column; stay tolerant.
+    if "missing_bars" in report.columns:
+        aggs.append(F.max("missing_bars").alias("max_missing"))
+    else:
+        aggs.append(F.lit(None).cast("long").alias("max_missing"))
+    agg = report.agg(*aggs)
     # The badge the reference prints + exit-codes on (validate_data.py:
     # 218-227): any FAIL fails the run; else any WARN degrades it.
     return agg.withColumn(

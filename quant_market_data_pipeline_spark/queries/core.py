@@ -1092,16 +1092,17 @@ WITH counts AS (
 SELECT c.symbol, c.trading_date, c.bar_count, e.expected_bars,
        CASE WHEN e.expected_bars IS NULL THEN 'NO_CALENDAR'
             WHEN e.expected_bars - c.bar_count > 2 THEN 'FAIL'
-            WHEN c.bar_count - e.expected_bars > 2 THEN 'TOO_MANY'
-            WHEN e.expected_bars - c.bar_count != 0 THEN 'WARN'
+            WHEN c.bar_count > e.expected_bars THEN 'TOO_MANY'
             ELSE 'PASS' END AS status,
        coalesce(e.early_close, false) AS early_close
 FROM counts c LEFT JOIN expected e USING (trading_date)
 """,
     doc="Calendar-aware completeness (validate_calendar_alpaca.py:188-245 "
     "semantics): expected bars = (close-open)//5 from a broadcast "
-    "calendar dim, PASS/WARN/FAIL/TOO_MANY/NO_CALENDAR branches, early-"
-    "close annotation — via operators/dq.py:calendar_completeness_report.",
+    "calendar dim; PASS within tolerance, FAIL past it, TOO_MANY on any "
+    "over-count (extended-hours leakage), NO_CALENDAR for unknown days; "
+    "early-close annotation — via operators/dq.py:"
+    "calendar_completeness_report.",
 )
 def q_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.operators.dq import (

@@ -110,3 +110,76 @@ def test_asof_forward_tolerance(spark):
         rtol=1e-12,
         equal_nan=True,
     )
+
+
+def test_asof_null_payload_not_scavenged(spark):
+    """If the MATCHED right row carries a NULL payload value, the result
+    must hold that NULL (merge_asof semantics) — not a non-null value
+    scavenged from an older right row; and multiple payload columns must
+    all come from the same matched row."""
+    left = pd.DataFrame(
+        {"k": [1, 1], "ts": pd.to_datetime([300, 900], unit="s"),
+         "lv": [0.1, 0.2]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime([100, 200], unit="s"),
+            "rv": [7.0, None],        # matched row (ts=200) has NULL rv
+            "rw": [None, 8.0],        # ...but non-null rw
+        }
+    )
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            ts="ts",
+            right_cols=["rv", "rw"],
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    # both left rows match right ts=200 -> rv NULL, rw 8.0, never rv=7.0
+    assert out["rv_right"].isna().all()
+    assert (out["rw_right"] == 8.0).all()
+    assert (out["ts_right"] == pd.Timestamp("1970-01-01 00:03:20")).all()
+
+
+def test_asof_tolerance_gates_matched_row_only(spark):
+    """The tolerance gate keys on the matched row's ts: an out-of-tolerance
+    match nulls ALL carried columns, even when an older (also out-of-
+    tolerance) row had non-null values."""
+    left = pd.DataFrame(
+        {"k": [1], "ts": pd.to_datetime([1000], unit="s"), "lv": [0.5]}
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1],
+            "ts": pd.to_datetime([100, 400], unit="s"),
+            "rv": [7.0, None],
+        }
+    )
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        ts="ts",
+        right_cols=["rv"],
+        tolerance_seconds=700,
+    ).toPandas()
+    # matched row ts=400 (gap 600s) is within 700s -> carried, rv is its
+    # NULL; the older row (gap 900s) must not leak its 7.0
+    assert out["rv_right"].isna().all()
+    assert (out["ts_right"] == pd.Timestamp("1970-01-01 00:06:40")).all()
+    out2 = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="k",
+        ts="ts",
+        right_cols=["rv"],
+        tolerance_seconds=100,
+    ).toPandas()
+    # matched row now out of tolerance -> everything nulled, no leak of 7.0
+    assert out2["rv_right"].isna().all()
+    assert out2["ts_right"].isna().all()

@@ -89,6 +89,37 @@ def test_calendar_report_branches(spark):
         "NO_CALENDAR"
     }
 
+    # Under-count within tolerance stays PASS (no WARN tier in the
+    # reference gate), but ANY over-count is TOO_MANY.
+    near_full = _bars(spark, gaps={1, 2})  # 76 vs 78 expected, tol 2
+    assert calendar_completeness_report(near_full, calendar).collect()[0][
+        "status"
+    ] == "PASS"
+    leaked = _bars(spark, day="2024-01-09")  # 78 bars vs 42 expected
+    rep3 = {r["trading_date"]: r for r in
+            calendar_completeness_report(leaked, calendar).collect()}
+    assert rep3[dt.date(2024, 1, 9)]["status"] == "TOO_MANY"
+
+
+def test_run_summary_calendar_grades(spark):
+    """TOO_MANY counts as fail-grade, NO_CALENDAR as warn-grade, and
+    run_summary tolerates reports without a missing_bars column."""
+    calendar = spark.createDataFrame(
+        pd.DataFrame(
+            [{"trading_date": dt.date(2024, 1, 9), "open_minutes": 570,
+              "close_minutes": 780}]
+        )
+    )
+    rep = calendar_completeness_report(
+        _bars(spark, day="2024-01-09")  # 78 vs 42 -> TOO_MANY
+        .unionByName(_bars(spark, day="2024-01-10", symbol="BBB")),  # stray
+        calendar,
+    )
+    s = run_summary(rep).collect()[0]
+    assert (s["n_checks"], s["n_ok"], s["n_warn"], s["n_fail"]) == (2, 0, 1, 1)
+    assert s["run_status"] == "FAIL"
+    assert s["max_missing"] is None
+
 
 def test_run_summary_tallies(spark):
     rep = completeness_report(
