@@ -20,6 +20,8 @@ results are reproducible across engines and runs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -84,23 +86,34 @@ def cosine_topk(
     )
 
 
+def hyperplane_vector(plane: int, dim: int) -> list[float]:
+    """The ±1 hyperplane as a plain Python list, derived once at
+    plan-build time: component i is +1 iff md5("p{plane}_{i}") starts
+    with a hex digit >= 8 — byte-identical to the SQL-side derivation the
+    oracle uses (llm/hashing.py convention)."""
+    return [
+        1.0
+        if hashlib.md5(f"p{plane}_{i}".encode()).hexdigest()[0] >= "8"
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of <vec, h_plane> where h_plane has md5-derived ±1 entries."""
-    products = F.zip_with(
-        vec,
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"p{plane}_"), i.cast("string"))), 1, 1
-                )
-                >= "8",
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0)),
-        ),
-        lambda x, y: x * y,
+    """Sign bit of <vec, h_plane> where h_plane has md5-derived ±1 entries.
+
+    The plane is hoisted into the plan as a LITERAL array: deriving it
+    inside the row expression (transform+md5 over a sequence) re-computes
+    planes*dim md5 calls per ROW — Catalyst does not hoist the
+    row-invariant subtree — which at index-build scale is ~100x wasted
+    CPU.  As a literal, the expression is one zip_with dot product.
+    """
+    h = F.array(*[F.lit(x) for x in hyperplane_vector(plane, dim)])
+    s = F.aggregate(
+        F.zip_with(vec, h, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    s = F.aggregate(products, F.lit(0.0), lambda acc, v: acc + v)
     return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 

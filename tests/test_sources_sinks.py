@@ -236,3 +236,40 @@ def test_orc_lake_roundtrip(spark, tmp_path):
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan  # pruning works on ORC too
     assert one_day.count() == 1
+
+
+def test_read_jdbc_option_wiring(spark):
+    """S4 read adapter: argument validation + option wiring up to the JDBC
+    layer (no live database in-container: reaching the driver-resolution
+    error proves the reader was built and invoked)."""
+    import pytest
+
+    from quant_market_data_pipeline_spark.sources.sink import read_jdbc
+
+    with pytest.raises(ValueError, match="not both"):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost/x",
+            "t",
+            predicates=["a=1"],
+            partition_column="id",
+        )
+    with pytest.raises(ValueError, match="requires lower_bound"):
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost/x",
+            "t",
+            partition_column="id",
+        )
+    # full wiring: fails only at JVM driver/connection resolution
+    with pytest.raises(Exception) as ei:
+        read_jdbc(
+            spark,
+            "jdbc:postgresql://localhost:1/__nope__",
+            "(SELECT 1 AS x) t",
+            predicates=["x = 1", "x = 2"],
+        )
+    msg = str(ei.value)
+    assert "postgresql" in msg.lower() or "driver" in msg.lower() or (
+        "connect" in msg.lower()
+    )
