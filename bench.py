@@ -28,10 +28,35 @@ HEADLINE = [
     "dedup_exact_docs",
     "text_stats",
     # LLM extension headliners (registered in later rounds keep working
-    # automatically if present).
+    # automatically if present).  Similarity is represented by the SCALE
+    # paths (bucketed LSH / IVF); exact O(n*q) kNN stays a correctness
+    # baseline only (tests/test_mllib_interop.py uses it as the recall
+    # anchor) and is deliberately NOT benched.
     "minhash_lsh_pairs",
-    "knn_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
+
+
+def _previous_bench() -> dict[str, float]:
+    """Per-query seconds from the latest BENCH_r{N}.json, if any."""
+    import glob
+    import re
+
+    best: tuple[int, dict] | None = None
+    for path in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        if queries and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), queries)
+    return best[1] if best else {}
 
 
 def main() -> None:
@@ -62,6 +87,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Regression harness: deltas vs the previous round's recorded bench
+    # (>20% slower on a query that took >=0.5s flags a regression).
+    prev = _previous_bench()
+    deltas = {
+        name: round(t - prev[name], 3) for name, t in timings.items() if name in prev
+    }
+    regressions = [
+        name
+        for name, t in timings.items()
+        if name in prev and prev[name] >= 0.5 and t > 1.2 * prev[name]
+    ]
     print(
         json.dumps(
             {
@@ -70,6 +106,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "delta_vs_prev": deltas,
+                "regressions_over_20pct": regressions,
             }
         )
     )
