@@ -154,6 +154,50 @@ toks AS (
     FROM toks)
 )"""
 
+# Planted near-duplicates for the Jaccard pair queries: the organic corpus
+# holds almost no >=0.1-Jaccard pairs at small SF (round 1 matched on ONE
+# row — near-vacuous).  Every doc gets a twin with its last 10 tokens
+# dropped (doc_id + 100000, same source block): J = (N-12)/(N-2), high for
+# any doc length, so the pair queries return hundreds of rows while the
+# organic pairs still flow through the same plan.
+_PLANTED_SHINGLE_CTE = """
+toks0 AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  FROM documents
+), corpus AS (
+  SELECT doc_id, source, tokens FROM toks0
+  UNION ALL
+  SELECT doc_id + 100000, source,
+         tokens[1:greatest(5, len(tokens) - 10)] FROM toks0
+), sh AS (
+  SELECT DISTINCT doc_id, source, sh FROM (
+    SELECT doc_id, source,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM corpus)
+)"""
+
+
+def _planted_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PLANTED_SHINGLE_CTE: corpus + 10-token-truncated
+    planted twins, exploded to distinct (doc_id, source, shingle) rows."""
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select("doc_id", "source", word_tokens("text").alias("tokens"))
+    planted = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.slice(
+            "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
+        ).alias("tokens"),
+    )
+    corpus = toks.unionByName(planted)
+    return corpus.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("tokens"))).alias("sh"),
+    ).distinct()
+
+
 _MIN_EXPRS = ",\n       ".join(
     f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS h{i}"
     for i in range(16)
@@ -257,7 +301,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH {_SHINGLE_CTE},
+WITH {_PLANTED_SHINGLE_CTE},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_shared
@@ -273,18 +317,11 @@ JOIN sizes sb ON sb.doc_id = doc_hi
 WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.1
 """,
     doc="Exact word-3-gram Jaccard via inverted-index equi-join, blocked by "
-    "source — non-intersecting pairs never materialize.",
+    "source — non-intersecting pairs never materialize; corpus carries "
+    "planted truncation twins so the pair output is non-vacuous.",
 )
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_wide(spark, sf_dir)
-    shingled = (
-        d.select(
-            "doc_id",
-            "source",
-            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
-        )
-        .distinct()
-    )
+    shingled = _planted_shingled(spark, sf_dir)
     return jaccard_pairs(shingled, block_col="source", min_jaccard=0.1)
 
 
@@ -919,7 +956,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jaccard_pairs_df_capped",
     oracle=f"""
-WITH {_SHINGLE_CTE},
+WITH {_PLANTED_SHINGLE_CTE},
 rare AS (
   SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
   WHERE df <= 50
@@ -941,18 +978,11 @@ WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.1
 """,
     doc="Jaccard with the stop-shingle DF cut (df <= 50): bounds the "
     "inverted-index self-join quadratic at corpus scale — the variant "
-    "that survives 100 TB; denominators stay exact (uncut set sizes).",
+    "that survives 100 TB; denominators stay exact (uncut set sizes); "
+    "corpus carries planted truncation twins so output is non-vacuous.",
 )
 def q_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_wide(spark, sf_dir)
-    shingled = (
-        d.select(
-            "doc_id",
-            "source",
-            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
-        )
-        .distinct()
-    )
+    shingled = _planted_shingled(spark, sf_dir)
     return jaccard_pairs(
         shingled, block_col="source", min_jaccard=0.1, max_df=50
     )
