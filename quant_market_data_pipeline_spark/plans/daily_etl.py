@@ -89,3 +89,62 @@ def run_daily_etl(
     summary["ok"] = summary["run_status"] != "FAIL"
     summary["rows"] = result.count()
     return summary
+
+
+def exit_code(summary: dict) -> int:
+    """Scheduler gate (E1 contract): 0 = downstream may run, 1 = halt.
+
+    Mirrors the reference DAG's task gating
+    (/root/reference/dags/quant_pipeline_dag.py:31-66 chains
+    ingest -> transform -> validate and each task fails the run via its
+    process exit code; validate_data.py:218-227 exits 1 on a FAIL badge).
+    An empty result or a FAIL run_status is a hard stop; WARN degrades the
+    badge but does not halt (reference prints the warning and proceeds).
+    """
+    return 0 if summary.get("ok") else 1
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI entrypoint for external schedulers (Airflow BashOperator, cron):
+
+        python -m quant_market_data_pipeline_spark.plans.daily_etl \\
+            RAW_DIR OUT_PATH --pairs AAPL:MSFT,SPY:QQQ [--expected-bars 78]
+
+    Prints the DQ summary as one JSON line on stdout and returns the gate
+    exit code — the whole orchestration contract an external DAG needs.
+    """
+    import argparse
+    import json
+
+    from quant_market_data_pipeline_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("raw_dir")
+    p.add_argument("out_path")
+    p.add_argument(
+        "--pairs",
+        required=True,
+        help="comma-separated SYM1:SYM2 pair list",
+    )
+    p.add_argument("--expected-bars", type=int, default=78)
+    p.add_argument("--tolerance", type=int, default=2)
+    p.add_argument("--no-rth", action="store_true")
+    args = p.parse_args(argv)
+
+    pairs = [tuple(s.split(":", 1)) for s in args.pairs.split(",") if s]
+    spark = get_spark(app_name="daily_etl")
+    summary = run_daily_etl(
+        spark,
+        args.raw_dir,
+        args.out_path,
+        pairs,
+        expected_bars=args.expected_bars,
+        tolerance=args.tolerance,
+        rth=not args.no_rth,
+    )
+    print(json.dumps({k: str(v) if v is not None else None for k, v in summary.items()}))
+    return exit_code(summary)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

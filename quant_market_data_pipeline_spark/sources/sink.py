@@ -209,7 +209,22 @@ def upsert_rows(
         if ts_col is None or ts_col not in up.columns:
             raise ValueError(f"updates need {partition_col!r} or {ts_col!r}")
         up = up.withColumn(partition_col, F.to_date(F.col(ts_col)))
-    touched = [r[0] for r in up.select(partition_col).distinct().collect()]
+    # The touched-partition list is the ONE driver-side collect in the
+    # engine; it is bounded by partition count, not rows — but a caller
+    # accidentally updating half the table would still materialize a huge
+    # list and then rewrite everything.  Cap it: past the cap a full
+    # overwrite (or a real table format) is the right tool anyway.
+    max_touched = 10_000
+    touched = [
+        r[0]
+        for r in up.select(partition_col).distinct().limit(max_touched + 1).collect()
+    ]
+    if len(touched) > max_touched:
+        raise ValueError(
+            f"upsert touches more than {max_touched} {partition_col!r} "
+            "partitions; use a bulk overwrite or a table format for "
+            "table-scale rewrites"
+        )
 
     current = spark.read.parquet(path).filter(
         F.col(partition_col).isin(touched)

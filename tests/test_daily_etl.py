@@ -101,3 +101,69 @@ def test_daily_etl_end_to_end(spark, tmp_path):
     )
     assert summary2["rows"] == summary["rows"]
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_fake_fetcher_lands_bronze_contract(spark, tmp_path):
+    """S1 seam: the landing adapter writes documents the bronze scan reads
+    cleanly (no corrupt records), idempotently (re-land replaces)."""
+    from quant_market_data_pipeline_spark.sources.ingest import (
+        FakeBarsFetcher,
+    )
+    from quant_market_data_pipeline_spark.sources.json_bronze import (
+        CORRUPT_COL,
+        explode_to_bars,
+        read_raw_json,
+    )
+
+    landing = str(tmp_path / "landing")
+    fetcher = FakeBarsFetcher(bars_per_day=78)
+    days = [dt.date(2024, 1, 8)]
+    paths = fetcher.land(landing, ["AAA", "BBB"], days)
+    assert len(paths) == 2
+    paths2 = fetcher.land(landing, ["AAA", "BBB"], days)  # idempotent
+    assert sorted(paths) == sorted(paths2)
+
+    raw = read_raw_json(spark, landing).cache()
+    try:
+        assert raw.filter(F.col(CORRUPT_COL).isNotNull()).count() == 0
+        bars = explode_to_bars(raw)
+        assert bars.count() == 2 * 78
+        assert {
+            r["symbol"] for r in bars.select("symbol").distinct().collect()
+        } == {"AAA", "BBB"}
+    finally:
+        raw.unpersist()
+
+
+def test_daily_etl_cli_exit_code_contract(spark, tmp_path, capsys):
+    """E1 orchestration contract: the CLI prints one JSON summary line and
+    exits 0 on a passing run (what an external scheduler gates on)."""
+    from quant_market_data_pipeline_spark.plans.daily_etl import (
+        exit_code,
+        main,
+    )
+    from quant_market_data_pipeline_spark.sources.ingest import (
+        FakeBarsFetcher,
+    )
+
+    landing = str(tmp_path / "landing")
+    FakeBarsFetcher(bars_per_day=78).land(
+        landing, ["AAA", "BBB"], [dt.date(2024, 1, 8)]
+    )
+    rc = main(
+        [
+            landing,
+            str(tmp_path / "lake"),
+            "--pairs",
+            "AAA:BBB",
+            "--expected-bars",
+            "78",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    summary = json.loads(out)
+    assert rc == 0
+    assert summary["run_status"] in ("OK", "WARN")
+    # gate semantics: FAIL -> 1, WARN degrades but proceeds
+    assert exit_code({"ok": False}) == 1
+    assert exit_code({"ok": True}) == 0
