@@ -79,6 +79,11 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(band_structs).alias("b")
     ).select(id_col, "b.band_id", "b.bh")
+    # Materialize: both self-join sides reference the banded keys, and
+    # without this the whole shingle -> k-min signature pipeline (the
+    # expensive part) executes twice.  An LSH index build IS a
+    # materialization step; the checkpoint is n_docs x bands small rows.
+    banded = banded.localCheckpoint()
     a = banded.alias("a")
     bdf = banded.alias("b")
     return (
@@ -130,6 +135,11 @@ def jaccard_pairs(
     exact for every surviving pair, slightly under-counted only by the
     dropped shingles' intersections.
     """
+    # Materialize the shingle set once: it feeds the size aggregate, the
+    # optional DF cut, and BOTH sides of the inverted-index self-join —
+    # without this the tokenize+shingle+distinct pipeline runs up to four
+    # times.
+    shingled = shingled.localCheckpoint()
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (

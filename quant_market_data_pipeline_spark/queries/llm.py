@@ -1053,6 +1053,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = simhash_fingerprints(d, bits=16).select(
         "doc_id", F.col("simhash").cast("long").alias("simhash")
     )
+    # materialize: both self-join sides, else the token-vote pipeline
+    # (the expensive part) executes twice
+    fp = fp.localCheckpoint()
     a = fp.select(
         F.col("doc_id").alias("doc_lo"),
         F.col("simhash").alias("sh_a"),
