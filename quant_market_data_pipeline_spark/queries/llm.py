@@ -1282,3 +1282,100 @@ def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition filtering (Gopher/C4-style quality rule): documents dominated
+# by a few tokens or by repeated n-grams are boilerplate/low-quality for
+# LM training.  Registered at the registry tail: rotates into the
+# correctness-gate priority window next round (see queries/__init__).
+# ---------------------------------------------------------------------------
+@register(
+    "repetition_profile",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_token_count,
+       CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS distinct_ratio,
+       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS top_token_frac,
+       CASE WHEN CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) < 0.3
+              OR CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT) > 0.2
+            THEN 'DROP' ELSE 'KEEP' END AS verdict
+FROM counts GROUP BY doc_id
+""",
+    doc="Gopher-style repetition profile per document: token multiset "
+    "stats (distinct ratio, top-token fraction) + a KEEP/DROP verdict — "
+    "two hash aggregations, exact integer arithmetic, deterministic "
+    "double divisions (no rounding needed for cross-engine equality).",
+)
+def q_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(tokens_column("text")).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    n_distinct = F.count(F.lit(1))
+    top = F.max("c")
+    distinct_ratio = n_distinct.cast("double") / total
+    top_frac = top.cast("double") / total
+    return counts.groupBy("doc_id").agg(
+        total.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        top.alias("top_token_count"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_token_frac"),
+        F.when((distinct_ratio < 0.3) | (top_frac > 0.2), "DROP")
+        .otherwise("KEEP")
+        .alias("verdict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary build: global top-k bigram counts — the counting pass
+# under any BPE/WordPiece merge-table or stopword-list construction.  At
+# 100 TB this is the canonical map-side-combine aggregation: partial
+# counts per partition, one shuffle on the n-gram, top-k via one window
+# over the (tiny) aggregated frame.
+# ---------------------------------------------------------------------------
+@register(
+    "vocab_top_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+), grams AS (
+  SELECT unnest([array_to_string(tokens[i:i+1], ' ')
+                 for i in generate_series(1, len(tokens) - 1)]) AS ngram
+  FROM toks
+), counts AS (
+  SELECT ngram, count(*) AS n FROM grams GROUP BY ngram
+), ranked AS (
+  SELECT ngram, n, row_number() OVER (ORDER BY n DESC, ngram) AS rank
+  FROM counts
+)
+SELECT ngram, n, rank FROM ranked WHERE rank <= 100
+""",
+    doc="Global top-100 bigram vocabulary: explode word bigrams, "
+    "map-side-combined corpus counts, deterministic (count DESC, ngram) "
+    "ranking — the counting pass of BPE merge-table construction.",
+)
+def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    grams = d.select(
+        F.explode(word_shingles(word_tokens("text"), 2)).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+    )
