@@ -7,9 +7,19 @@ own queries (everything is a JVM-side built-in composition; no UDFs):
 - text/hashing: tokenization, shingling, the seeded-md5 hash family that
   makes MinHash/SimHash/LSH deterministic and oracle-checkable;
 - time: tumbling-bucket floor (the scalar twin of ``F.window``);
-- vectors: cosine similarity over ``array<float>`` columns.
+- vectors: cosine similarity over ``array<float>`` columns;
+- exact: cross-engine order-insensitive money/avg aggregates (decimal
+  internally, double at the boundary — see functions/exact.py).
 """
 
+from quant_market_data_pipeline_spark.functions.exact import (  # noqa: F401
+    fin,
+    money,
+    money_avg,
+    money_sum,
+    one_minus,
+    one_plus,
+)
 from quant_market_data_pipeline_spark.llm.hashing import (  # noqa: F401
     band_hash,
     hamming16,
@@ -41,6 +51,12 @@ __all__ = [
     "cosine",
     "dot",
     "norm",
+    "fin",
+    "money",
+    "money_avg",
+    "money_sum",
+    "one_minus",
+    "one_plus",
     "floor_bucket",
     "hamming16",
     "md5_sign",
