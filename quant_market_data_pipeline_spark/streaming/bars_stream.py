@@ -58,6 +58,44 @@ def read_tick_stream(
     return reader.format(fmt).load(landing_dir)
 
 
+def read_kafka_tick_stream(
+    spark,
+    bootstrap_servers: str,
+    topic: str,
+    schema: T.StructType = TICK_SCHEMA,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka tick source: the at-scale replacement for the landing-dir
+    file stream (same downstream contract as ``read_tick_stream``).
+
+    The JSON payload in ``value`` is parsed against the EXPLICIT tick
+    schema (``from_json`` is PERMISSIVE: malformed rows surface as nulls,
+    mirroring the bronze posture).  ``maxOffsetsPerTrigger`` bounds
+    micro-batch size — the backpressure knob that keeps state and sink
+    commits sized under burst load.  Partitioning: one Spark task per
+    Kafka partition; key the producer on symbol for per-symbol ordering.
+
+    Untestable in-container (no broker and no kafka connector jar);
+    construction/option wiring only — the rest of the pipeline is
+    source-agnostic past this function (tested via the file source).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
+        )
+    raw = reader.load()
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("t")
+    ).select("t.*")
+
+
 def dedup_stream(
     ticks: DataFrame,
     keys: list[str],
