@@ -1374,8 +1374,11 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(word_shingles(word_tokens("text"), 2)).alias("ngram")
     )
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("ngram"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 100)
-    )
+    # orderBy+limit plans as TakeOrderedAndProject — per-partition top-k
+    # then a driver merge of k-row heads — NOT a global-window sort (a
+    # single-partition shuffle of the whole vocabulary, which at corpus
+    # scale is billions of distinct n-grams).  The rank column is then a
+    # window over just the 100 survivors.
+    top = counts.orderBy(F.col("n").desc(), "ngram").limit(100)
+    w = Window.orderBy(F.col("n").desc(), "ngram")
+    return top.withColumn("rank", F.row_number().over(w))

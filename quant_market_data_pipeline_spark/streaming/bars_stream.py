@@ -11,7 +11,8 @@ Maps the reference's batch semantics onto Structured Streaming
 - ``withWatermark`` bounds state and handles late data — the role the
   reference's UNIQUE(symbol,timestamp) constraint + full overwrite loads
   (``schema.py:42``, ``transform_data.py:207``) play offline;
-- ``dropDuplicates`` within the watermark is the stateful dedup;
+- ``dropDuplicatesWithinWatermark`` is the stateful dedup (key-only
+  subsets still age out of state);
 - ``foreachBatch`` writes idempotent partitioned parquet, replacing the
   destructive JDBC overwrite (S5).
 
