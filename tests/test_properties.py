@@ -129,3 +129,38 @@ def test_bar_invariants_and_shuffle_determinism(spark, ticks):
     a = bars.sort_values(["symbol", "bar_ts"]).reset_index(drop=True)
     b = bars2.sort_values(["symbol", "bar_ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    cents=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9),
+        min_size=1,
+        max_size=300,
+    ),
+    parts=st.sampled_from([1, 3, 7, 32]),
+)
+def test_money_sum_partition_order_invariant(spark, cents, parts):
+    """money_sum is EXACT: bit-identical to the Decimal ground truth for
+    any partitioning/arrival order — the property the oracle value-hash
+    gate depends on (plain float sum breaks it at money scale)."""
+    import decimal
+
+    from quant_market_data_pipeline_spark.functions.exact import money_sum
+
+    values = [c / 100.0 for c in cents]
+    truth = float(sum(decimal.Decimal(c) for c in cents) / 100)
+
+    got = set()
+    for seed in (0, 1):
+        order = values if seed == 0 else list(reversed(values))
+        df = spark.createDataFrame(
+            [(v,) for v in order], "x double"
+        ).repartition(parts)
+        row = df.agg(money_sum("x").alias("s")).collect()[0]
+        got.add(row["s"])
+    assert got == {truth}, (got, truth)
