@@ -530,3 +530,29 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name), (n_name), ())
         """
     )
+
+
+@register(
+    "group_concat_types",
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       count(DISTINCT event_type) AS n_types,
+       count(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    doc="LISTAGG/string_agg reporting shape: per-day sorted distinct "
+    "symbol list as CSV — deterministic via sort_array(collect_set), "
+    "the order-insensitive way to aggregate strings (bare collect_list "
+    "concat is partition-order-dependent and would never hash-match).",
+)
+def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("types_csv"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
