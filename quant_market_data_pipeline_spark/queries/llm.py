@@ -1382,3 +1382,124 @@ def q_vocab_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "ngram").limit(100)
     w = Window.orderBy(F.col("n").desc(), "ngram")
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# 32-bit SimHash near-dup pairs with 16-bit blocking — the scale-true
+# variant of simhash_neardup_pairs: the 16-bit fingerprint's 256-block
+# space collapses at corpus scale (1.5M candidate pairs at sf0.1), while
+# 2^16 blocks over a 32-bit fingerprint keep bucket sizes bounded.
+# Corpus carries the planted truncation twins so the pair output is
+# non-vacuous.  Registered at the tail: rotates into the next verify
+# window.
+# ---------------------------------------------------------------------------
+# One md5 per token: bit b of the fingerprint votes on whether the b-th
+# hex digit of md5(token) has its high nibble-bit set -- 32x fewer hash
+# calls than a per-bit seeded hash, same independence in expectation.
+_SIM32_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN substr(h, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(32)
+)
+_SIM32_BITS = " + ".join(
+    f"(CASE WHEN s{b} >= 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(32)
+)
+
+
+@register(
+    "simhash32_neardup_pairs",
+    oracle=f"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+), corpus AS (
+  SELECT doc_id, array_to_string(tokens, ' ') AS text FROM toks0
+  UNION ALL
+  SELECT doc_id + 100000,
+         array_to_string(tokens[1:greatest(5, len(tokens) - 10)], ' ')
+  FROM toks0
+), toks AS (
+  SELECT doc_id, md5(unnest(regexp_extract_all(text, '\\S+'))) AS h
+  FROM corpus
+), sums AS (
+  SELECT doc_id,
+       {_SIM32_SUMS}
+  FROM toks GROUP BY doc_id
+), fp AS (
+  SELECT doc_id, {_SIM32_BITS} AS simhash FROM sums
+), blocked AS (
+  SELECT doc_id, simhash, simhash // 65536 AS blk FROM fp
+)
+SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    doc="32-bit SimHash near-dup candidates blocked on the top 16 bits "
+    "(2^16 blocks keep bucket joins bounded at corpus scale, unlike the "
+    "16-bit/256-block variant); hamming <= 3 over bit_count(xor); "
+    "planted truncation twins keep the output non-vacuous.",
+)
+def q_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import hamming16
+
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    corpus = toks.select(
+        "doc_id", F.array_join("tokens", " ").alias("text")
+    ).unionByName(
+        toks.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    toks32 = corpus.select(
+        "doc_id", F.explode(tokens_column("text")).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    sums = toks32.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("h", b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    from quant_market_data_pipeline_spark.llm.hashing import simhash_from_sums
+
+    fp = sums.select(
+        "doc_id",
+        simhash_from_sums([f"s{b}" for b in range(32)])
+        .cast("long")
+        .alias("simhash"),
+    )
+    fp = fp.localCheckpoint()  # both self-join sides
+    blocked = fp.withColumn(
+        "blk", (F.col("simhash") / 65536).cast("long")
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_lo"),
+        F.col("simhash").alias("sh_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_hi"),
+        F.col("simhash").alias("sh_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_lo") < F.col("doc_hi")),
+        )
+        .select(
+            "doc_lo",
+            "doc_hi",
+            hamming16(F.col("sh_a"), F.col("sh_b")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
