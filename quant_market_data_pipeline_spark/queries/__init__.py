@@ -117,6 +117,7 @@ def load_all() -> dict[str, QuerySpec]:
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
         llm,
+        quant,
         relational,
         tpch,
     )

@@ -1503,3 +1503,74 @@ def q_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the ranking primitive behind quality
+# filtering / topical routing in a training-data pipeline.
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+         tf.tf * (ln((1.0 + n.n_docs) / (1.0 + df.df)) + 1.0) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3
+""",
+    doc="Smoothed TF-IDF (sklearn-style ln((1+N)/(1+df))+1) with top-3 "
+    "terms per doc.  tf and df are one hash-agg each; N arrives via a "
+    "broadcast 1-row frame (no driver action at plan time); the df join "
+    "is on the vocab key (AQE may broadcast it); final top-k is a window "
+    "on doc_id.  All shuffles key on high-cardinality columns.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(word_tokens(F.lower("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (1.0 + F.col("n_docs")) / (1.0 + F.col("df"))
+                    )
+                    + 1.0
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .withColumn("tfidf", F.round("tfidf", 6))
+    )
