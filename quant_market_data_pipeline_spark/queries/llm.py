@@ -1547,6 +1547,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(word_tokens(F.lower("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df derives from tf; materialize so the corpus is tokenized once, not
+    # once per consumer (index-build convention, PLANS.md).
+    tf = tf.localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

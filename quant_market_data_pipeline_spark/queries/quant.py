@@ -244,6 +244,10 @@ def q_pair_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     rets = bars.withColumn(
         "r", F.log("close") - F.log(F.lag("close").over(w))
     ).filter(F.col("r").isNotNull())
+    # both self-join sides reference the bar+window build; materialize it
+    # once (index-build convention, PLANS.md) instead of running the tick
+    # scan and window twice.
+    rets = rets.localCheckpoint()
     a = rets.select(
         F.col("symbol").alias("sym_a"), "bar_ts", F.col("r").alias("ra")
     )
