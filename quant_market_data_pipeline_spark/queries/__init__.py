@@ -96,14 +96,15 @@ _PRIORITY = [
     "dq_run_summary",
     "temporal_features",
     "token_lang_profile",
-    # --- bench headliners (green round 1; keep inside the checked window
-    #     so every benched query always has a same-round verdict) ---
-    "flagship_pair_zscore",
-    "bars_5min_ohlcv",
-    "missing_buckets_audit",
-    "asof_join_backward",
-    "dedup_exact_docs",
-    "minhash_lsh_pairs",
+    # --- round-2 additions (first oracle check round 2).  The six bench
+    #     headliners previously held here left the window: each already
+    #     carries a green round-1 verdict and coverage is cumulative. ---
+    "bar_returns_daily_vol",
+    "max_drawdown",
+    "bars_rollup_1h",
+    "pair_return_correlation",
+    "tfidf_top_terms",
+    "simhash32_neardup_pairs",
 ]
 
 
