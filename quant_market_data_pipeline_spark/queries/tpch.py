@@ -484,3 +484,267 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.withColumn(
         "cum_revenue", fin(F.sum(F.col("revenue").cast("decimal(18,4)")).over(w))
     )
+
+
+@register(
+    "promo_revenue_ratio",
+    oracle=f"""
+SELECT date_trunc('month', l_shipdate)::TIMESTAMP AS ship_month,
+       {sql_fin(f"sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END)")} AS promo_revenue,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS total_revenue,
+       round(100.0 * {sql_fin(f"sum(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+                   / {sql_fin(f'sum({_DISC_PRICE})')}, 6) AS promo_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+""",
+    doc="TPC-H Q14 shape: promotion revenue share per ship month — "
+    "conditional decimal aggregate over a broadcast part join; the ratio "
+    "is one double division of two exact sums (deterministic), rounded "
+    "identically in both engines.",
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    total = F.sum(_disc_price())
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            fin(promo).alias("promo_revenue"),
+            fin(total).alias("total_revenue"),
+            F.round(100.0 * fin(promo) / fin(total), 6).alias("promo_pct"),
+        )
+    )
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: order-count distribution over a LEFT OUTER "
+    "customer-orders join — zero-order customers survive as c_count=0; "
+    "two-level integer aggregation, no float anywhere.",
+)
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "top_supplier_revenue",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {sql_fin(f'sum({_DISC_PRICE})')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the "
+    "argmax supplier(s).  The max is taken over the tiny post-aggregate "
+    "frame (|suppliers| rows) via a global window, never over the fact; "
+    "equality on exact decimal-derived doubles is deterministic.",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        money_sum(_disc_price()).alias("total_revenue")
+    )
+    best = F.max("total_revenue").over(Window.partitionBy())
+    return (
+        rev.withColumn("__best", best)
+        .filter(F.col("total_revenue") == F.col("__best"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "small_qty_avg_revenue",
+    oracle=f"""
+SELECT p_brand,
+       round({sql_fin('sum(CAST(l_extendedprice AS DECIMAL(12,2)))')} / 7.0, 6)
+         AS avg_yearly,
+       count(*) AS n_items
+FROM (
+  SELECT p_brand, l_extendedprice, l_quantity,
+         {sql_fin('sum(CAST(l_quantity AS DECIMAL(12,2))) OVER (PARTITION BY p_partkey)')}
+           / count(*) OVER (PARTITION BY p_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand IN ('Brand#9', 'Brand#13')
+)
+WHERE l_quantity < 0.5 * avg_qty
+GROUP BY p_brand
+""",
+    doc="TPC-H Q17 shape: revenue impact of small-quantity orders — the "
+    "per-part average-quantity correlated subquery decorrelated into one "
+    "window over the brand-filtered join (no per-row subquery, no "
+    "second scan of the fact).",
+)
+def q_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#9", "Brand#13")
+    )
+    w = Window.partitionBy("p_partkey")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    avg_qty = fin(F.sum(money("l_quantity")).over(w)) / F.count(F.lit(1)).over(w)
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(money_sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "nation_year_revenue",
+    oracle=f"""
+SELECT n_name AS nation, year(l_shipdate) AS o_year,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+    doc="TPC-H Q9 shape (adapted: no partsupp table, so revenue stands in "
+    "for profit): per supplier-nation per year over a LIKE-filtered part "
+    "dim — two broadcast dims on the fact, substring filter evaluated "
+    "before the join.",
+)
+def q_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            money_sum(_disc_price()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       {sql_money_sum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+        SELECT {sql_fin("sum(CAST(c_acctbal AS DECIMAL(12,2)))")} / count(*)
+        FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+    doc="TPC-H Q22 shape (adapted: mktsegment stands in for the phone "
+    "country code): above-average-balance customers with no orders — "
+    "exact-decimal global average broadcast as a 1-row frame (no "
+    "driver-side collect), anti join against orders.",
+)
+def q_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((fin(F.sum(money("c_acctbal"))) / F.count(F.lit(1))).alias("__avg"))
+    )
+    return (
+        cust.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "bracket_revenue",
+    oracle=f"""
+SELECT {sql_fin(f'sum({_DISC_PRICE})')} AS revenue, count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type  = 'PROMO'    AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+""",
+    doc="TPC-H Q19 shape: disjunctive multi-bracket predicate spanning "
+    "both join sides — the per-side conjuncts (p_size/p_brand on part, "
+    "none liftable on lineitem without losing rows) stay with the "
+    "broadcast join; revenue over the OR of three brackets.",
+)
+def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    )
+    b3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(20, 50)
+        & (F.col("l_quantity") >= 25)
+    )
+    return joined.filter(b1 | b2 | b3).agg(
+        money_sum(_disc_price()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
