@@ -20,6 +20,7 @@ from quant_market_data_pipeline_spark.llm.dedup import (
     simhash_fingerprints,
 )
 from quant_market_data_pipeline_spark.llm.hashing import (
+    seeded_md5_long,
     word_shingles,
     word_tokens,
 )
@@ -1576,4 +1577,163 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .withColumn("tfidf", F.round("tfidf", 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split + per-source corpus quality +
+# eval-set decontamination: the release-engineering trio every
+# training-data pipeline runs before a corpus ships.
+# ---------------------------------------------------------------------------
+@register(
+    "train_split_assignment",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM b GROUP BY 1
+""",
+    doc="Deterministic 80/10/10 split by seeded content hash of the "
+    "stable doc key — no RNG state, no shuffle files: any executor can "
+    "recompute any doc's split membership independently, which is what "
+    "makes the assignment reproducible across reruns AND engines "
+    "(llm/hashing.py md5 family).  One hash aggregate; 3 rows out.",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = seeded_md5_long("split", F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_chars"),
+    )
+
+
+@register(
+    "per_source_quality",
+    oracle="""
+WITH toks AS (
+  SELECT source, lang, n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS avg_tokens,
+       round(CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS short_frac,
+       count(DISTINCT lang) AS n_langs
+FROM toks GROUP BY source
+""",
+    doc="Per-source corpus scorecard: doc count, mean length in chars "
+    "and tokens, short-doc fraction, language spread.  The shape that "
+    "decides which crawl sources are worth keeping — a single hash "
+    "aggregate on the (low-cardinality, skew-free) source key.",
+)
+def q_per_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(word_tokens("text")).alias("n_tokens"),
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_chars"
+        ),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_tokens"),
+        F.round(
+            F.sum(F.when(F.col("n_tokens") < 20, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("short_frac"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
+    "decontamination_report",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, sh FROM (
+    SELECT doc_id, source,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM toks)
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE source = 'src0'
+), flagged AS (
+  SELECT DISTINCT s.doc_id FROM sh s
+  JOIN eval_sh e ON s.sh = e.sh
+  WHERE s.source <> 'src0'
+)
+SELECT d.source AS source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+GROUP BY 1
+""",
+    doc="Benchmark decontamination: training docs sharing any word-3-gram "
+    "with the held-out eval slice (source 'src0') are flagged, reported "
+    "per source.  The overlap test is an inverted-index semi join on the "
+    "shingle key — the same join geometry as the Jaccard dedup path, so "
+    "no all-pairs blowup; at 100 TB the eval side is the small relation "
+    "and the shingle join partitions uniformly (md5-distributed keys).",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+        )
+        .distinct()
+    )
+    eval_sh = sh.filter(F.col("source") == "src0").select("sh").distinct()
+    flagged = (
+        sh.filter(F.col("source") != "src0")
+        .join(eval_sh, "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = d.filter(F.col("source") != "src0")
+    return (
+        train.join(
+            flagged.withColumn("__hit", F.lit(1)), "doc_id", "left_outer"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
     )

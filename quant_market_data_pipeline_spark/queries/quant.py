@@ -259,3 +259,196 @@ def q_pair_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.corr("ra", "rb"), 4).alias("ret_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bollinger bands: 20-bar rolling mean +/- 2 sigma with breakout flag.
+# ---------------------------------------------------------------------------
+_BARS_CTE = """
+bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+)"""
+
+
+@register(
+    "bollinger_bands",
+    oracle=f"""
+WITH {_BARS_CTE},
+b AS (
+  SELECT symbol, bar_ts, close,
+         avg(close) OVER w AS mid,
+         stddev_samp(close) OVER w AS sd,
+         count(*) OVER w AS n
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, round(close, 6) AS close,
+       round(mid, 6) AS mid,
+       round(mid + 2 * sd, 6) AS upper_band,
+       round(mid - 2 * sd, 6) AS lower_band,
+       CASE WHEN close > mid + 2 * sd THEN 1
+            WHEN close < mid - 2 * sd THEN -1 ELSE 0 END AS breakout
+FROM b WHERE n = 20
+""",
+    doc="Bollinger bands over the 5-min close series: 20-bar trailing "
+    "mean +/- 2 stddev and a breakout flag.  One window exchange on "
+    "symbol serves all three band columns; warm-up rows (frame < 20) "
+    "are dropped so every band is a full-width statistic.",
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    mid = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    n = F.count(F.lit(1)).over(w)
+    return (
+        bars.select(
+            "symbol",
+            "bar_ts",
+            F.col("close"),
+            mid.alias("__mid"),
+            sd.alias("__sd"),
+            n.alias("__n"),
+        )
+        .filter(F.col("__n") == 20)
+        .select(
+            "symbol",
+            "bar_ts",
+            F.round("close", 6).alias("close"),
+            F.round("__mid", 6).alias("mid"),
+            F.round(F.col("__mid") + 2 * F.col("__sd"), 6).alias("upper_band"),
+            F.round(F.col("__mid") - 2 * F.col("__sd"), 6).alias("lower_band"),
+            F.when(
+                F.col("close") > F.col("__mid") + 2 * F.col("__sd"), F.lit(1)
+            )
+            .when(
+                F.col("close") < F.col("__mid") - 2 * F.col("__sd"), F.lit(-1)
+            )
+            .otherwise(F.lit(0))
+            .alias("breakout"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RSI(14), simple-average form (cutler's RSI: window averages, no
+# recursive Wilder smoothing -- expressible as a pure window aggregate).
+# ---------------------------------------------------------------------------
+@register(
+    "rsi_14",
+    oracle=f"""
+WITH {_BARS_CTE},
+diffs AS (
+  SELECT symbol, bar_ts,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts)
+           AS diff
+  FROM bars
+), gl AS (
+  SELECT symbol, bar_ts,
+         CASE WHEN diff > 0 THEN diff ELSE 0 END AS gain,
+         CASE WHEN diff < 0 THEN -diff ELSE 0 END AS loss
+  FROM diffs WHERE diff IS NOT NULL
+), rsi AS (
+  SELECT symbol, bar_ts,
+         avg(gain) OVER w AS ag, avg(loss) OVER w AS al,
+         count(*) OVER w AS n
+  FROM gl
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts,
+       round(CASE WHEN al = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + ag / al) END, 6) AS rsi
+FROM rsi WHERE n = 14
+""",
+    doc="Cutler's RSI(14) on 5-min bars: trailing simple averages of "
+    "gains and losses over one symbol-keyed window exchange (the "
+    "recursive Wilder EMA variant lives in streaming/stateful.py "
+    "territory; this closed form is the batch-scan answer).",
+)
+def q_rsi_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir)
+    lagw = Window.partitionBy("symbol").orderBy("bar_ts")
+    diffs = bars.withColumn(
+        "diff", F.col("close") - F.lag("close").over(lagw)
+    ).filter(F.col("diff").isNotNull())
+    gl = diffs.select(
+        "symbol",
+        "bar_ts",
+        F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0.0)).alias(
+            "gain"
+        ),
+        F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0.0)).alias(
+            "loss"
+        ),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    scored = gl.select(
+        "symbol",
+        "bar_ts",
+        F.avg("gain").over(w).alias("__ag"),
+        F.avg("loss").over(w).alias("__al"),
+        F.count(F.lit(1)).over(w).alias("__n"),
+    ).filter(F.col("__n") == 14)
+    return scored.select(
+        "symbol",
+        "bar_ts",
+        F.round(
+            F.when(F.col("__al") == 0, F.lit(100.0)).otherwise(
+                100.0 - 100.0 / (1.0 + F.col("__ag") / F.col("__al"))
+            ),
+            6,
+        ).alias("rsi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intraday seasonality: mean 5-min return by hour of day.
+# ---------------------------------------------------------------------------
+@register(
+    "intraday_seasonality",
+    oracle=f"""
+WITH {_BARS_CTE},
+rets AS (
+  SELECT symbol, bar_ts,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           AS r
+  FROM bars WHERE close > 0
+)
+SELECT symbol, CAST(hour(bar_ts) AS BIGINT) AS hod,
+       CAST(count(*) AS BIGINT) AS n_ret,
+       round(avg(r), 6) AS mean_ret,
+       round(stddev_samp(r), 6) AS ret_stddev
+FROM rets WHERE r IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Hour-of-day return seasonality profile: the window exchange on "
+    "symbol feeds a (symbol, hour) hash aggregate -- 24 output rows per "
+    "symbol regardless of input scale, the map-side partials absorb "
+    "everything.",
+)
+def q_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir).filter(F.col("close") > 0)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.withColumn(
+        "r", F.log("close") - F.log(F.lag("close").over(w))
+    ).filter(F.col("r").isNotNull())
+    return rets.groupBy(
+        "symbol", F.hour("bar_ts").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.round(F.stddev_samp("r"), 6).alias("ret_stddev"),
+    )

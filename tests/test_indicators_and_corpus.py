@@ -1,0 +1,77 @@
+"""Invariants for the quant indicators and corpus-release queries.
+
+Oracle equivalence is covered by the DuckDB gate; these pin the semantic
+bounds the SQL compare can't state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries.llm import (
+    q_decontamination,
+    q_per_source_quality,
+    q_train_split,
+)
+from quant_market_data_pipeline_spark.queries.quant import (
+    q_bollinger_bands,
+    q_intraday_seasonality,
+    q_rsi_14,
+)
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_bollinger_band_ordering_and_breakout(spark):
+    rows = q_bollinger_bands(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lower_band <= r.mid <= r.upper_band
+        # breakout flag agrees with the (rounded) band columns up to the
+        # rounding slack of 1e-6 on each side
+        if r.breakout == 1:
+            assert r.close >= r.upper_band - 2e-6
+        elif r.breakout == -1:
+            assert r.close <= r.lower_band + 2e-6
+
+
+def test_rsi_bounds(spark):
+    stats = q_rsi_14(spark, SF_DIR).agg(
+        F.min("rsi"), F.max("rsi"), F.count(F.lit(1))
+    ).first()
+    assert stats[2] > 0
+    assert 0.0 <= stats[0] and stats[1] <= 100.0
+
+
+def test_seasonality_covers_all_hours(spark):
+    rows = q_intraday_seasonality(spark, SF_DIR).collect()
+    hods = {r.hod for r in rows}
+    assert hods <= set(range(24))
+    # the fixture tick stream is around-the-clock: expect full coverage
+    assert len(hods) == 24
+
+
+def test_train_split_partitions_corpus(spark):
+    rows = q_train_split(spark, SF_DIR).collect()
+    n_docs = load_table(spark, "documents", SF_DIR).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    frac = {r.split: r.n_docs / n_docs for r in rows}
+    assert abs(frac.get("train", 0) - 0.8) < 0.1  # md5 buckets ~uniform
+    assert set(frac) == {"train", "val", "test"}
+
+
+def test_decontamination_excludes_eval_and_bounds(spark):
+    rows = q_decontamination(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.source != "src0"
+        assert 0 <= r.n_contaminated <= r.n_docs
+
+
+def test_per_source_quality_fractions(spark):
+    rows = q_per_source_quality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.short_frac <= 1.0
+        assert r.avg_tokens > 0 and r.n_langs >= 1
