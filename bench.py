@@ -35,6 +35,9 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # Hierarchical rollup headliner: hours derive from the 5-min bar
+    # aggregate, not from raw ticks — the continuous-aggregate pattern.
+    "bars_rollup_1h",
 ]
 
 
