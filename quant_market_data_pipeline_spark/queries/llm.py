@@ -1737,3 +1737,75 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_contaminated"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source, sh FROM (
+    SELECT source,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM toks)
+), sizes AS (
+  SELECT source, count(*) AS sz FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+""",
+    doc="Cross-source contamination matrix: word-3-gram Jaccard between "
+    "every pair of crawl sources.  The set representation collapses to "
+    "DISTINCT (source, shingle) FIRST — the self-join input is one row "
+    "per source per shingle (fan-out bounded by |sources| per shingle, "
+    "never by docs), so the pair explosion is O(shingles x sources^2) "
+    "worst-case and the output is the |sources| choose 2 matrix.  The "
+    "release-gate generalization of `decontamination_report`.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = (
+        d.select(
+            "source",
+            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+        )
+        .distinct()
+        # index-build convention (PLANS.md): both self-join sides and the
+        # size aggregate reference this tokenize+distinct build
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, ["sh"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("__sb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("__sa") + F.col("__sb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

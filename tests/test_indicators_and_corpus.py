@@ -75,3 +75,18 @@ def test_per_source_quality_fractions(spark):
     for r in rows:
         assert 0.0 <= r.short_frac <= 1.0
         assert r.avg_tokens > 0 and r.n_langs >= 1
+
+
+def test_source_overlap_matrix_shape(spark):
+    from quant_market_data_pipeline_spark.queries.llm import q_source_overlap
+
+    rows = q_source_overlap(spark, SF_DIR).collect()
+    assert rows
+    n_sources = (
+        load_table(spark, "documents", SF_DIR).select("source").distinct().count()
+    )
+    assert len(rows) <= n_sources * (n_sources - 1) // 2
+    for r in rows:
+        assert r.source_a < r.source_b  # upper triangle only
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.n_shared >= 1
