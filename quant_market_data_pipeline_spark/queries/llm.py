@@ -1809,3 +1809,51 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "grouped_agg_median_value",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(median(value), 6) AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Arrow GROUPED_AGG pandas UDAF — the one UDF flavor the rest of "
+    "the engine doesn't exercise (scalar pandas_udf, grouped-map "
+    "applyInPandas, and UDTF all have queries).  Exact interpolated "
+    "median/p90 per group via numpy over Arrow batches; numpy and "
+    "DuckDB interpolate identically (linear, averaged middle pair).  "
+    "Groups are whole-loaded per key — correct for bounded-cardinality "
+    "keys like event_type; unbounded keys belong in approx_percentile "
+    "(`approx_percentile_prices`) instead.",
+)
+def q_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module uses postponed annotation
+    # evaluation, so hint-based inference can't see pd.Series -> float
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def median_udaf(v):
+        return float(np.round(np.median(v.to_numpy()), 6))
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def p90_udaf(v):
+        return float(np.round(np.quantile(v.to_numpy(), 0.9), 6))
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates
+    # in one agg, so the count rides along as a UDAF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_udaf(v):
+        return len(v)
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        count_udaf("value").alias("n_events"),
+        median_udaf("value").alias("median_value"),
+        p90_udaf("value").alias("p90_value"),
+    )

@@ -90,3 +90,59 @@ def test_source_overlap_matrix_shape(spark):
         assert r.source_a < r.source_b  # upper triangle only
         assert 0.0 <= r.jaccard <= 1.0
         assert r.n_shared >= 1
+
+
+def test_bollinger_matches_pandas_golden(spark):
+    import numpy as np
+
+    spark_rows = {
+        (r.symbol, r.bar_ts): r
+        for r in q_bollinger_bands(spark, SF_DIR).collect()
+    }
+    assert spark_rows
+    from quant_market_data_pipeline_spark.queries.quant import _bars_close
+
+    pdf = (
+        _bars_close(spark, SF_DIR)
+        .orderBy("symbol", "bar_ts")
+        .toPandas()
+    )
+    for sym, g in pdf.groupby("symbol"):
+        closes = g["close"].to_numpy()
+        ts = list(g["bar_ts"])
+        for i in range(19, len(closes)):
+            win = closes[i - 19 : i + 1]
+            mid = win.mean()
+            sd = win.std(ddof=1)
+            row = spark_rows[(sym, ts[i])]
+            assert abs(row.mid - round(mid, 6)) <= 1e-6
+            assert abs(row.upper_band - round(mid + 2 * sd, 6)) <= 1e-6
+            assert abs(row.lower_band - round(mid - 2 * sd, 6)) <= 1e-6
+
+
+def test_rsi_matches_pandas_golden(spark):
+    import numpy as np
+
+    spark_rows = {
+        (r.symbol, r.bar_ts): r.rsi for r in q_rsi_14(spark, SF_DIR).collect()
+    }
+    assert spark_rows
+    from quant_market_data_pipeline_spark.queries.quant import _bars_close
+
+    pdf = (
+        _bars_close(spark, SF_DIR).orderBy("symbol", "bar_ts").toPandas()
+    )
+    n_checked = 0
+    for sym, g in pdf.groupby("symbol"):
+        diffs = g["close"].diff().dropna().to_numpy()
+        ts = list(g["bar_ts"])[1:]
+        gains = np.where(diffs > 0, diffs, 0.0)
+        losses = np.where(diffs < 0, -diffs, 0.0)
+        for i in range(13, len(diffs)):
+            ag = gains[i - 13 : i + 1].mean()
+            al = losses[i - 13 : i + 1].mean()
+            expect = 100.0 if al == 0 else 100.0 - 100.0 / (1.0 + ag / al)
+            got = spark_rows[(sym, ts[i])]
+            assert abs(got - round(expect, 6)) <= 1e-5
+            n_checked += 1
+    assert n_checked > 100
