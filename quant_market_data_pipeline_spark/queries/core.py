@@ -1200,3 +1200,143 @@ def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sin(angle), 6) + F.lit(0.0)).alias("hour_sin"),
         (F.round(F.cos(angle), 6) + F.lit(0.0)).alias("hour_cos"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH first_view AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), first_click AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN first_view v
+    ON v.user_id = e.user_id AND e.ts >= v.t_view
+  WHERE e.event_type = 'click'
+  GROUP BY e.user_id
+), first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN first_click c
+    ON c.user_id = e.user_id AND e.ts >= c.t_click
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_view,
+       CAST(count(c.user_id) AS BIGINT) AS n_click,
+       CAST(count(p.user_id) AS BIGINT) AS n_purchase,
+       round(CAST(count(c.user_id) AS DOUBLE) / count(*), 6)
+         AS view_to_click,
+       round(CAST(count(p.user_id) AS DOUBLE) / count(*), 6)
+         AS view_to_purchase
+FROM first_view v
+LEFT JOIN first_click c ON c.user_id = v.user_id
+LEFT JOIN first_purchase p ON p.user_id = v.user_id
+""",
+    doc="Ordered funnel (view -> click-after-view -> purchase-after-"
+    "click): each stage is a per-user MIN gated on the previous stage's "
+    "timestamp.  All joins are equi-joins on user_id — uniform key, "
+    "shuffle-partitioned, no windows over the raw stream and no "
+    "event-order state; each stage's input is the (much smaller) "
+    "converted-user set of the stage before.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    funnel = first_view.join(
+        first_click.select("user_id", "t_click"), "user_id", "left_outer"
+    ).join(
+        first_purchase.select("user_id", "t_purchase"), "user_id", "left_outer"
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+        F.round(
+            F.count("t_click").cast("double") / F.count(F.lit(1)), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t_purchase").cast("double") / F.count(F.lit(1)), 6
+        ).alias("view_to_purchase"),
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts))::TIMESTAMP AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::TIMESTAMP AS week
+  FROM events
+), cohort_sizes AS (
+  SELECT cohort_week, count(*) AS cohort_size
+  FROM first_seen GROUP BY cohort_week
+)
+SELECT f.cohort_week AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_active,
+       s.cohort_size AS cohort_size,
+       round(CAST(count(*) AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM activity a
+JOIN first_seen f ON f.user_id = a.user_id
+JOIN cohort_sizes s ON s.cohort_week = f.cohort_week
+GROUP BY f.cohort_week, week_offset, s.cohort_size
+""",
+    doc="Weekly cohort retention: users bucketed by first-seen week, "
+    "activity per subsequent week as a fraction of cohort size.  The "
+    "distinct-activity frame and the cohort dimension join on user_id; "
+    "the offset arithmetic is day-difference // 7 between Monday week "
+    "starts (identical ISO truncation in both engines).  Output is "
+    "O(weeks^2) regardless of event volume.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    offset = (
+        F.floor(
+            F.datediff(F.col("week"), F.col("cohort_week")) / F.lit(7)
+        )
+    ).cast("long")
+    return (
+        activity.join(first_seen, "user_id")
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .groupBy("cohort_week", offset.alias("week_offset"), "cohort_size")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )

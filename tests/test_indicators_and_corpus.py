@@ -146,3 +146,29 @@ def test_rsi_matches_pandas_golden(spark):
             assert abs(got - round(expect, 6)) <= 1e-5
             n_checked += 1
     assert n_checked > 100
+
+
+def test_funnel_is_monotone(spark):
+    from quant_market_data_pipeline_spark.queries.core import (
+        q_funnel_conversion,
+    )
+
+    row = q_funnel_conversion(spark, SF_DIR).first()
+    assert row.n_view >= row.n_click >= row.n_purchase >= 0
+    assert 0.0 <= row.view_to_purchase <= row.view_to_click <= 1.0
+
+
+def test_cohort_week0_retention_is_full(spark):
+    from quant_market_data_pipeline_spark.queries.core import (
+        q_cohort_retention,
+    )
+
+    rows = q_cohort_retention(spark, SF_DIR).collect()
+    assert rows
+    week0 = [r for r in rows if r.week_offset == 0]
+    assert week0
+    # every user is active in their own first-seen week by construction
+    for r in week0:
+        assert r.n_active == r.cohort_size and r.retention == 1.0
+    for r in rows:
+        assert r.week_offset >= 0 and 0.0 < r.retention <= 1.0
