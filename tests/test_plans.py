@@ -99,3 +99,44 @@ def test_no_cartesian_product_in_any_query(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_promo_broadcasts_part_and_pushes_shipdate(spark):
+    plan = _plan(spark, "promo_revenue_ratio")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # the ship-date range reaches the lineitem scan as pushed filters
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan
+    )
+
+
+def test_decontamination_prunes_source_at_scan(spark):
+    plan = _plan(spark, "decontamination_report")
+    # eval-slice and train-slice predicates both reach parquet
+    assert "EqualTo(source,src0)" in plan
+    assert "Not(EqualTo(source,src0))" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bollinger_single_window_exchange(spark):
+    plan = _plan(spark, "bollinger_bands")
+    # bar build shuffles on (symbol, bucket); the indicator window reuses
+    # a symbol-keyed exchange — nothing else may shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert plan.count("Window") == 1
+
+
+def test_cohort_join_shapes(spark):
+    plan = _plan(spark, "cohort_retention")
+    # cohort-size dim joins broadcast; user-keyed joins may shuffle
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_supplier_window_over_post_aggregate_frame(spark):
+    plan = _plan(spark, "top_supplier_revenue")
+    # the global-max window runs over the per-supplier aggregate (tiny),
+    # never over the fact: exactly one agg shuffle feeds the window
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
