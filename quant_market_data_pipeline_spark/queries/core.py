@@ -1340,3 +1340,35 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@register(
+    "variant_props_metrics",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+""",
+    doc="Spark 4 VariantType path for semi-structured columns: "
+    "parse_json once into the binary variant encoding, then typed "
+    "try_variant_get access — unlike get_json_object (string re-parse "
+    "per extraction, see json_props_extract), multi-field access over "
+    "variant parses each value once, the at-scale answer for wide "
+    "semi-structured payloads.  try_ semantics: malformed rows yield "
+    "NULL, never a job abort.",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

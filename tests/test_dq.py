@@ -159,3 +159,39 @@ def test_rth_filter_dst_safety(spark):
         "2024-07-08 13:30:00",
         "2024-07-08 14:30:00",
     ]
+
+
+def test_write_with_observation_zero_extra_pass_metrics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.operators.dq import (
+        write_with_observation,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001").select(
+        "event_id", "ts", "value"
+    )
+    got = write_with_observation(
+        ev,
+        str(tmp_path / "lake"),
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.count_if(F.col("value").isNull()),
+            "min_ts": F.min("ts"),
+            "max_ts": F.max("ts"),
+        },
+        ts_col="ts",
+    )
+    # metrics observed during the write match an independent aggregation
+    direct = ev.agg(
+        F.count(F.lit(1)),
+        F.count_if(F.col("value").isNull()),
+        F.min("ts"),
+        F.max("ts"),
+    ).first()
+    assert got["n_rows"] == direct[0]
+    assert got["n_null_value"] == direct[1]
+    assert got["min_ts"] == direct[2] and got["max_ts"] == direct[3]
+    # and the written lake is complete
+    assert spark.read.parquet(str(tmp_path / "lake")).count() == got["n_rows"]
