@@ -1372,3 +1372,120 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "salted_hot_key_stats",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,4)) / count(*), 6)
+         AS avg_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+""",
+    doc="Hot-key aggregation through the two-phase salted path "
+    "(operators/skew.py:salted_aggregate): event_type has only 5 values, "
+    "the skewed-group shape where one key serializes a naive final "
+    "aggregation.  Partials run over (key, salt) — 8-way parallel per "
+    "hot key — then merge over (key).  count/min/max merge trivially; "
+    "the mean carries exact-decimal (sum, count) partials so the salted "
+    "result is bit-identical to single-phase (and to the oracle) no "
+    "matter how rows split across salts.",
+)
+def q_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.functions.exact import fin
+    from quant_market_data_pipeline_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = salted_aggregate(
+        ev.select("event_type", "value"),
+        keys=["event_type"],
+        partial_aggs={
+            "n": F.count(F.lit(1)),
+            "s": F.sum(F.col("value").cast("decimal(12,2)")),
+            "mn": F.min("value"),
+            "mx": F.max("value"),
+        },
+        merge_aggs={
+            "n": F.sum("n"),
+            "s": F.sum("s"),
+            "mn": F.min("mn"),
+            "mx": F.max("mx"),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(fin(F.col("s")) / F.col("n"), 6).alias("avg_value"),
+        F.round("mn", 6).alias("min_value"),
+        F.round("mx", 6).alias("max_value"),
+    )
+
+
+@register(
+    "column_profile_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS col, count(*) AS n,
+       CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+       round(min(l_quantity), 6) AS min_v, round(max(l_quantity), 6) AS max_v,
+       count(DISTINCT l_quantity) AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*),
+       CAST(count(*) - count(l_extendedprice) AS BIGINT),
+       round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+       count(DISTINCT l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       CAST(count(*) - count(l_discount) AS BIGINT),
+       round(min(l_discount), 6), round(max(l_discount), 6),
+       count(DISTINCT l_discount)
+FROM lineitem
+""",
+    doc="Table profiling (the describe/summary DQ pass every engine "
+    "ships, distributed): one scan computes per-column n/nulls/bounds, "
+    "plus distinct counts.  Spark plans the three-column profile as ONE "
+    "aggregate over the pruned scan (multi-distinct via expand), vs the "
+    "naive three-scan UNION the oracle spells out — same rows, one pass.",
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            e
+            for c in cols
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+                F.round(F.min(c), 6).alias(f"{c}__mn"),
+                F.round(F.max(c), 6).alias(f"{c}__mx"),
+                F.countDistinct(c).alias(f"{c}__nd"),
+            )
+        ],
+    )
+    profile = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col("n").alias("n"),
+                        F.col(f"{c}__nn").cast("long").alias("n_null"),
+                        F.col(f"{c}__mn").alias("min_v"),
+                        F.col(f"{c}__mx").alias("max_v"),
+                        F.col(f"{c}__nd").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*")
