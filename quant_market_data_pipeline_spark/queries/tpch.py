@@ -748,3 +748,41 @@ def q_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_sum(_disc_price()).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "revenue_mom_growth",
+    oracle=f"""
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,
+         {sql_money_sum('o_totalprice')} AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT month, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY month), 4) AS mom_delta,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 6) AS mom_pct
+FROM monthly
+""",
+    doc="Month-over-month growth: LAG over the pre-aggregated monthly "
+    "rollup (|months| rows — the single-partition window is over the "
+    "tiny post-aggregate frame, never the fact).  Deltas of exact "
+    "decimal-derived doubles; the pct is one double division, rounded "
+    "identically both engines.",
+)
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(money_sum("o_totalprice").alias("revenue"))
+    w = Window.partitionBy().orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
+    )
