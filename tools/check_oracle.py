@@ -170,8 +170,14 @@ def strict_compare(name: str, spark_df, duck_res) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--strict"]
-    strict = "--strict" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--strict"]
+    strict = "--strict" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -184,6 +190,7 @@ def main() -> int:
 
     registry = load_all()
     failed = []
+    results: dict[str, dict] = {}
     for name, spec in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -191,6 +198,7 @@ def main() -> int:
             sdf = spec.spark(spark, sf_dir)
             if spec.oracle is None:
                 n = sdf.count()
+                results[name] = {"status": "rows_only", "rows": n}
                 print(f"  {name}: rows-only ({n} rows)")
                 continue
             res = con.execute(spec.oracle)
@@ -203,12 +211,31 @@ def main() -> int:
             errs = [f"exception: {type(e).__name__}: {e}"]
         if errs:
             failed.append(name)
+            results[name] = {"status": "fail", "errors": errs[:6]}
             print(f"FAIL {name}")
             for e in errs[:6]:
                 print(f"     {e}")
         else:
+            results[name] = {"status": "ok", "strict": strict}
             print(f"  ok {name}")
     print(f"\n{len(registry) - len(failed)}/{len(registry)} queries match")
+    if json_path:
+        import json
+
+        doc = {
+            "sf_dir": sf_dir,
+            "strict": strict,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows_only"
+            ),
+            "n_fail": len(failed),
+            "results": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failed else 0
 
 
