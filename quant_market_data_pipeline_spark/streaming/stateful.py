@@ -224,3 +224,109 @@ def rolling_zscore_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+RSI_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bar_ts", T.TimestampType()),
+        T.StructField("close", T.DoubleType()),
+        T.StructField("rsi", T.DoubleType()),
+    ]
+)
+
+# Wilder recursion state: last close, the two smoothed averages, the
+# diff count, and the seed accumulators for the first `period` diffs.
+RSI_STATE_SCHEMA = (
+    "last_close double, avg_g double, avg_l double, n long, "
+    "sum_g double, sum_l double"
+)
+
+
+def wilder_rsi_stream(
+    bars: DataFrame,
+    period: int = 14,
+    key: str = "symbol",
+    ts: str = "bar_ts",
+    close: str = "close",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Wilder's RSI as a stateful streaming operator.
+
+    Wilder smoothing is RECURSIVE — ``avg_g[t] = (avg_g[t-1] * (p-1) +
+    gain[t]) / p`` — so unlike the closed-form Cutler variant
+    (``queries/quant.py:q_rsi_14``, a pure window aggregate), every value
+    depends on the entire history.  A batch window cannot express it
+    without materializing per-key arrays; a per-key state machine holds
+    exactly FIVE doubles regardless of history length — O(1) state per
+    symbol, the property that keeps the operator viable on an unbounded
+    tick stream.
+
+    Seed semantics: the first ``period`` diffs average simply; from then
+    on the recursion applies (the standard Wilder definition).  Bars must
+    arrive event-time-ordered per key within a batch (each batch is
+    sorted; the watermark bounds cross-batch disorder).
+    """
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (sym,) = key_tuple
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values(ts)
+        times = rows[ts].astype("int64") // 1000
+        closes = rows[close]
+
+        if state.exists:
+            last_c, avg_g, avg_l, n, sum_g, sum_l = state.get
+        else:
+            last_c, avg_g, avg_l, n, sum_g, sum_l = None, 0.0, 0.0, 0, 0.0, 0.0
+
+        out_ts, out_c, out_rsi = [], [], []
+        for t, c in zip(times, closes):
+            t, c = int(t), float(c)
+            rsi = None
+            if last_c is not None:
+                diff = c - last_c
+                gain = diff if diff > 0 else 0.0
+                loss = -diff if diff < 0 else 0.0
+                if n < period:
+                    sum_g, sum_l, n = sum_g + gain, sum_l + loss, n + 1
+                    if n == period:
+                        avg_g, avg_l = sum_g / period, sum_l / period
+                else:
+                    avg_g = (avg_g * (period - 1) + gain) / period
+                    avg_l = (avg_l * (period - 1) + loss) / period
+                if n >= period:
+                    rsi = (
+                        100.0
+                        if avg_l == 0
+                        else 100.0 - 100.0 / (1.0 + avg_g / avg_l)
+                    )
+            last_c = c
+            out_ts.append(t)
+            out_c.append(c)
+            out_rsi.append(rsi)
+
+        state.update((last_c, avg_g, avg_l, n, sum_g, sum_l))
+        yield pd.DataFrame(
+            {
+                "symbol": [sym] * len(out_ts),
+                "bar_ts": pd.to_datetime(out_ts, unit="us"),
+                "close": out_c,
+                "rsi": out_rsi,
+            }
+        )
+
+    return (
+        bars.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RSI_SCHEMA,
+            stateStructType=RSI_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

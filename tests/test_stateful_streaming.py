@@ -165,3 +165,102 @@ def test_streaming_zscore_matches_batch_window(spark, events):
         rtol=1e-9,
         equal_nan=True,
     )
+
+
+def test_streaming_wilder_rsi_matches_pandas_recursion(spark, events):
+    """wilder_rsi_stream == a pandas recompute of the textbook Wilder
+    recursion on the same bar series (multi-batch to exercise the O(1)
+    state carry-over across micro-batches)."""
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        wilder_rsi_stream,
+    )
+
+    bars = build_bars(
+        events,
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="1 hour",
+        tiebreak="event_id",
+    ).select(
+        F.col("event_type").alias("symbol"), "bar_ts", "close"
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        b = bars.withColumn(
+            "part", (F.dayofmonth("bar_ts") <= 15).cast("int")
+        )
+        b.repartition("part").write.mode("overwrite").parquet(landing)
+
+        schema = T.StructType(
+            [
+                T.StructField("symbol", T.StringType()),
+                T.StructField("bar_ts", T.TimestampType()),
+                T.StructField("close", T.DoubleType()),
+                T.StructField("part", T.IntegerType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        scored = wilder_rsi_stream(stream.drop("part"))
+        q = (
+            scored.writeStream.format("memory")
+            .queryName("rsi_stream")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = (
+            spark.sql("SELECT * FROM rsi_stream")
+            .toPandas()
+            .sort_values(["symbol", "bar_ts"])
+            .reset_index(drop=True)
+        )
+
+    pdf = bars.toPandas().sort_values(["symbol", "bar_ts"])
+    period = 14
+    n_with_rsi = 0
+    for sym, g in pdf.groupby("symbol"):
+        closes = list(g["close"])
+        ts_list = list(g["bar_ts"])
+        sub = got[got["symbol"] == sym].set_index("bar_ts")
+        avg_g = avg_l = 0.0
+        n = 0
+        for i in range(1, len(closes)):
+            diff = closes[i] - closes[i - 1]
+            gain, loss = max(diff, 0.0), max(-diff, 0.0)
+            if n < period:
+                avg_g, avg_l, n = avg_g + gain, avg_l + loss, n + 1
+                if n == period:
+                    avg_g, avg_l = avg_g / period, avg_l / period
+                expect = (
+                    None
+                    if n < period
+                    else (
+                        100.0
+                        if avg_l == 0
+                        else 100.0 - 100.0 / (1.0 + avg_g / avg_l)
+                    )
+                )
+            else:
+                avg_g = (avg_g * (period - 1) + gain) / period
+                avg_l = (avg_l * (period - 1) + loss) / period
+                expect = (
+                    100.0
+                    if avg_l == 0
+                    else 100.0 - 100.0 / (1.0 + avg_g / avg_l)
+                )
+            rsi = sub.loc[ts_list[i], "rsi"]
+            if expect is None:
+                assert pd.isna(rsi)
+            else:
+                assert abs(rsi - expect) < 1e-9
+                n_with_rsi += 1
+    assert n_with_rsi > 100
