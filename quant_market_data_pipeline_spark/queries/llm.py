@@ -1857,3 +1857,147 @@ def q_grouped_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         median_udaf("value").alias("median_value"),
         p90_udaf("value").alias("p90_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 60-bit packed SimHash with lossless band blocking (the at-scale variant
+# of the simhash32 query: tighter buckets, guaranteed recall at <=3 bits).
+# ---------------------------------------------------------------------------
+_SIMHASH60_ORACLE = """
+WITH toks0 AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+), corpus AS (
+  SELECT doc_id, tokens FROM toks0
+  UNION ALL
+  SELECT doc_id + 100000, tokens[1:greatest(5, len(tokens) - 10)]
+  FROM toks0
+), tok AS (
+  SELECT doc_id, md5(t) AS h
+  FROM (SELECT doc_id, unnest(tokens) AS t FROM corpus)
+), n AS (
+  SELECT doc_id,
+         ('0x' || substr(h, 1, 1))::BIGINT AS n0,
+         ('0x' || substr(h, 2, 1))::BIGINT AS n1,
+         ('0x' || substr(h, 3, 1))::BIGINT AS n2,
+         ('0x' || substr(h, 4, 1))::BIGINT AS n3,
+         ('0x' || substr(h, 5, 1))::BIGINT AS n4,
+         ('0x' || substr(h, 6, 1))::BIGINT AS n5,
+         ('0x' || substr(h, 7, 1))::BIGINT AS n6,
+         ('0x' || substr(h, 8, 1))::BIGINT AS n7,
+         ('0x' || substr(h, 9, 1))::BIGINT AS n8,
+         ('0x' || substr(h, 10, 1))::BIGINT AS n9,
+         ('0x' || substr(h, 11, 1))::BIGINT AS n10,
+         ('0x' || substr(h, 12, 1))::BIGINT AS n11,
+         ('0x' || substr(h, 13, 1))::BIGINT AS n12,
+         ('0x' || substr(h, 14, 1))::BIGINT AS n13,
+         ('0x' || substr(h, 15, 1))::BIGINT AS n14
+  FROM tok
+), s AS (
+  SELECT doc_id,
+         sum(((n0 >> 0) & 1) * 2 - 1) AS s0,
+         sum(((n0 >> 1) & 1) * 2 - 1) AS s1,
+         sum(((n0 >> 2) & 1) * 2 - 1) AS s2,
+         sum(((n0 >> 3) & 1) * 2 - 1) AS s3,
+         sum(((n1 >> 0) & 1) * 2 - 1) AS s4,
+         sum(((n1 >> 1) & 1) * 2 - 1) AS s5,
+         sum(((n1 >> 2) & 1) * 2 - 1) AS s6,
+         sum(((n1 >> 3) & 1) * 2 - 1) AS s7,
+         sum(((n2 >> 0) & 1) * 2 - 1) AS s8,
+         sum(((n2 >> 1) & 1) * 2 - 1) AS s9,
+         sum(((n2 >> 2) & 1) * 2 - 1) AS s10,
+         sum(((n2 >> 3) & 1) * 2 - 1) AS s11,
+         sum(((n3 >> 0) & 1) * 2 - 1) AS s12,
+         sum(((n3 >> 1) & 1) * 2 - 1) AS s13,
+         sum(((n3 >> 2) & 1) * 2 - 1) AS s14,
+         sum(((n3 >> 3) & 1) * 2 - 1) AS s15,
+         sum(((n4 >> 0) & 1) * 2 - 1) AS s16,
+         sum(((n4 >> 1) & 1) * 2 - 1) AS s17,
+         sum(((n4 >> 2) & 1) * 2 - 1) AS s18,
+         sum(((n4 >> 3) & 1) * 2 - 1) AS s19,
+         sum(((n5 >> 0) & 1) * 2 - 1) AS s20,
+         sum(((n5 >> 1) & 1) * 2 - 1) AS s21,
+         sum(((n5 >> 2) & 1) * 2 - 1) AS s22,
+         sum(((n5 >> 3) & 1) * 2 - 1) AS s23,
+         sum(((n6 >> 0) & 1) * 2 - 1) AS s24,
+         sum(((n6 >> 1) & 1) * 2 - 1) AS s25,
+         sum(((n6 >> 2) & 1) * 2 - 1) AS s26,
+         sum(((n6 >> 3) & 1) * 2 - 1) AS s27,
+         sum(((n7 >> 0) & 1) * 2 - 1) AS s28,
+         sum(((n7 >> 1) & 1) * 2 - 1) AS s29,
+         sum(((n7 >> 2) & 1) * 2 - 1) AS s30,
+         sum(((n7 >> 3) & 1) * 2 - 1) AS s31,
+         sum(((n8 >> 0) & 1) * 2 - 1) AS s32,
+         sum(((n8 >> 1) & 1) * 2 - 1) AS s33,
+         sum(((n8 >> 2) & 1) * 2 - 1) AS s34,
+         sum(((n8 >> 3) & 1) * 2 - 1) AS s35,
+         sum(((n9 >> 0) & 1) * 2 - 1) AS s36,
+         sum(((n9 >> 1) & 1) * 2 - 1) AS s37,
+         sum(((n9 >> 2) & 1) * 2 - 1) AS s38,
+         sum(((n9 >> 3) & 1) * 2 - 1) AS s39,
+         sum(((n10 >> 0) & 1) * 2 - 1) AS s40,
+         sum(((n10 >> 1) & 1) * 2 - 1) AS s41,
+         sum(((n10 >> 2) & 1) * 2 - 1) AS s42,
+         sum(((n10 >> 3) & 1) * 2 - 1) AS s43,
+         sum(((n11 >> 0) & 1) * 2 - 1) AS s44,
+         sum(((n11 >> 1) & 1) * 2 - 1) AS s45,
+         sum(((n11 >> 2) & 1) * 2 - 1) AS s46,
+         sum(((n11 >> 3) & 1) * 2 - 1) AS s47,
+         sum(((n12 >> 0) & 1) * 2 - 1) AS s48,
+         sum(((n12 >> 1) & 1) * 2 - 1) AS s49,
+         sum(((n12 >> 2) & 1) * 2 - 1) AS s50,
+         sum(((n12 >> 3) & 1) * 2 - 1) AS s51,
+         sum(((n13 >> 0) & 1) * 2 - 1) AS s52,
+         sum(((n13 >> 1) & 1) * 2 - 1) AS s53,
+         sum(((n13 >> 2) & 1) * 2 - 1) AS s54,
+         sum(((n13 >> 3) & 1) * 2 - 1) AS s55,
+         sum(((n14 >> 0) & 1) * 2 - 1) AS s56,
+         sum(((n14 >> 1) & 1) * 2 - 1) AS s57,
+         sum(((n14 >> 2) & 1) * 2 - 1) AS s58,
+         sum(((n14 >> 3) & 1) * 2 - 1) AS s59
+  FROM n GROUP BY doc_id
+), f AS (
+  SELECT doc_id, CAST(CASE WHEN s0 >= 0 THEN 1 ELSE 0 END + CASE WHEN s1 >= 0 THEN 2 ELSE 0 END + CASE WHEN s2 >= 0 THEN 4 ELSE 0 END + CASE WHEN s3 >= 0 THEN 8 ELSE 0 END + CASE WHEN s4 >= 0 THEN 16 ELSE 0 END + CASE WHEN s5 >= 0 THEN 32 ELSE 0 END + CASE WHEN s6 >= 0 THEN 64 ELSE 0 END + CASE WHEN s7 >= 0 THEN 128 ELSE 0 END + CASE WHEN s8 >= 0 THEN 256 ELSE 0 END + CASE WHEN s9 >= 0 THEN 512 ELSE 0 END + CASE WHEN s10 >= 0 THEN 1024 ELSE 0 END + CASE WHEN s11 >= 0 THEN 2048 ELSE 0 END + CASE WHEN s12 >= 0 THEN 4096 ELSE 0 END + CASE WHEN s13 >= 0 THEN 8192 ELSE 0 END + CASE WHEN s14 >= 0 THEN 16384 ELSE 0 END + CASE WHEN s15 >= 0 THEN 32768 ELSE 0 END + CASE WHEN s16 >= 0 THEN 65536 ELSE 0 END + CASE WHEN s17 >= 0 THEN 131072 ELSE 0 END + CASE WHEN s18 >= 0 THEN 262144 ELSE 0 END + CASE WHEN s19 >= 0 THEN 524288 ELSE 0 END + CASE WHEN s20 >= 0 THEN 1048576 ELSE 0 END + CASE WHEN s21 >= 0 THEN 2097152 ELSE 0 END + CASE WHEN s22 >= 0 THEN 4194304 ELSE 0 END + CASE WHEN s23 >= 0 THEN 8388608 ELSE 0 END + CASE WHEN s24 >= 0 THEN 16777216 ELSE 0 END + CASE WHEN s25 >= 0 THEN 33554432 ELSE 0 END + CASE WHEN s26 >= 0 THEN 67108864 ELSE 0 END + CASE WHEN s27 >= 0 THEN 134217728 ELSE 0 END + CASE WHEN s28 >= 0 THEN 268435456 ELSE 0 END + CASE WHEN s29 >= 0 THEN 536870912 ELSE 0 END + CASE WHEN s30 >= 0 THEN 1073741824 ELSE 0 END + CASE WHEN s31 >= 0 THEN 2147483648 ELSE 0 END + CASE WHEN s32 >= 0 THEN 4294967296 ELSE 0 END + CASE WHEN s33 >= 0 THEN 8589934592 ELSE 0 END + CASE WHEN s34 >= 0 THEN 17179869184 ELSE 0 END + CASE WHEN s35 >= 0 THEN 34359738368 ELSE 0 END + CASE WHEN s36 >= 0 THEN 68719476736 ELSE 0 END + CASE WHEN s37 >= 0 THEN 137438953472 ELSE 0 END + CASE WHEN s38 >= 0 THEN 274877906944 ELSE 0 END + CASE WHEN s39 >= 0 THEN 549755813888 ELSE 0 END + CASE WHEN s40 >= 0 THEN 1099511627776 ELSE 0 END + CASE WHEN s41 >= 0 THEN 2199023255552 ELSE 0 END + CASE WHEN s42 >= 0 THEN 4398046511104 ELSE 0 END + CASE WHEN s43 >= 0 THEN 8796093022208 ELSE 0 END + CASE WHEN s44 >= 0 THEN 17592186044416 ELSE 0 END + CASE WHEN s45 >= 0 THEN 35184372088832 ELSE 0 END + CASE WHEN s46 >= 0 THEN 70368744177664 ELSE 0 END + CASE WHEN s47 >= 0 THEN 140737488355328 ELSE 0 END + CASE WHEN s48 >= 0 THEN 281474976710656 ELSE 0 END + CASE WHEN s49 >= 0 THEN 562949953421312 ELSE 0 END + CASE WHEN s50 >= 0 THEN 1125899906842624 ELSE 0 END + CASE WHEN s51 >= 0 THEN 2251799813685248 ELSE 0 END + CASE WHEN s52 >= 0 THEN 4503599627370496 ELSE 0 END + CASE WHEN s53 >= 0 THEN 9007199254740992 ELSE 0 END + CASE WHEN s54 >= 0 THEN 18014398509481984 ELSE 0 END + CASE WHEN s55 >= 0 THEN 36028797018963968 ELSE 0 END + CASE WHEN s56 >= 0 THEN 72057594037927936 ELSE 0 END + CASE WHEN s57 >= 0 THEN 144115188075855872 ELSE 0 END + CASE WHEN s58 >= 0 THEN 288230376151711744 ELSE 0 END + CASE WHEN s59 >= 0 THEN 576460752303423488 ELSE 0 END AS BIGINT) AS sh FROM s
+), bands AS (
+  SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS bv
+  FROM f CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+                  a.sh AS sh_a, b.sh AS sh_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_lo, doc_hi, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
+@register(
+    "simhash60_neardup_pairs",
+    oracle=_SIMHASH60_ORACLE,
+    doc="60-bit SimHash (ONE md5 per token, bits packed from the hash "
+    "nibbles -- llm/dedup.py:simhash60_fingerprints) over the planted-"
+    "twin corpus, paired via 4x15-bit band blocking.  Blocking is "
+    "LOSSLESS at hamming <= 3 by pigeonhole (4 disjoint bands, 3 "
+    "differing bits => one band exact-matches), unlike the heuristic "
+    "16-bit prefix blocking of simhash32_neardup_pairs; 15-bit band "
+    "keys give ~32k buckets per band -- tight candidate sets at 100 TB.",
+)
+def q_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        simhash60_fingerprints,
+        simhash60_neardup_pairs,
+    )
+
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    planted = toks.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.slice(
+            "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
+        ).alias("tokens"),
+    )
+    corpus = toks.unionByName(planted).select(
+        "doc_id", F.concat_ws(" ", "tokens").alias("text")
+    )
+    fp = simhash60_fingerprints(corpus)
+    return simhash60_neardup_pairs(fp, max_hamming=3)

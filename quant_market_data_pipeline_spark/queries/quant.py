@@ -30,10 +30,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "events", sf_dir)
 
 
-def _bars_close(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-min close series per symbol (deterministic last-by-(ts, event_id))."""
+def _bars_close(
+    spark: SparkSession, sf_dir: str, positive_ticks: bool = False
+) -> DataFrame:
+    """5-min close series per symbol (deterministic last-by-(ts, event_id)).
+
+    ``positive_ticks``: drop value <= 0 ticks BEFORE bar building — the
+    clean-then-aggregate order the return-series oracles use.  Filtering
+    bar closes after the fact diverges when a bucket's last tick is
+    non-positive but earlier ticks are valid (the bucket should survive
+    with the last VALID tick as close; observed at sf0.1).
+    """
+    ticks = _events(spark, sf_dir)
+    if positive_ticks:
+        ticks = ticks.filter(F.col("value") > 0)
     bars = build_bars(
-        _events(spark, sf_dir),
+        ticks,
         key="event_type",
         ts="ts",
         price="value",
@@ -77,7 +89,7 @@ GROUP BY 1, 2
     "not raw ticks — the rollup reads bars/width rows.",
 )
 def q_bar_returns_daily_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = _bars_close(spark, sf_dir).filter(F.col("close") > 0)
+    bars = _bars_close(spark, sf_dir, positive_ticks=True)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
     rets = bars.withColumn(
         "r", F.log("close") - F.log(F.lag("close").over(w))
@@ -239,7 +251,7 @@ GROUP BY 1, 2
     "size, not the tick count, so the join output stays linear in bars.",
 )
 def q_pair_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bars = _bars_close(spark, sf_dir).filter(F.col("close") > 0)
+    bars = _bars_close(spark, sf_dir, positive_ticks=True)
     w = Window.partitionBy("symbol").orderBy("bar_ts")
     rets = bars.withColumn(
         "r", F.log("close") - F.log(F.lag("close").over(w))

@@ -172,3 +172,16 @@ def test_cohort_week0_retention_is_full(spark):
         assert r.n_active == r.cohort_size and r.retention == 1.0
     for r in rows:
         assert r.week_offset >= 0 and 0.0 < r.retention <= 1.0
+
+
+def test_simhash60_twins_found_and_blocking_lossless(spark):
+    from quant_market_data_pipeline_spark.queries.llm import q_simhash60
+
+    rows = q_simhash60(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.hamming <= 3
+    # the planted truncation twins (doc_id + 100000) dominate the pairs:
+    # near-identical token multisets land within 3 bits
+    twin_pairs = sum(1 for r in rows if r.doc_hi == r.doc_lo + 100000)
+    assert twin_pairs >= 0.5 * len(rows)
