@@ -786,3 +786,45 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 4).alias("mom_delta"),
         F.round(100.0 * (F.col("revenue") - prev) / prev, 6).alias("mom_pct"),
     )
+
+
+@register(
+    "sql_lateral_top2_orders",
+    oracle="""
+SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+       t.o_orderkey AS o_orderkey,
+       round(t.o_totalprice, 6) AS total_price
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+WHERE c.c_custkey <= 200
+""",
+    doc="SQL-API surface: the whole registry drives Catalyst through the "
+    "DataFrame API; this query enters through ``spark.sql`` with temp "
+    "views and a correlated LATERAL subquery (top-2 orders per "
+    "customer).  Catalyst decorrelates the lateral into the same "
+    "window/top-k plan the DataFrame form produces — one optimizer, "
+    "two front doors; both scale identically.",
+)
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("v_customer")
+    orders.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment,
+               t.o_orderkey,
+               round(t.o_totalprice, 6) AS total_price
+        FROM v_customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM v_orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        WHERE c.c_custkey <= 200
+        """
+    )
