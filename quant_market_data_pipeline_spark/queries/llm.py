@@ -2001,3 +2001,61 @@ def q_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = simhash60_fingerprints(corpus)
     return simhash60_neardup_pairs(fp, max_hamming=3)
+
+
+@register(
+    "bigram_conditional_probs",
+    oracle="""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\\S+') AS tokens FROM documents
+), big AS (
+  SELECT t.p['w1'] AS w1, t.p['w2'] AS w2 FROM (
+    SELECT unnest([struct_pack(w1 := tokens[i], w2 := tokens[i+1])
+                   for i in generate_series(1, len(tokens) - 1)]) AS p
+    FROM toks) t
+), c12 AS (
+  SELECT w1, w2, count(*) AS n_bigram FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_left FROM c12 GROUP BY w1
+)
+SELECT c12.w1 AS w1, w2, n_bigram, n_left,
+       round(CAST(n_bigram AS DOUBLE) / n_left, 6) AS cond_p
+FROM c12 JOIN c1 ON c1.w1 = c12.w1
+ORDER BY n_bigram DESC, w1, w2 LIMIT 100
+""",
+    doc="Count-based LM / tokenizer-training pass: bigram conditional "
+    "probabilities P(w2|w1) = c(w1 w2) / sum_w c(w1 w), top-100 by "
+    "frequency.  Bigrams come from zipping the token array against its "
+    "own 1-shift (arrays_zip of two slices — no index explode), counts "
+    "are two hash aggregates, the left-context total derives from the "
+    "bigram counts (never a second corpus scan), and top-k plans as "
+    "TakeOrderedAndProject — no global sort at 100 TB.",
+)
+def q_bigram_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(word_tokens(F.lower("text")).alias("tokens"))
+    n = F.size("tokens")
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tokens", 1, n - 1).alias("w1"),
+                F.slice("tokens", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c12.groupBy("w1").agg(F.sum("n_bigram").alias("n_left"))
+    return (
+        c12.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_left",
+            F.round(
+                F.col("n_bigram").cast("double") / F.col("n_left"), 6
+            ).alias("cond_p"),
+        )
+        .orderBy(F.col("n_bigram").desc(), "w1", "w2")
+        .limit(100)
+    )
