@@ -35,7 +35,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 MONEY = "decimal(12,2)"  # 2-decimal money double, |x| < 1e10
-RATE = "decimal(4,2)"  # 2-decimal rate in [-9.99, 9.99]
+RATE = "decimal(4,2)"  # 2-decimal rate, |x| <= 99.99 (tax/discount << 1)
 
 
 def _col(c: Column | str) -> Column:

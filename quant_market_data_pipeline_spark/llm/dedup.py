@@ -83,7 +83,14 @@ def lsh_candidate_pairs(
     # without this the whole shingle -> k-min signature pipeline (the
     # expensive part) executes twice.  An LSH index build IS a
     # materialization step; the checkpoint is n_docs x bands small rows.
-    banded = banded.localCheckpoint()
+    # eager=False: building the DataFrame (explain/plan tooling) stays
+    # free — partitions compute once at the first real action and are
+    # served from the executor-local store thereafter.  Tradeoff: local
+    # checkpoints truncate lineage to executor storage, so an executor
+    # loss is unrecoverable; a cluster deployment that needs fault
+    # tolerance should swap these for reliable checkpoint()/cache on a
+    # replicated store (one-line change, same plan shape).
+    banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
     bdf = banded.alias("b")
     return (
@@ -139,7 +146,7 @@ def jaccard_pairs(
     # optional DF cut, and BOTH sides of the inverted-index self-join —
     # without this the tokenize+shingle+distinct pipeline runs up to four
     # times.
-    shingled = shingled.localCheckpoint()
+    shingled = shingled.localCheckpoint(eager=False)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
@@ -238,7 +245,7 @@ def connected_components(
         )
         # localCheckpoint: truncate the per-iteration lineage so the plan
         # doesn't grow exponentially across rounds
-        labels = new_labels.localCheckpoint()
+        labels = new_labels.localCheckpoint(eager=False)
         if changed == 0:
             break
     return labels
@@ -299,7 +306,7 @@ def simhash60_neardup_pairs(
     no qualifying pair can be missed.  Candidate volume is
     O(sum bucket^2) per band over 15-bit keys: tight buckets at scale.
     """
-    fp = fingerprints.localCheckpoint()  # both self-join sides
+    fp = fingerprints.localCheckpoint(eager=False)  # both self-join sides
     # shift counts must be literals: emit the 4 (band, value) pairs
     # explicitly and explode
     band_structs = [

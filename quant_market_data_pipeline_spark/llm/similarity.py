@@ -246,7 +246,7 @@ def ivf_topk(
     # index build IS a materialization step — without this the whole
     # assignment pipeline (n_centroids cosines per vector + argmax)
     # executes twice, once per self-join side.
-    assigned = ivf_assign(vecs, cents, id_col).localCheckpoint()
+    assigned = ivf_assign(vecs, cents, id_col).localCheckpoint(eager=False)
     q = assigned.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )

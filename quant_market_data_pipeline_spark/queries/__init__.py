@@ -47,63 +47,54 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # oracle entries are new or recently fixed, (b) every bench headliner,
 # before queries that already carry a green verdict from a prior round.
 _PRIORITY = [
-    # --- TPC-H shapes (first oracle check round 2) ---
-    "pricing_summary",
-    "shipping_priority",
-    "regional_revenue",
-    "forecast_revenue_change",
-    "returned_item_revenue",
-    "large_volume_orders",
-    "brand_supplier_stats",
-    "nation_trade_volume",
-    "above_avg_orders",
-    "order_priority_check",
-    "cumulative_monthly_revenue",
-    # --- relational operator suite (first oracle check round 2) ---
-    "semi_join_heavy_orders",
-    "full_outer_nation_coverage",
-    "range_join_view_purchase",
-    "rollup_regional_revenue",
-    "cube_status_priority",
-    "pivot_status_revenue",
-    "percentiles_quantity",
-    "distinct_agg_parts",
-    "except_churned_customers",
-    "intersect_buyer_event_users",
-    "window_rank_suite",
-    "nested_explode_bars",
-    "except_all_multiset",
-    "grouping_sets_revenue",
-    "approx_distinct_users",
+    # --- never driver-checked before round 3 (locally strict-green at
+    #     both SFs; rotating them in closes the 122/122 cumulative gap).
+    #     Everything green in r1/r2 left the window: coverage is
+    #     cumulative across rounds. ---
+    # quant indicators
+    "bollinger_bands",
+    "rsi_14",
+    "intraday_seasonality",
+    # round-2 TPC-H shapes
+    "promo_revenue_ratio",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "small_qty_avg_revenue",
+    "nation_year_revenue",
+    "idle_rich_customers",
+    "bracket_revenue",
+    "revenue_mom_growth",
+    "sql_lateral_top2_orders",
+    # corpus-release suite
+    "train_split_assignment",
+    "per_source_quality",
+    "decontamination_report",
+    "source_overlap_matrix",
+    # LLM / text
+    "simhash60_neardup_pairs",
+    "bigram_conditional_probs",
+    "repetition_profile",
+    "vocab_top_ngrams",
+    "grouped_agg_median_value",
+    # events / misc analytics
+    "funnel_conversion",
+    "cohort_retention",
+    "variant_props_metrics",
+    "salted_hot_key_stats",
+    "column_profile_lineitem",
+    "group_concat_types",
+    # --- changed round 3, must (re-)verify ---
+    # sketch queries: scalar percentile projection (r2 harness crash) and
+    # the exact-count + within-tolerance oracle upgrade
     "approx_percentile_prices",
-    # --- LLM-pipeline queries beyond round 1's checked prefix ---
-    "quality_filter_verdicts",
-    "edit_distance_pairs",
-    "stratified_sample_docs",
-    "jaccard_pairs_df_capped",
-    "pii_redaction",
-    "simhash_neardup_pairs",
+    "approx_distinct_users",
+    # rows-only -> recursive-CTE oracle upgrade
     "dedup_components",
-    "pandas_udf_quality_score",
-    "label_centroids",
-    "kmeans_one_iteration",
-    "explode_outer_shingles",
-    "dedup_keep_list",
-    # --- round-1 hash mismatches, fixed round 2 (exact decimal / BIGINT
-    #     / -0.0 discipline) — must re-verify ---
-    "decimal_cast_sums",
-    "conditional_agg_orders",
-    "dq_run_summary",
-    "temporal_features",
-    "token_lang_profile",
-    # --- round-2 additions (first oracle check round 2).  The six bench
-    #     headliners previously held here left the window: each already
-    #     carries a green round-1 verdict and coverage is cumulative. ---
-    "bar_returns_daily_vol",
-    "max_drawdown",
-    "bars_rollup_1h",
-    "pair_return_correlation",
-    "tfidf_top_terms",
+    # twin-id offset now derived from max(doc_id)+1 (collision-proof at
+    # any SF) — outputs changed, green verdicts must refresh
+    "ngram_jaccard_pairs",
+    "jaccard_pairs_df_capped",
+    "minhash_lsh_pairs",
     "simhash32_neardup_pairs",
 ]
 

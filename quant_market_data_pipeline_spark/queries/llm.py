@@ -158,17 +158,21 @@ toks AS (
 # Planted near-duplicates for the Jaccard pair queries: the organic corpus
 # holds almost no >=0.1-Jaccard pairs at small SF (round 1 matched on ONE
 # row — near-vacuous).  Every doc gets a twin with its last 10 tokens
-# dropped (doc_id + 100000, same source block): J = (N-12)/(N-2), high for
-# any doc length, so the pair queries return hundreds of rows while the
-# organic pairs still flow through the same plan.
-_PLANTED_SHINGLE_CTE = """
+# dropped (doc_id + max(doc_id)+1, same source block): J = (N-12)/(N-2),
+# high for any doc length, so the pair queries return hundreds of rows
+# while the organic pairs still flow through the same plan.  The twin-id
+# offset is derived from max(doc_id)+1 (NOT a fixed 100000) so a larger
+# scale factor can never silently collide twin ids with organic ids.
+_TWIN_OFF_SQL = "(SELECT coalesce(max(doc_id) + 1, 0) FROM documents)"
+
+_PLANTED_SHINGLE_CTE = f"""
 toks0 AS (
   SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
   FROM documents
 ), corpus AS (
   SELECT doc_id, source, tokens FROM toks0
   UNION ALL
-  SELECT doc_id + 100000, source,
+  SELECT doc_id + {_TWIN_OFF_SQL}, source,
          tokens[1:greatest(5, len(tokens) - 10)] FROM toks0
 ), sh AS (
   SELECT DISTINCT doc_id, source, sh FROM (
@@ -179,13 +183,24 @@ toks0 AS (
 )"""
 
 
+def _with_twin_offset(docs_or_toks: DataFrame) -> DataFrame:
+    """Attach a ``__off`` column = max(doc_id)+1 via a broadcast 1-row
+    aggregate — the data-derived twin-id offset that makes planted-twin /
+    organic id collision structurally impossible at any scale factor
+    (Catalyst prunes the agg's input to the doc_id column only)."""
+    off = docs_or_toks.groupBy().agg(
+        F.coalesce(F.max("doc_id") + F.lit(1), F.lit(0)).alias("__off")
+    )
+    return docs_or_toks.crossJoin(F.broadcast(off))
+
+
 def _planted_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _PLANTED_SHINGLE_CTE: corpus + 10-token-truncated
     planted twins, exploded to distinct (doc_id, source, shingle) rows."""
     d = _docs_wide(spark, sf_dir)
     toks = d.select("doc_id", "source", word_tokens("text").alias("tokens"))
-    planted = toks.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+    planted = _with_twin_offset(toks).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         "source",
         F.slice(
             "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
@@ -232,7 +247,8 @@ _BAND_UNION = "\nUNION ALL\n".join(
 WITH corpus AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
   UNION ALL
-  SELECT doc_id + 100000, regexp_extract_all(text, '\\S+')[1:30] FROM documents
+  SELECT doc_id + {_TWIN_OFF_SQL}, regexp_extract_all(text, '\\S+')[1:30]
+  FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id,
@@ -257,8 +273,8 @@ FROM banded a JOIN banded b
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
     toks = d.select("doc_id", word_tokens("text").alias("tokens"))
-    planted = toks.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+    planted = _with_twin_offset(toks).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         F.slice("tokens", 1, 30).alias("tokens"),
     )
     corpus = toks.unionByName(planted)
@@ -1056,7 +1072,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize: both self-join sides, else the token-vote pipeline
     # (the expensive part) executes twice
-    fp = fp.localCheckpoint()
+    fp = fp.localCheckpoint(eager=False)
     a = fp.select(
         F.col("doc_id").alias("doc_lo"),
         F.col("simhash").alias("sh_a"),
@@ -1084,12 +1100,39 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_components",
-    oracle=None,
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, source, lang FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 3), source, lang
+  FROM documents WHERE doc_id < 150
+),
+edges AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM corpus a
+  JOIN corpus b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
+),
+sym AS (
+  SELECT doc_lo AS a, doc_hi AS b FROM edges
+  UNION ALL
+  SELECT doc_hi, doc_lo FROM edges
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+)
+SELECT node, min(comp) AS component FROM reach GROUP BY node
+""",
     doc="Connected components over the (source,lang)-blocked Levenshtein "
     "near-dup graph: iterative min-label propagation (join+groupBy per "
     "round, localCheckpoint lineage truncation) -> (node, component) "
-    "cluster assignment; rows-only check (iterative algorithm), "
-    "union-find parity in tests/test_components.py.",
+    "cluster assignment.  The fixpoint is deterministic (component = min "
+    "node id reachable), so the oracle is a DuckDB WITH RECURSIVE "
+    "reachability twin — hash-checked, upgraded from round 2's rows-only; "
+    "union-find parity additionally in tests/test_components.py.",
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.dedup import (
@@ -1415,7 +1458,7 @@ WITH toks0 AS (
 ), corpus AS (
   SELECT doc_id, array_to_string(tokens, ' ') AS text FROM toks0
   UNION ALL
-  SELECT doc_id + 100000,
+  SELECT doc_id + {_TWIN_OFF_SQL},
          array_to_string(tokens[1:greatest(5, len(tokens) - 10)], ' ')
   FROM toks0
 ), toks AS (
@@ -1448,8 +1491,8 @@ def q_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = toks.select(
         "doc_id", F.array_join("tokens", " ").alias("text")
     ).unionByName(
-        toks.select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+        _with_twin_offset(toks).select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"),
             F.array_join(
                 F.slice(
                     "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
@@ -1477,7 +1520,7 @@ def q_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash"),
     )
-    fp = fp.localCheckpoint()  # both self-join sides
+    fp = fp.localCheckpoint(eager=False)  # both self-join sides
     blocked = fp.withColumn(
         "blk", (F.col("simhash") / 65536).cast("long")
     )
@@ -1550,7 +1593,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derives from tf; materialize so the corpus is tokenized once, not
     # once per consumer (index-build convention, PLANS.md).
-    tf = tf.localCheckpoint()
+    tf = tf.localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1782,7 +1825,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # index-build convention (PLANS.md): both self-join sides and the
         # size aggregate reference this tokenize+distinct build
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("source").alias("source_a"), "sh")
@@ -1869,7 +1912,8 @@ WITH toks0 AS (
 ), corpus AS (
   SELECT doc_id, tokens FROM toks0
   UNION ALL
-  SELECT doc_id + 100000, tokens[1:greatest(5, len(tokens) - 10)]
+  SELECT doc_id + (SELECT coalesce(max(doc_id) + 1, 0) FROM documents),
+         tokens[1:greatest(5, len(tokens) - 10)]
   FROM toks0
 ), tok AS (
   SELECT doc_id, md5(t) AS h
@@ -1990,8 +2034,8 @@ def q_simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs_wide(spark, sf_dir)
     toks = d.select("doc_id", word_tokens("text").alias("tokens"))
-    planted = toks.select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+    planted = _with_twin_offset(toks).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         F.slice(
             "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
         ).alias("tokens"),
@@ -2035,6 +2079,10 @@ def q_bigram_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
     toks = d.select(word_tokens(F.lower("text")).alias("tokens"))
     n = F.size("tokens")
+    # guard: a 0/1-token doc makes n-1 <= 0 and slice(..., negative
+    # length) throws at runtime (the oracle's generate_series is simply
+    # empty) — same guard word_shingles uses
+    toks = toks.filter(n >= 2)
     pairs = toks.select(
         F.explode(
             F.arrays_zip(

@@ -259,7 +259,7 @@ def q_pair_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides reference the bar+window build; materialize it
     # once (index-build convention, PLANS.md) instead of running the tick
     # scan and window twice.
-    rets = rets.localCheckpoint()
+    rets = rets.localCheckpoint(eager=False)
     a = rets.select(
         F.col("symbol").alias("sym_a"), "bar_ts", F.col("r").alias("ra")
     )

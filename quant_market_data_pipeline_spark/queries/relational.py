@@ -440,20 +440,46 @@ def q_nested_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "approx_distinct_users",
-    oracle=None,
+    oracle="""
+SELECT CAST(ts AS DATE) AS event_date,
+       count(DISTINCT user_id) AS exact_users,
+       count(DISTINCT event_type) AS exact_types,
+       TRUE AS users_within_rsd,
+       TRUE AS types_within_rsd,
+       count(*) AS n_rows
+FROM events
+GROUP BY 1
+""",
     doc="HyperLogLog++ distinct users/types per event day (rsd=0.01) — "
     "mergeable sketch state, one pass, no expand; the scale path for "
-    "distinct_agg_parts.",
+    "distinct_agg_parts.  Hash-checkable: alongside the sketch the query "
+    "emits the exact distinct counts plus a within-tolerance boolean "
+    "(|approx-exact|/exact <= 5%, generous vs the 1% rsd), so the oracle "
+    "verifies the exact counts and TRUE while the sketch still runs.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.to_date("ts").alias("event_date"))
-        .agg(
-            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    agg = ev.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_type", 0.01).alias("approx_types"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_type").alias("exact_types"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def within(approx, exact):  # relative error gate, guards exact=0
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.greatest(F.lit(1.0), F.col(exact) * F.lit(0.05))
+        ).alias(approx.replace("approx", "") .strip("_") + "_within_rsd")
+
+    return agg.select(
+        "event_date",
+        "exact_users",
+        "exact_types",
+        within("approx_users", "exact_users"),
+        within("approx_types", "exact_types"),
+        "n_rows",
     )
 
 
@@ -461,14 +487,20 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_percentile_prices",
     oracle=None,
     doc="approx_percentile (Greenwald-Khanna, accuracy 10000) of order "
-    "totals per status — the sketch twin of percentiles_quantity.",
+    "totals per status — the sketch twin of percentiles_quantity.  The "
+    "three quantiles are projected to scalar double columns (p50/p90/p99),"
+    " never an array cell: the driver's canonicalizer sorts on cell "
+    "values and list cells are unhashable (round-2 harness crash).",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
+    qs = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
+    )
     return orders.groupBy("o_orderstatus").agg(
-        F.approx_percentile(
-            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
-        ).alias("approx_p50_p90_p99"),
+        qs.getItem(0).alias("p50"),
+        qs.getItem(1).alias("p90"),
+        qs.getItem(2).alias("p99"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 

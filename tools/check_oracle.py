@@ -174,6 +174,13 @@ def main() -> int:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print(
+                "usage: check_oracle.py [--strict] [--json OUT.json] "
+                "[SF_DIR [QUERY ...]]",
+                file=sys.stderr,
+            )
+            return 2
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--strict"]
