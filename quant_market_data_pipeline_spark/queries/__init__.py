@@ -83,6 +83,8 @@ _PRIORITY = [
     "salted_hot_key_stats",
     "column_profile_lineitem",
     "group_concat_types",
+    # --- new round 3: the first driver-gated Structured Streaming run ---
+    "stream_bars_5min_e2e",
     # --- changed round 3, must (re-)verify ---
     # sketch queries: scalar percentile projection (r2 harness crash) and
     # the exact-count + within-tolerance oracle upgrade
@@ -111,6 +113,7 @@ def load_all() -> dict[str, QuerySpec]:
         llm,
         quant,
         relational,
+        streaming_e2e,
         tpch,
     )
 

@@ -1,0 +1,116 @@
+"""Driver-gated end-to-end streaming query (SURVEY §2.8 surface).
+
+The one mandated extension with no oracle signal until round 3: every
+streaming operator was pytest-gated only.  This module registers a query
+that drives the REAL Structured Streaming path — file-source readStream
+over a landing dir, stateful ``dropDuplicatesWithinWatermark``, the
+watermarked tumbling-window bar aggregate, and the idempotent
+``foreachBatch`` parquet sink — under ``Trigger.AvailableNow``, then
+returns the materialized bars so the DuckDB oracle can hash-check them
+against the equivalent batch SQL.
+
+Determinism contract (what makes a streaming query oracle-checkable):
+
+- ``availableNow`` drains the landing dir and stops; with
+  ``noDataMicroBatches`` (default on) a final empty batch flushes every
+  window the terminal watermark (max event time - delay) has passed.
+- Append mode emits each finalized window exactly once, so after the
+  drain the output set is exactly {windows with end <= terminal
+  watermark} — independent of how the drain was split into
+  micro-batches.
+- To keep the comparison away from the watermark boundary (ms-precision
+  edge), BOTH sides filter to ``bar_ts <= max(ts) - 20 minutes``: four
+  bar-widths below the 10-minute watermark horizon, so every compared
+  window is provably emitted and every emitted-but-boundary window is
+  excluded on both sides identically.
+
+The landing copy is written by a bounded batch job at query build time
+(the fixture parquet stores nanosecond timestamps the streaming file
+source cannot read directly; the real deployment streams from the
+landing zone the ingest seam commits to — q/sources/ingest.py).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+from quant_market_data_pipeline_spark.streaming.bars_stream import TICK_SCHEMA
+from quant_market_data_pipeline_spark.streaming.pipeline import run_live_bars
+
+# Repo-local scratch root (wiped per run): the driver's session owns no
+# tmp dir contract, and /root/repo is the only writable surface we claim.
+_SCRATCH = Path(__file__).resolve().parents[2] / ".stream_e2e"
+
+
+@register(
+    "stream_bars_5min_e2e",
+    oracle="""
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS volume
+FROM events
+WHERE time_bucket(INTERVAL '5 minutes', ts)
+      <= (SELECT max(ts) - INTERVAL 20 minutes FROM events)
+GROUP BY 1, 2
+""",
+    doc="End-to-end Structured Streaming gate: readStream over a landing "
+    "copy of the ticks -> dropDuplicatesWithinWatermark(symbol,event_id) "
+    "-> watermarked 5-min tumbling OHLCV -> foreachBatch idempotent "
+    "parquet sink, drained with Trigger.AvailableNow across multiple "
+    "micro-batches (maxFilesPerTrigger=4 over 8 landing files).  The "
+    "oracle is the batch bar SQL restricted to windows provably past "
+    "the terminal watermark — append-mode exactly-once makes the "
+    "comparison deterministic regardless of micro-batch splits.",
+)
+def q_stream_bars_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+    )
+
+    base = _SCRATCH / Path(sf_dir).name
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out = str(base / "bars")
+    ckpt = str(base / "ckpt")
+
+    # land the ticks (8 files so maxFilesPerTrigger=4 forces a genuine
+    # multi-batch drain), then run the live chain to completion
+    ticks.repartition(8).write.mode("overwrite").parquet(landing)
+    query = run_live_bars(
+        spark,
+        landing_dir=landing,
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        schema=TICK_SCHEMA,
+        fmt="parquet",
+        width="5 minutes",
+        watermark_delay="10 minutes",
+        available_now=True,
+        max_files_per_trigger=4,
+    )
+    query.awaitTermination()
+
+    # deterministic comparison cutoff — see module docstring
+    cutoff = ticks.agg(
+        (F.max("ts") - F.expr("INTERVAL 20 minutes")).alias("c")
+    ).collect()[0]["c"]
+
+    bars = spark.read.parquet(out)
+    return bars.filter(F.col("bar_ts") <= F.lit(cutoff)).select(
+        "symbol", "bar_ts", "open", "high", "low", "close", "volume"
+    )
