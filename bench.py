@@ -38,7 +38,76 @@ HEADLINE = [
     # Hierarchical rollup headliner: hours derive from the 5-min bar
     # aggregate, not from raw ticks — the continuous-aggregate pattern.
     "bars_rollup_1h",
+    # Near-dup headliner is the LOSSLESS banded path (4x15-bit bands,
+    # pigeonhole-complete at hamming<=3).  The 32-bit prefix-blocked
+    # variant stays registered as an ablation/comparison query only —
+    # its 16-bit blocking is lossy AND loose (301k candidates vs 2.4k
+    # at sf0.1; PLANS.md) — and is deliberately NOT benched.
+    "simhash60_neardup_pairs",
 ]
+
+# Document/embedding fixtures are <1 MiB even at sf0.1, so headline doc
+# queries are fixed-overhead-dominated and perf work on them is invisible.
+# The docscale probe replicates documents+embeddings x16 (new ids, same
+# payload — replicas ARE realistic crawl dups) into a derived repo-local
+# dir (other tables symlinked), then re-times the doc headliners there.
+# Reported separately (docscale_queries/docscale_total) so the headline
+# total stays round-over-round comparable.
+DOCSCALE_FACTOR = 16
+DOCSCALE = [
+    "dedup_exact_docs",
+    "text_stats",
+    "minhash_lsh_pairs",
+    "simhash60_neardup_pairs",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
+
+
+def _build_docscale_dir(spark, sf_dir: str) -> str:
+    """Derive <repo>/.bench_scale/<sf>x{F}: documents/embeddings replicated
+    DOCSCALE_FACTOR times with collision-free ids, all other tables
+    symlinked to the source fixture dir.  Cached across runs."""
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scale",
+        os.path.basename(sf_dir.rstrip("/")) + f"x{DOCSCALE_FACTOR}",
+    )
+    stamp = os.path.join(root, "_BUILT")
+    if os.path.exists(stamp):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet") and not fname.startswith(
+            ("documents", "embeddings")
+        ):
+            dst = os.path.join(root, fname)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, fname), dst)
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(DOCSCALE_FACTOR - 1))
+    ).alias("__r")
+    for table, id_col in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        src = load_table(spark, table, sf_dir)
+        off = src.groupBy().agg(
+            (F.max(id_col) + F.lit(1)).alias("__off")
+        )
+        scaled = (
+            src.crossJoin(F.broadcast(off))
+            .select("*", rep)
+            .withColumn(id_col, F.col(id_col) + F.col("__r") * F.col("__off"))
+            .drop("__r", "__off")
+        )
+        scaled.repartition(8).write.mode("overwrite").parquet(
+            os.path.join(root, f"{table}.parquet")
+        )
+    with open(stamp, "w") as f:
+        f.write(str(DOCSCALE_FACTOR))
+    return root
 
 
 def _previous_bench() -> dict[str, float]:
@@ -90,6 +159,22 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # docscale probe: doc headliners against the x16 derived fixture
+    docscale: dict[str, float] = {}
+    try:
+        scale_dir = _build_docscale_dir(spark, sf_dir)
+        for t in ("documents", "embeddings"):
+            load_table(spark, t, scale_dir).count()  # warm
+        for name in DOCSCALE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.spark(spark, scale_dir).count()
+            docscale[name] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # probe must never sink the headline bench
+        docscale = {"error": str(exc)[:200]}
     # Regression harness: deltas vs the previous round's recorded bench
     # (>20% slower on a query that took >=0.5s flags a regression).
     prev = _previous_bench()
@@ -111,6 +196,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "delta_vs_prev": deltas,
                 "regressions_over_20pct": regressions,
+                "docscale_factor": DOCSCALE_FACTOR,
+                "docscale_queries": docscale,
+                "docscale_total": round(
+                    sum(v for v in docscale.values() if isinstance(v, float)), 3
+                ),
             }
         )
     )
