@@ -85,6 +85,14 @@ _PRIORITY = [
     "group_concat_types",
     # --- new round 3: the first driver-gated Structured Streaming run ---
     "stream_bars_5min_e2e",
+    # --- new round 3: pipeline ops + TPC-H Q8 ---
+    "user_sessions_batch",
+    "ewma_bounded",
+    "bpe_merge_candidates",
+    "sequence_packing_bins",
+    "snapshot_diff_customers",
+    "k_anonymity_audit",
+    "market_share_q8",
     # --- changed round 3, must (re-)verify ---
     # sketch queries: scalar percentile projection (r2 harness crash) and
     # the exact-count + within-tolerance oracle upgrade
@@ -111,6 +119,7 @@ def load_all() -> dict[str, QuerySpec]:
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
         llm,
+        pipeline_ops,
         quant,
         relational,
         streaming_e2e,

@@ -1,0 +1,385 @@
+"""Large-scale data-pipeline operators (round 3 additions).
+
+The shapes a production training-data / analytics pipeline needs beyond
+the reference's own surface and the round-1/2 LLM extensions:
+
+- gap-based sessionization (the canonical event-stream feature builder);
+- bounded-lookback EWMA (the batch twin of the streaming Wilder RSI
+  recursion — truncated to K terms so it is window-expressible and
+  oracle-checkable);
+- BPE merge-candidate counting (one step of tokenizer training);
+- sequence packing (documents -> fixed-size context-window bins, the
+  last batch step before an LLM training run);
+- snapshot reconciliation (CDC-style diff of two as-of aggregates);
+- k-anonymity audit (release gate over quasi-identifier group sizes).
+
+Every query follows the exactness discipline (functions/exact.py): money
+through decimal, BIGINT casts on count-ish oracle columns, float
+formulas built from ONE Python literal so both engines parse the same
+double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.functions.exact import (
+    money_sum,
+    sql_money_sum,
+)
+from quant_market_data_pipeline_spark.llm.hashing import word_tokens
+from quant_market_data_pipeline_spark.operators.bars import build_bars
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session.  One shuffle on
+# user_id; the two window passes and the final groupBy all reuse the same
+# hash partitioning, so Catalyst plans a single exchange — the property
+# that makes this viable over billions of events.
+# ---------------------------------------------------------------------------
+@register(
+    "user_sessions_batch",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess
+GROUP BY 1, 2
+""",
+    doc="Gap-based sessionization (30-minute inactivity): lag -> new-"
+    "session flag -> running sum = session id -> per-session aggregates. "
+    "The batch twin of streaming/stateful.py sessionize; (ts, event_id) "
+    "ordering makes ids deterministic.  Reference analog: the per-day "
+    "bar grouping of project/transform_data.py:61-70 generalized to "
+    "data-driven boundaries.",
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_new).over(run).alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-lookback EWMA over 5-min bar closes.  The infinite recursion
+# ewma_t = a*x_t + (1-a)*ewma_{t-1} is not window-expressible; truncating
+# to K terms (weight remainder renormalized) is, and the truncation error
+# is (1-a)^K < 0.011 of the oldest state.  Coefficients are Python float
+# literals injected into BOTH engines, so the arithmetic is bit-identical.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.2
+_EWMA_K = 10
+_EWMA_COEFFS = [
+    _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i for i in range(_EWMA_K)
+]
+_EWMA_DENOM = 1.0 - (1.0 - _EWMA_ALPHA) ** _EWMA_K
+
+_EWMA_SQL_TERMS = " + ".join(
+    f"{c!r} * lag(close, {i}) OVER w" for i, c in enumerate(_EWMA_COEFFS)
+)
+
+@register(
+    "ewma_bounded",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events
+  GROUP BY 1, 2
+), terms AS (
+  SELECT symbol, bar_ts,
+         ({_EWMA_SQL_TERMS}) / {_EWMA_DENOM!r} AS ewma,
+         row_number() OVER w AS rn
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+)
+SELECT symbol, bar_ts, round(ewma, 6) AS ewma_close
+FROM terms WHERE rn > {_EWMA_K}
+""",
+    doc=f"Bounded EWMA (alpha={_EWMA_ALPHA}, K={_EWMA_K} lags, "
+    "renormalized) of 5-min bar closes per symbol: the window-"
+    "expressible batch twin of the streaming Wilder-RSI recursion "
+    "(streaming/stateful.py) — K lag terms over one sort within the "
+    "symbol partition, no state, no Python.  Rows without full lookback "
+    "are dropped (rn > K) so every output is the exact K-term sum.",
+)
+def q_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bars = build_bars(
+        ev, key="event_type", ts="ts", price="value",
+        width="5 minutes", tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    terms = None
+    for i, c in enumerate(_EWMA_COEFFS):
+        t = F.lit(c) * F.lag("close", i).over(w)
+        terms = t if terms is None else terms + t
+    out = bars.select(
+        "symbol",
+        "bar_ts",
+        (terms / F.lit(_EWMA_DENOM)).alias("ewma"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return out.filter(F.col("rn") > _EWMA_K).select(
+        "symbol", "bar_ts", F.round("ewma", 6).alias("ewma_close")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting: one step of byte-pair-encoding tokenizer
+# training.  Word-frequency compression first (the classic trick: pair
+# counts weight by word frequency, so the explode runs over DISTINCT
+# words, not the corpus) — at 100 TB the distinct-word table is orders of
+# magnitude smaller than the token stream.
+# ---------------------------------------------------------------------------
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+WITH words AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS w
+  FROM documents
+), wf AS (
+  SELECT w, count(*) AS freq FROM words GROUP BY w
+), pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in generate_series(1, len(w) - 1)])
+           AS pair,
+         freq
+  FROM wf WHERE len(w) >= 2
+)
+SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 50
+""",
+    doc="BPE tokenizer-training step: top-50 adjacent character pairs "
+    "weighted by word frequency.  Distinct-word compression bounds the "
+    "explode (|vocab| << |corpus tokens|); top-k plans as "
+    "TakeOrderedAndProject — no global sort.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)")
+        ).alias("w0")
+    ).select(F.lower("w0").alias("w"))
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: documents -> fixed-size context-window bins.  Global
+# packing is inherently sequential, so the scalable form packs within a
+# shard (source) — each shard's running offset is an independent window,
+# and shards pack in parallel.
+# ---------------------------------------------------------------------------
+@register(
+    "sequence_packing_bins",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_offset
+  FROM toks
+)
+SELECT doc_id, source, n_tokens, start_offset,
+       start_offset // 2048 AS bin_id
+FROM packed
+""",
+    doc="Training-run sequence packing: concat-then-chunk assignment of "
+    "documents to 2048-token context bins, per source shard (running "
+    "token offset via one window cumsum; bin = offset div 2048).  "
+    "Per-shard packing is the parallelizable form — a global pack would "
+    "serialize on one partition at 100 TB.",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(word_tokens("text")).cast("long").alias("n_tokens"),
+    )
+    run = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(run) - F.col("n_tokens")).alias("start_offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "start_offset",
+        F.expr("start_offset div 2048").alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (CDC diff): per-customer order aggregates as of
+# two cutoff dates, classified added/changed/unchanged.  The oracle uses
+# the textbook two-snapshot FULL OUTER JOIN; the Spark plan folds both
+# snapshots into ONE scan with conditional aggregates — one shuffle
+# instead of three, same rows.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff_customers",
+    oracle=f"""
+WITH a AS (
+  SELECT o_custkey AS custkey, count(*) AS n_orders,
+         {sql_money_sum('o_totalprice')} AS revenue
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1
+), b AS (
+  SELECT o_custkey AS custkey, count(*) AS n_orders,
+         {sql_money_sum('o_totalprice')} AS revenue
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+)
+SELECT b.custkey AS custkey,
+       CASE WHEN a.custkey IS NULL THEN 'added'
+            WHEN a.n_orders <> b.n_orders OR a.revenue <> b.revenue
+              THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       coalesce(a.n_orders, 0) AS n_orders_prev,
+       b.n_orders AS n_orders_curr,
+       coalesce(a.revenue, 0.0) AS revenue_prev,
+       b.revenue AS revenue_curr
+FROM b LEFT JOIN a ON a.custkey = b.custkey
+""",
+    doc="CDC-style snapshot reconciliation: per-customer (n_orders, "
+    "revenue) as of 1997-01-01 vs 1998-01-01, rows classified added/"
+    "changed/unchanged.  The early snapshot is a subset of the late one, "
+    "so Spark computes BOTH from one scan via conditional aggregates "
+    "(sum(when(date<cutoff,...))) — one shuffle on custkey vs the "
+    "oracle's three; exact-decimal revenue makes the change flag "
+    "deterministic.",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    in_a = F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    agg = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_orders_prev"),
+        F.count(F.lit(1)).alias("n_orders_curr"),
+        money_sum(
+            F.when(in_a, F.col("o_totalprice")).otherwise(F.lit(0.0))
+        ).alias("revenue_prev"),
+        money_sum("o_totalprice").alias("revenue_curr"),
+    )
+    return agg.select(
+        "custkey",
+        F.when(F.col("n_orders_prev") == 0, "added")
+        .when(
+            (F.col("n_orders_prev") != F.col("n_orders_curr"))
+            | (F.col("revenue_prev") != F.col("revenue_curr")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "n_orders_prev",
+        "n_orders_curr",
+        "revenue_prev",
+        "revenue_curr",
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: group sizes over quasi-identifiers — the release
+# gate that must pass before a per-user table ships.  One hash aggregate;
+# the quasi-identifier tuple is the shuffle key.
+# ---------------------------------------------------------------------------
+@register(
+    "k_anonymity_audit",
+    oracle="""
+SELECT c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS acctbal_band,
+       count(*) AS group_size,
+       count(*) >= 5 AS k_ok
+FROM customer
+GROUP BY 1, 2, 3
+""",
+    doc="k-anonymity release audit (k=5) over the quasi-identifier tuple "
+    "(nation, market segment, account-balance band): per-group size and "
+    "pass flag; groups with k_ok=false must be generalized or suppressed "
+    "before release.  The privacy-side complement of the PII redaction "
+    "query.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000.0)
+            .cast("long")
+            .alias("acctbal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "acctbal_band",
+            "group_size",
+            (F.col("group_size") >= 5).alias("k_ok"),
+        )
+    )

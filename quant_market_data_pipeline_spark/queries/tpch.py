@@ -828,3 +828,67 @@ def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey <= 200
         """
     )
+
+
+@register(
+    "market_share_q8",
+    oracle=f"""
+SELECT year(o_orderdate) AS o_year,
+       {sql_fin(f"sum(CASE WHEN n2.n_name = 'NATION_2' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END)")} AS nation_volume,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS total_volume,
+       round({sql_fin(f"sum(CASE WHEN n2.n_name = 'NATION_2' THEN {_DISC_PRICE} ELSE CAST(0 AS DECIMAL(18,4)) END)")}
+             / {sql_fin(f'sum({_DISC_PRICE})')}, 6) AS mkt_share
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+GROUP BY 1
+""",
+    doc="TPC-H Q8 shape (national market share): NATION_2 suppliers' "
+    "share of the ASIA-region STANDARD-part market per order year.  One "
+    "fact-fact shuffle join (lineitem-orders); part/supplier/customer/"
+    "nation/region all broadcast; share = one double division of two "
+    "exact conditional decimal sums (promo_revenue_ratio discipline).  "
+    "Reference analog: the revenue-attribution rollups of "
+    "project/transform_data.py generalized to a dual-dimension-role "
+    "join (nation joins twice: customer side and supplier side).",
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    fact = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), cust["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region["r_regionkey"])
+        .join(F.broadcast(n2), supp["s_nationkey"] == F.col("n2_key"))
+    )
+    nation_vol = F.sum(
+        F.when(F.col("supp_nation") == "NATION_2", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    total_vol = F.sum(_disc_price())
+    return fact.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        fin(nation_vol).alias("nation_volume"),
+        fin(total_vol).alias("total_volume"),
+        F.round(fin(nation_vol) / fin(total_vol), 6).alias("mkt_share"),
+    )

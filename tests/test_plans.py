@@ -140,3 +140,55 @@ def test_top_supplier_window_over_post_aggregate_frame(spark):
     # never over the fact: exactly one agg shuffle feeds the window
     assert plan.count("Window") == 1
     assert "SortMergeJoin" not in plan
+
+
+def test_market_share_q8_join_shapes(spark):
+    plan = _plan(spark, "market_share_q8")
+    # every dimension (part/supplier/customer/nation x2/region) broadcasts;
+    # only the lineitem-orders fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+
+
+def test_sessions_single_exchange(spark):
+    plan = _plan(spark, "user_sessions_batch")
+    # lag-window, running-sum window and the per-session aggregate all
+    # reuse ONE user_id hash exchange — the property that makes
+    # sessionization one shuffle over billions of events
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_ewma_single_window_over_bar_aggregate(spark):
+    plan = _plan(spark, "ewma_bounded")
+    # K lag terms + row_number share one window spec -> one Window op;
+    # bar agg shuffle + symbol window exchange, nothing else
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_topk_no_global_sort(spark):
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_sequence_packing_one_shard_exchange(spark):
+    plan = _plan(spark, "sequence_packing_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_snapshot_diff_single_scan_no_join(spark):
+    plan = _plan(spark, "snapshot_diff_customers")
+    # both snapshots fold into one conditional aggregate: no join, one
+    # custkey exchange, partial+final agg
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_k_anonymity_partial_agg(spark):
+    plan = _plan(spark, "k_anonymity_audit")
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange hashpartitioning") == 1
