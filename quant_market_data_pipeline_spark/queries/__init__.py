@@ -83,8 +83,9 @@ _PRIORITY = [
     "salted_hot_key_stats",
     "column_profile_lineitem",
     "group_concat_types",
-    # --- new round 3: the first driver-gated Structured Streaming run ---
+    # --- new round 3: the first driver-gated Structured Streaming runs ---
     "stream_bars_5min_e2e",
+    "stream_attribution_e2e",
     # --- new round 3: pipeline ops + TPC-H Q8 ---
     "user_sessions_batch",
     "ewma_bounded",

@@ -114,3 +114,78 @@ def q_stream_bars_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bars.filter(F.col("bar_ts") <= F.lit(cutoff)).select(
         "symbol", "bar_ts", "open", "high", "low", "close", "volume"
     )
+
+
+@register(
+    "stream_attribution_e2e",
+    oracle="""
+SELECT v.event_id AS view_id, v.user_id AS v_user, v.ts AS v_ts,
+       p.ts AS p_ts, round(p.value, 6) AS p_value
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+    doc="Driver-gated stream-stream join: views and purchases land as two "
+    "file streams, joined by streaming/bars_stream.py:"
+    "stream_stream_attribution (equi key + event-time range bounds -> "
+    "bounded join state), drained in ONE availableNow micro-batch into a "
+    "native append parquet sink.  Single-batch drain makes the inner "
+    "join exhaustive (no cross-batch late-data eviction), so the oracle "
+    "is the plain batch range join — the streaming/batch equivalence "
+    "the lambda architecture promises, checked by hash.",
+)
+def q_stream_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        stream_stream_attribution,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir)
+
+    base = _SCRATCH / (Path(sf_dir).name + "_attr")
+    shutil.rmtree(base, ignore_errors=True)
+    v_dir, p_dir = str(base / "views"), str(base / "purchases")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    ev.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id", "value"
+    ).coalesce(2).write.parquet(v_dir)
+    ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    ).coalesce(2).write.parquet(p_dir)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    views = spark.readStream.schema(schema).parquet(v_dir)
+    purchases = spark.readStream.schema(schema).parquet(p_dir)
+    joined = stream_stream_attribution(
+        views, purchases, key="user_id", ts="ts", horizon="1 hour"
+    )
+    query = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "view_id",
+        "v_user",
+        "v_ts",
+        "p_ts",
+        F.round("p_value", 6).alias("p_value"),
+    )
