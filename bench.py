@@ -34,6 +34,7 @@ HEADLINE = [
     # anchor) and is deliberately NOT benched.
     "minhash_lsh_pairs",
     "ann_lsh_topk",
+    "ann_lsh_mt_topk",
     "ann_ivf_topk",
     # Hierarchical rollup headliner: hours derive from the 5-min bar
     # aggregate, not from raw ticks — the continuous-aggregate pattern.
@@ -60,6 +61,7 @@ DOCSCALE = [
     "minhash_lsh_pairs",
     "simhash60_neardup_pairs",
     "ann_lsh_topk",
+    "ann_lsh_mt_topk",
     "ann_ivf_topk",
 ]
 

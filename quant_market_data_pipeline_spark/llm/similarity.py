@@ -117,9 +117,15 @@ def hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
     return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def lsh_bucket(vec: Column, planes: int, dim: int) -> Column:
-    """Sign-pattern bucket key: concatenated hyperplane sign bits."""
-    return F.concat(*[hyperplane_sign(vec, p, dim) for p in range(planes)])
+def lsh_bucket(vec: Column, planes: int, dim: int, offset: int = 0) -> Column:
+    """Sign-pattern bucket key: concatenated hyperplane sign bits.
+
+    ``offset`` selects a disjoint plane family (planes offset..offset+
+    planes-1) so multi-table LSH draws independent buckets per table.
+    """
+    return F.concat(
+        *[hyperplane_sign(vec, offset + p, dim) for p in range(planes)]
+    )
 
 
 def lsh_cosine_topk(
@@ -136,6 +142,10 @@ def lsh_cosine_topk(
     vecs = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("bucket", lsh_bucket(F.col("v"), planes, dim))
+    # index build: both self-join sides read the bucketed vectors, and the
+    # bucket key costs planes x dim multiply-adds per row — materialize it
+    # once (lazy: plan construction stays free)
+    vecs = vecs.localCheckpoint(eager=False)
     a = vecs.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -159,6 +169,76 @@ def lsh_cosine_topk(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "bucket", "cos_sim", "rn")
+    )
+
+
+def lsh_multitable_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 2,
+    planes: int = 8,
+    dim: int = 64,
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-table hyperplane LSH top-k — the 100 TB ANN path.
+
+    Single-table LSH has a fixed 2^planes bucket count, so bucket
+    population (and the in-bucket quadratic) grows linearly with corpus
+    size: at 16x data the 4-plane/16-bucket variant pays ~16x more
+    cosines per query.  The classic fix (E2LSH-style) is MORE planes for
+    small buckets plus MULTIPLE independent tables for recall: candidates
+    are the union over tables of same-bucket pairs, deduplicated before
+    ranking.  2 tables x 8 planes = 256 buckets/table: ~32x fewer cosine
+    evaluations per query than the 4-plane table at equal corpus size,
+    and the candidate count scales as tables * n^2 / 2^planes — tune
+    ``planes`` up with corpus growth to hold bucket size constant.
+    """
+    vecs = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    for t in range(tables):
+        vecs = vecs.withColumn(
+            f"b{t}", lsh_bucket(F.col("v"), planes, dim, offset=t * planes)
+        )
+    # index build: one pass computes all tables' bucket keys
+    vecs = vecs.localCheckpoint(eager=False)
+
+    per_table = []
+    for t in range(tables):
+        a = vecs.select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col(f"b{t}").alias("__bk"),
+        )
+        b = vecs.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("cv"),
+            F.col(f"b{t}").alias("__bk"),
+        )
+        per_table.append(
+            a.join(b, "__bk")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine(F.col("qv"), F.col("cv")), round_digits
+                ).alias("cos_sim"),
+            )
+        )
+    cand = per_table[0]
+    for extra in per_table[1:]:
+        cand = cand.unionByName(extra)
+    # a pair colliding in several tables scores identically in each, so
+    # distinct() dedups on the scalar triple — no vector re-shuffle
+    cand = cand.distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
 
 

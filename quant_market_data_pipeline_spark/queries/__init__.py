@@ -94,6 +94,7 @@ _PRIORITY = [
     "snapshot_diff_customers",
     "k_anonymity_audit",
     "market_share_q8",
+    "ann_lsh_mt_topk",
     # --- changed round 3, must (re-)verify ---
     # sketch queries: scalar percentile projection (r2 harness crash) and
     # the exact-count + within-tolerance oracle upgrade

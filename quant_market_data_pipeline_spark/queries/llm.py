@@ -419,6 +419,53 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(emb, planes=4, dim=64, k=3)
 
 
+_MT_B0 = " || ".join(_plane_sql(p) for p in range(0, 8))
+_MT_B1 = " || ".join(_plane_sql(p) for p in range(8, 16))
+
+@register(
+    "ann_lsh_mt_topk",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+), bucketed AS (
+  SELECT vec_id, cv, {_MT_B0} AS b0, {_MT_B1} AS b1 FROM vecs
+), cand AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.cv, b.cv) /
+               nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                      sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
+  FROM bucketed a JOIN bucketed b
+    ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+  UNION
+  SELECT a.vec_id, b.vec_id,
+         round(list_dot_product(a.cv, b.cv) /
+               nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                      sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6)
+  FROM bucketed a JOIN bucketed b
+    ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 3
+""",
+    doc="Multi-table LSH ANN (2 tables x 8 planes = 256 buckets/table): "
+    "the at-scale successor to the single-table 4-plane ann_lsh_topk, "
+    "whose fixed 16 buckets grow linearly with the corpus (in-bucket "
+    "quadratic).  Small buckets bound the per-query cosine count; the "
+    "second independent table restores recall; duplicate candidates "
+    "dedup on the scalar triple before ranking.",
+)
+def q_ann_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        lsh_multitable_topk,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    return lsh_multitable_topk(emb, tables=2, planes=8, dim=64, k=3)
+
+
 @register(
     "embedding_neardup_pairs",
     oracle="""
