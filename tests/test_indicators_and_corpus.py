@@ -176,12 +176,20 @@ def test_cohort_week0_retention_is_full(spark):
 
 def test_simhash60_twins_found_and_blocking_lossless(spark):
     from quant_market_data_pipeline_spark.queries.llm import q_simhash60
+    from quant_market_data_pipeline_spark.sources.tables import load_table
 
+    # twin ids are offset by max(doc_id)+1 (collision-proof at any SF)
+    off = (
+        load_table(spark, "documents", SF_DIR)
+        .agg({"doc_id": "max"})
+        .first()[0]
+        + 1
+    )
     rows = q_simhash60(spark, SF_DIR).collect()
     assert rows
     for r in rows:
         assert r.hamming <= 3
-    # the planted truncation twins (doc_id + 100000) dominate the pairs:
-    # near-identical token multisets land within 3 bits
-    twin_pairs = sum(1 for r in rows if r.doc_hi == r.doc_lo + 100000)
+    # the planted truncation twins dominate the pairs: near-identical
+    # token multisets land within 3 bits
+    twin_pairs = sum(1 for r in rows if r.doc_hi == r.doc_lo + off)
     assert twin_pairs >= 0.5 * len(rows)

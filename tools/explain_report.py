@@ -42,10 +42,52 @@ QUERIES = [
     "simhash60_neardup_pairs",
     "salted_hot_key_stats",
     "sql_lateral_top2_orders",
+    # round 3
+    "ann_lsh_mt_topk",
+    "market_share_q8",
+    "user_sessions_batch",
+    "ewma_bounded",
+    "bpe_merge_candidates",
+    "sequence_packing_bins",
+    "snapshot_diff_customers",
+    "k_anonymity_audit",
+    "dedup_components",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
 NOTES = """
+## simhash32 is ablation-only (round 3)
+
+`simhash32_neardup_pairs`'s 16-bit prefix blocking over a 32-bit
+fingerprint is lossy (no pigeonhole guarantee at hamming<=3) AND loose
+(301k candidate pairs at sf0.1 vs simhash60's 2.4k — the in-bucket
+quadratic dominates at 100x data).  It stays registered purely as the
+documented comparison point; the bench headliner and recommended scale
+path is `simhash60_neardup_pairs` (4x15-bit lossless banding).
+
+## Doc-scale probe (round 3, x16 documents/embeddings, local[32])
+
+bench.py now replicates documents+embeddings x16 (collision-free ids)
+and re-times the doc headliners there — the fixtures are <1 MiB at
+sf0.1, so without this every doc query is fixed-overhead-dominated.
+First probe (sf0.01 base): dedup_exact 0.36s, text_stats 0.23s,
+minhash_lsh 3.5s, simhash60 4.2s, ann_lsh (single-table, 16 buckets)
+8.2s, ann_lsh_mt (2x8 planes, 256 buckets/table) 4.4s, ann_ivf 2.0s.
+The single-table LSH's fixed 16 buckets are the quadratic bottleneck —
+hence the multi-table variant below.
+
+## Multi-table LSH ANN (round 3)
+
+`ann_lsh_mt_topk` = 2 independent tables x 8 hyperplanes (256
+buckets/table): bucket size — and therefore per-query cosine count —
+drops 16x vs the 4-plane table; the union of two tables restores
+recall; duplicate candidates dedup on the scalar (query, neighbor,
+cos) triple, never re-shuffling vectors.  Scale rule: grow `planes`
+with log2(corpus) to hold bucket population constant, add tables to
+buy recall.
+"""  # noqa: E501 (durable notes precede generated sections)
+
+_ROUND2_NOTES = """
 ## Scaling probe (round 2, local[32], warm scans)
 
 Wall-clock ratio sf0.1 / sf0.01 (10x the rows) for headline queries,
@@ -150,6 +192,7 @@ def main() -> None:
         out.append("\n```\n" + plan[:4000] + ("\n… (truncated)" if len(plan) > 4000 else "") + "\n```\n")
 
     out.append(NOTES)
+    out.append(_ROUND2_NOTES)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
     print(f"PLANS.md written ({len(QUERIES)} queries)")
