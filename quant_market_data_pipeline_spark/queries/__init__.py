@@ -95,6 +95,7 @@ _PRIORITY = [
     "k_anonymity_audit",
     "market_share_q8",
     "ann_lsh_mt_topk",
+    "benford_totalprice_audit",
     # --- changed round 3, must (re-)verify ---
     # sketch queries: scalar percentile projection (r2 harness crash) and
     # the exact-count + within-tolerance oracle upgrade

@@ -383,3 +383,73 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") >= 5).alias("k_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford leading-digit audit: fraud/corruption DQ screen over money
+# columns.  Digit extraction goes through exact integer/string ops (never
+# log10 of a double — libm rounding is not guaranteed identical across
+# engines); the Benford expectation is a 10-digit literal injected into
+# both plans.
+# ---------------------------------------------------------------------------
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366,
+    4: 0.096910013, 5: 0.079181246, 6: 0.0669467896,
+    7: 0.057991947, 8: 0.0511525224, 9: 0.0457574906,
+}
+_BENFORD_SQL_CASE = "CASE leading_digit " + " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "benford_totalprice_audit",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS leading_digit
+  FROM orders WHERE o_totalprice >= 1
+), counts AS (
+  SELECT leading_digit, count(*) AS n_orders FROM digits GROUP BY 1
+)
+SELECT leading_digit, n_orders,
+       round(n_orders * 1.0 / sum(n_orders) OVER (), 6) AS actual_pct,
+       {_BENFORD_SQL_CASE} AS benford_pct,
+       round(abs(n_orders * 1.0 / sum(n_orders) OVER ()
+                 - {_BENFORD_SQL_CASE}), 6) AS abs_dev
+FROM counts
+""",
+    doc="Benford's-law DQ screen: leading-digit distribution of order "
+    "totals vs the log10(1+1/d) expectation, with absolute deviation "
+    "per digit.  One hash aggregate to 9 rows, then a global window "
+    "over those 9 — the fraud/synthetic-data smoke test auditors run "
+    "over money columns.",
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("leading_digit")
+    )
+    counts = digits.groupBy("leading_digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = Window.partitionBy()
+    expected = F.lit(None).cast("double")
+    benford = None
+    for d, p in _BENFORD.items():
+        clause = F.when(F.col("leading_digit") == d, F.lit(p))
+        benford = clause if benford is None else benford.when(
+            F.col("leading_digit") == d, F.lit(p)
+        )
+    actual = F.col("n_orders") * F.lit(1.0) / F.sum("n_orders").over(total)
+    return counts.select(
+        "leading_digit",
+        "n_orders",
+        F.round(actual, 6).alias("actual_pct"),
+        benford.alias("benford_pct"),
+        F.round(F.abs(actual - benford), 6).alias("abs_dev"),
+    )
