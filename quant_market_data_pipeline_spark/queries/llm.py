@@ -938,6 +938,12 @@ WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
     "blocking bounds the quadratic term.",
 )
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixed +100000 twin offset here (and in dedup_components) is
+    # collision-proof by construction: the corpus is filtered to
+    # doc_id < 150 BEFORE twinning, so organic ids are < 150 and twin
+    # ids are >= 100000 at every scale factor.  Queries that twin the
+    # UNFILTERED corpus use the data-derived max(doc_id)+1 offset
+    # instead (_with_twin_offset).
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     planted = d.select(
         (F.col("doc_id") + 100000).alias("doc_id"),

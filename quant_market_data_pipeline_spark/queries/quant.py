@@ -464,3 +464,436 @@ def q_intraday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("r"), 6).alias("mean_ret"),
         F.round(F.stddev_samp("r"), 6).alias("ret_stddev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 indicator suite: VWAP, ATR, stochastic oscillator, OBV, MACD
+# (bounded), market beta.  Same design rules as above: bars built once
+# per query with ONE (symbol, bucket) hash-shuffle, every indicator is a
+# window composition over the symbol partition (low-skew: symbols are
+# the natural distribution key of a tick lake), warm-up rows without a
+# full lookback are dropped on BOTH engines so outputs are exact.
+# ---------------------------------------------------------------------------
+
+_OHLCV_CTE = """\
+bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         max(value) AS high,
+         min(value) AS low,
+         arg_max(value, ts) AS close,
+         count(*) AS volume
+  FROM events GROUP BY 1, 2
+)"""
+
+
+def _bars_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full OHLCV 5-min bars (Spark twin of _OHLCV_CTE)."""
+    bars = build_bars(
+        _events(spark, sf_dir),
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="5 minutes",
+        tiebreak="event_id",
+    )
+    return bars.select(
+        F.col("event_type").alias("symbol"),
+        "bar_ts",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
+@register(
+    "vwap_daily",
+    oracle="""
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL '1 day', ts) AS day,
+       round(sum(value * CAST(json_extract(props, '$.k') AS BIGINT))
+             / sum(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS vwap,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS total_size,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Daily volume-weighted average price, trade size parsed from the "
+    "props JSON payload (semi-structured tick enrichment — the reference "
+    "stores vendor JSON raw; reference project/ingest_data.py:56-90).  "
+    "ONE hash aggregate on (symbol, day): the JSON path extraction is a "
+    "JVM built-in (get_json_object), map-side partials absorb the tick "
+    "volume, no window needed.",
+)
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    size = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").alias("day"),
+            F.col("value"),
+            size.alias("__sz"),
+        )
+        .groupBy("symbol", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("__sz")) / F.sum("__sz"), 6
+            ).alias("vwap"),
+            F.sum("__sz").alias("total_size"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "atr_14",
+    oracle=f"""
+WITH {_OHLCV_CTE},
+tr AS (
+  SELECT symbol, bar_ts,
+         greatest(high - low,
+                  abs(high - lag(close) OVER w),
+                  abs(low - lag(close) OVER w)) AS tr
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+), atr AS (
+  SELECT symbol, bar_ts, round(tr, 6) AS true_range,
+         avg(tr) OVER wa AS atr, count(*) OVER wa AS n
+  FROM tr WHERE tr IS NOT NULL
+  WINDOW wa AS (PARTITION BY symbol ORDER BY bar_ts
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, true_range, round(atr, 6) AS atr_14
+FROM atr WHERE n = 14
+""",
+    doc="ATR(14), simple-average form: true range = max(high-low, "
+    "|high-prev_close|, |low-prev_close|), 14-bar trailing mean.  The "
+    "lag and the trailing average share one symbol-keyed window "
+    "exchange; warm-up rows (no prev close / frame < 14) dropped.",
+)
+def q_atr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_ohlcv(spark, sf_dir)
+    lagw = Window.partitionBy("symbol").orderBy("bar_ts")
+    pc = F.lag("close").over(lagw)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - pc),
+        F.abs(F.col("low") - pc),
+    )
+    trs = bars.select("symbol", "bar_ts", tr.alias("tr")).filter(
+        F.col("tr").isNotNull()
+    )
+    wa = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    return (
+        trs.select(
+            "symbol",
+            "bar_ts",
+            F.round("tr", 6).alias("true_range"),
+            F.avg("tr").over(wa).alias("__atr"),
+            F.count(F.lit(1)).over(wa).alias("__n"),
+        )
+        .filter(F.col("__n") == 14)
+        .select(
+            "symbol",
+            "bar_ts",
+            "true_range",
+            F.round("__atr", 6).alias("atr_14"),
+        )
+    )
+
+
+@register(
+    "stochastic_14_3",
+    oracle=f"""
+WITH {_OHLCV_CTE},
+k AS (
+  SELECT symbol, bar_ts,
+         100.0 * (close - min(low) OVER w)
+           / nullif(max(high) OVER w - min(low) OVER w, 0) AS pct_k,
+         count(*) OVER w AS n14
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), kk AS (
+  SELECT symbol, bar_ts, pct_k,
+         avg(pct_k) OVER wd AS pct_d, count(*) OVER wd AS n3
+  FROM k WHERE n14 = 14
+  WINDOW wd AS (PARTITION BY symbol ORDER BY bar_ts
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, round(pct_k, 6) AS pct_k, round(pct_d, 6) AS pct_d
+FROM kk WHERE n3 = 3
+""",
+    doc="Stochastic oscillator %K(14)/%D(3): rolling 14-bar high/low "
+    "channel position, 3-bar smoothed.  Both window passes share the "
+    "symbol partitioning -> one exchange; zero-width channels null-gate "
+    "(nullif) instead of dividing by zero.",
+)
+def q_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_ohlcv(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    ll = F.min("low").over(w)
+    hh = F.max("high").over(w)
+    k = bars.select(
+        "symbol",
+        "bar_ts",
+        (
+            100.0
+            * (F.col("close") - ll)
+            / F.nullif(hh - ll, F.lit(0))
+        ).alias("pct_k"),
+        F.count(F.lit(1)).over(w).alias("__n14"),
+    ).filter(F.col("__n14") == 14)
+    wd = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        k.select(
+            "symbol",
+            "bar_ts",
+            "pct_k",
+            F.avg("pct_k").over(wd).alias("__pd"),
+            F.count(F.lit(1)).over(wd).alias("__n3"),
+        )
+        .filter(F.col("__n3") == 3)
+        .select(
+            "symbol",
+            "bar_ts",
+            F.round("pct_k", 6).alias("pct_k"),
+            F.round("__pd", 6).alias("pct_d"),
+        )
+    )
+
+
+@register(
+    "obv_daily",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '1 day', ts) AS day,
+         arg_max(value, ts) AS close,
+         count(*) AS volume
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT symbol, day, volume,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY day) AS diff
+  FROM bars
+), delta AS (
+  SELECT symbol, day,
+         CASE WHEN diff > 0 THEN volume
+              WHEN diff < 0 THEN -volume
+              ELSE 0 END AS dv
+  FROM d
+)
+SELECT symbol, day,
+       CAST(sum(dv) OVER (PARTITION BY symbol ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+FROM delta
+""",
+    doc="On-balance volume over daily bars: sign of the close-to-close "
+    "move gates the day's tick volume into a running sum.  Daily bars "
+    "are ONE hash aggregate over ticks; the lag + cumulative sum share "
+    "the symbol window exchange.  First day (no prev close) contributes "
+    "0 on both engines.",
+)
+def q_obv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bars = build_bars(
+        ev, key="event_type", ts="ts", price="value",
+        width="1 day", tiebreak="event_id",
+    ).select(
+        F.col("event_type").alias("symbol"),
+        F.col("bar_ts").alias("day"),
+        "close",
+        "volume",
+    )
+    lagw = Window.partitionBy("symbol").orderBy("day")
+    diff = F.col("close") - F.lag("close").over(lagw)
+    delta = bars.select(
+        "symbol",
+        "day",
+        F.when(diff > 0, F.col("volume"))
+        .when(diff < 0, -F.col("volume"))
+        .otherwise(F.lit(0))
+        .alias("dv"),
+    )
+    run = Window.partitionBy("symbol").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return delta.select(
+        "symbol", "day", F.sum("dv").over(run).cast("long").alias("obv")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MACD(12,26,9), bounded-lookback form.  The textbook EMAs are infinite
+# recursions; truncating each to K terms (renormalized, like
+# pipeline_ops.ewma_bounded) keeps the whole indicator one window
+# composition.  Truncation error: (1-2/27)^40 < 0.05% of the oldest
+# state for the slow EMA.  Coefficients are Python float literals
+# injected into BOTH engines so the arithmetic is bit-identical.
+# ---------------------------------------------------------------------------
+_MACD_K = 40  # lookback terms per EMA
+_MACD_SIG_K = 9  # signal-line terms over the macd series
+
+
+def _ema_coeffs(span: int, k: int) -> tuple[list[float], float]:
+    a = 2.0 / (span + 1.0)
+    return [a * (1.0 - a) ** i for i in range(k)], 1.0 - (1.0 - a) ** k
+
+
+_MACD_F_C, _MACD_F_D = _ema_coeffs(12, _MACD_K)
+_MACD_S_C, _MACD_S_D = _ema_coeffs(26, _MACD_K)
+_MACD_G_C, _MACD_G_D = _ema_coeffs(9, _MACD_SIG_K)
+
+_MACD_FAST_SQL = " + ".join(
+    f"{c!r} * lag(close, {i}) OVER w" for i, c in enumerate(_MACD_F_C)
+)
+_MACD_SLOW_SQL = " + ".join(
+    f"{c!r} * lag(close, {i}) OVER w" for i, c in enumerate(_MACD_S_C)
+)
+_MACD_SIG_SQL = " + ".join(
+    f"{c!r} * lag(macd, {i}) OVER w2" for i, c in enumerate(_MACD_G_C)
+)
+
+
+@register(
+    "macd_12_26_9",
+    oracle=f"""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT symbol, bar_ts,
+         ({_MACD_FAST_SQL}) / {_MACD_F_D!r}
+           - ({_MACD_SLOW_SQL}) / {_MACD_S_D!r} AS macd,
+         row_number() OVER w AS rn
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts)
+), valid AS (
+  SELECT symbol, bar_ts, macd FROM m WHERE rn >= {_MACD_K}
+), sig AS (
+  SELECT symbol, bar_ts, macd,
+         ({_MACD_SIG_SQL}) / {_MACD_G_D!r} AS signal,
+         row_number() OVER w2 AS rn2
+  FROM valid
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY bar_ts)
+)
+SELECT symbol, bar_ts, round(macd, 6) AS macd,
+       round(signal, 6) AS signal,
+       round(macd - signal, 6) AS histogram
+FROM sig WHERE rn2 >= {_MACD_SIG_K}
+""",
+    doc=f"MACD(12,26,9) in bounded-EWMA form (K={_MACD_K} lags per EMA, "
+    f"{_MACD_SIG_K}-term signal, renormalized): fast-minus-slow EMA of "
+    "5-min closes, then the signal EWMA over the macd series itself.  "
+    "Two window passes over the SAME symbol partitioning -> one "
+    "exchange; rows without full lookback dropped on both engines.",
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+
+    def _ewma_terms(col: str, coeffs: list[float], over) -> F.Column:
+        terms = None
+        for i, c in enumerate(coeffs):
+            t = F.lit(c) * F.lag(col, i).over(over)
+            terms = t if terms is None else terms + t
+        return terms
+
+    fast = _ewma_terms("close", _MACD_F_C, w) / F.lit(_MACD_F_D)
+    slow = _ewma_terms("close", _MACD_S_C, w) / F.lit(_MACD_S_D)
+    m = bars.select(
+        "symbol",
+        "bar_ts",
+        (fast - slow).alias("macd"),
+        F.row_number().over(w).alias("rn"),
+    )
+    valid = m.filter(F.col("rn") >= _MACD_K).select("symbol", "bar_ts", "macd")
+    w2 = Window.partitionBy("symbol").orderBy("bar_ts")
+    sig = valid.select(
+        "symbol",
+        "bar_ts",
+        "macd",
+        (_ewma_terms("macd", _MACD_G_C, w2) / F.lit(_MACD_G_D)).alias(
+            "signal"
+        ),
+        F.row_number().over(w2).alias("rn2"),
+    )
+    return sig.filter(F.col("rn2") >= _MACD_SIG_K).select(
+        "symbol",
+        "bar_ts",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal", 6).alias("signal"),
+        F.round(F.col("macd") - F.col("signal"), 6).alias("histogram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market beta: per-symbol OLS slope of symbol returns on the equal-weight
+# market return.  The market series is a tiny (one row per bucket)
+# aggregate -> broadcast back onto the per-symbol return stream, then
+# covar/var/corr aggregate per symbol.
+# ---------------------------------------------------------------------------
+@register(
+    "beta_vs_market",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), rets AS (
+  SELECT symbol, bar_ts,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           AS r
+  FROM bars
+), rr AS (
+  SELECT * FROM rets WHERE r IS NOT NULL
+), mkt AS (
+  SELECT bar_ts, avg(r) AS m FROM rr GROUP BY bar_ts
+)
+SELECT rr.symbol AS symbol,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       round(covar_pop(rr.r, mkt.m) / var_pop(mkt.m), 6) AS beta,
+       round(corr(rr.r, mkt.m), 6) AS mkt_corr
+FROM rr JOIN mkt ON rr.bar_ts = mkt.bar_ts
+GROUP BY 1
+""",
+    doc="Per-symbol market beta over 5-min log returns: the equal-weight "
+    "market return is a per-bucket aggregate (rows = #buckets, "
+    "independent of tick volume) broadcast-joined back onto the return "
+    "stream, then covar_pop/var_pop/corr per symbol.  Two shuffles "
+    "total (bar agg, symbol agg) + one broadcast — no window needed "
+    "for the regression itself.",
+)
+def q_beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir, positive_ticks=True)
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.log("close") - F.log(F.lag("close").over(w))).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy("bar_ts").agg(F.avg("r").alias("m"))
+    joined = rets.join(F.broadcast(mkt), "bar_ts")
+    return joined.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.covar_pop("r", "m") / F.var_pop("m"), 6).alias("beta"),
+        F.round(F.corr("r", "m"), 6).alias("mkt_corr"),
+    )

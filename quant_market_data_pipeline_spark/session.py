@@ -22,6 +22,12 @@ from pyspark.sql import SparkSession
 # kept separate: `configure_runtime` can be applied to a session we did not
 # create (e.g. the verify driver's), `get_spark` applies both.
 _STATIC_CONF: dict[str, str] = {
+    # local-mode JVM heap: driver and executors share one JVM, so the
+    # default 1g driver heap is the budget for ALL 32 task threads' sort /
+    # hash-agg buffers — the x16 docscale probe OOMs there.  Size it for
+    # the harness (128 GiB box); on a real cluster this conf is ignored in
+    # favor of spark-submit's --driver-memory / --executor-memory.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     # AQE: runtime partition coalescing, skew-join splitting, broadcast
     # demotion — all essential at 100 TB where static planning guesses wrong.
     "spark.sql.adaptive.enabled": "true",
