@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.llm.hashing import (
     band_hash,
-    minhash_agg_exprs,
+    minhash_base,
+    minhash_mixed_agg_exprs,
     simhash_bit_sums,
     simhash_from_sums,
     word_shingles,
@@ -54,8 +55,17 @@ def doc_shingles(
 def minhash_signatures(
     shingled: DataFrame, id_col: str = "doc_id", k: int = 16
 ) -> DataFrame:
-    """(id, h0..h{k-1}) MinHash signature — one shuffle for all k slots."""
-    return shingled.groupBy(id_col).agg(*minhash_agg_exprs(F.col("sh"), k))
+    """(id, h0..h{k-1}) MinHash signature — one shuffle for all k slots.
+
+    One md5 per shingle occurrence (projected BEFORE the groupBy so it
+    provably evaluates once), k modular mixes inside the aggregate —
+    see hashing.py minhash_mixed_agg_exprs for the family and why."""
+    based = shingled.select(
+        F.col(id_col), minhash_base(F.col("sh")).alias("bh")
+    )
+    return based.groupBy(id_col).agg(
+        *minhash_mixed_agg_exprs(F.col("bh"), k)
+    )
 
 
 def lsh_candidate_pairs(

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,6 +131,129 @@ def lsh_bucket(vec: Column, planes: int, dim: int, offset: int = 0) -> Column:
     )
 
 
+def lsh_bucket_arrow(planes: int, dim: int, offset: int = 0):
+    """Arrow-vectorized twin of :func:`lsh_bucket`: all ``planes`` sign
+    bits from ONE float64 gemm per batch (V @ H^T >= 0) instead of
+    ``planes`` interpreted zip_with folds per row — the index-build half
+    of the same interpreted-HOF tax gemm_pair_scores removes from
+    scoring.  Sign parity with the sequential-fold oracle: a flip needs
+    |<v,h>| below the ~1e-15 gemm reordering error, and the fixture's
+    O(1)-magnitude components make that probability ~1e-16 per (row,
+    plane).  Returns a pandas_udf usable as ``f(col)``.
+    """
+    h_mat = np.array(
+        [hyperplane_vector(offset + p, dim) for p in range(planes)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("string")
+    def bucket(vs: pd.Series) -> pd.Series:
+        v_mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (v_mat @ h_mat.T >= 0.0).astype(np.uint8)
+        return pd.Series(["".join(map(str, row)) for row in bits])
+
+    return bucket
+
+
+def bucket_sample_cap(
+    vecs: DataFrame, bucket_cols: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Keep a deterministic pseudo-random sample of ``cap`` members per
+    bucket: rank by md5(id) (order-uniform, engine-agnostic — DuckDB's
+    md5 of the same decimal string agrees byte-for-byte) and drop ranks
+    past the cap.
+
+    This is the probe-limit every production ANN system applies: with a
+    capped neighbor side, candidate count is <= n * cap — LINEAR in
+    corpus size — instead of the in-bucket quadratic sum(|bucket|^2),
+    which is what turns a 16x corpus into a 256x cosine bill.  The md5
+    ordering makes the kept sample unbiased w.r.t. insertion/id order,
+    so recall degrades gracefully (top-k over a uniform subsample of the
+    bucket) rather than systematically.
+    """
+    w = Window.partitionBy(*bucket_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        vecs.withColumn("__slot", F.row_number().over(w))
+        .filter(F.col("__slot") <= cap)
+        .drop("__slot")
+    )
+
+
+def gemm_pair_scores(
+    queries: DataFrame,
+    neighbors: DataFrame,
+    key_cols: list[str],
+    query_salts: int = 8,
+) -> DataFrame:
+    """All (query, neighbor) cosine scores within each key group, computed
+    as ONE BLAS gemm per group via cogrouped ``applyInPandas``.
+
+    Why not score pair rows?  The bucket join materializes |candidates|
+    pair rows, each carrying BOTH 64-dim arrays, and Spark's higher-order
+    functions (zip_with/aggregate) evaluate interpreted, per element: at
+    the x16 doc-scale probe that is 2M pairs x ~200 lambda evals = 68 s
+    of the 163 s total (PLANS.md).  Grouping by bucket instead ships every
+    vector ONCE per table — O(n·dim) Arrow transfer, not O(cand·dim) —
+    and the per-group score matrix is a single float64 gemm + outer-norm
+    divide.  Output rows are 3 scalars, so the expensive width never
+    re-enters the JVM.
+
+    ``query_salts`` splits each bucket's query side into hash slices
+    (neighbors replicated per slice), bounding per-task memory to
+    |bucket|/salts + cap vectors — the knob that keeps a hot bucket from
+    concentrating in one Python worker at 100 TB.  Raw (unrounded)
+    cosines are returned; callers round JVM-side with F.round so the
+    HALF_UP contract vs the oracle stays in one place.  NaN is emitted
+    for zero-norm operands (the oracle's nullif(...,0) NULL twin).
+
+    Inputs: ``queries`` = key_cols + (query_id, qv); ``neighbors`` =
+    key_cols + (neighbor_id, cv).  Self-pairs are excluded.
+    """
+    out_cols = ["query_id", "neighbor_id", "cos_sim"]
+    schema = (
+        ", ".join(f"{c} string" for c in key_cols)
+        + ", query_id long, neighbor_id long, cos_sim double"
+    )
+
+    def score(key: tuple, qpdf: pd.DataFrame, npdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or npdf.empty:
+            return pd.DataFrame(columns=[*key_cols, *out_cols])
+        q_mat = np.stack([np.asarray(v, dtype=np.float64) for v in qpdf["qv"]])
+        n_mat = np.stack([np.asarray(v, dtype=np.float64) for v in npdf["cv"]])
+        denom = np.outer(
+            np.linalg.norm(q_mat, axis=1), np.linalg.norm(n_mat, axis=1)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, np.nan, (q_mat @ n_mat.T) / denom)
+        qids = qpdf["query_id"].to_numpy()
+        nids = npdf["neighbor_id"].to_numpy()
+        qi, ni = np.nonzero(qids[:, None] != nids[None, :])
+        out = pd.DataFrame(
+            {
+                "query_id": qids[qi],
+                "neighbor_id": nids[ni],
+                "cos_sim": sims[qi, ni],
+            }
+        )
+        for c, v in zip(key_cols, key[: len(key_cols)]):
+            out[c] = v
+        return out[[*key_cols, *out_cols]]
+
+    q = queries.withColumn(
+        "__salt", F.pmod(F.col("query_id"), F.lit(query_salts)).cast("int")
+    )
+    n = neighbors.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(query_salts - 1)))
+    )
+    return (
+        q.groupBy(*key_cols, "__salt")
+        .cogroup(n.groupBy(*key_cols, "__salt"))
+        .applyInPandas(score, schema)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -135,13 +261,21 @@ def lsh_cosine_topk(
     planes: int = 4,
     dim: int = 64,
     k: int = 3,
+    neighbor_cap: int | None = None,
     round_digits: int = 6,
+    query_salts: int = 8,
 ) -> DataFrame:
     """Approximate all-pairs top-k: candidates restricted to the same
-    hyperplane-sign bucket, exact cosine + ranking within the bucket."""
+    hyperplane-sign bucket, exact cosine + ranking within the bucket.
+
+    ``neighbor_cap``: bound the neighbor side of each bucket to a
+    deterministic md5-ordered sample (see bucket_sample_cap) — REQUIRED
+    at scale with a fixed 2^planes bucket count, where mean bucket
+    population (and the in-bucket quadratic) grows linearly with n.
+    """
     vecs = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("bucket", lsh_bucket(F.col("v"), planes, dim))
+    ).withColumn("bucket", lsh_bucket_arrow(planes, dim)(F.col("v")))
     # index build: both self-join sides read the bucketed vectors, and the
     # bucket key costs planes x dim multiply-adds per row — materialize it
     # once (lazy: plan construction stays free)
@@ -149,19 +283,17 @@ def lsh_cosine_topk(
     a = vecs.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
-    b = vecs.select(
+    nbr = (
+        bucket_sample_cap(vecs, ["bucket"], id_col, neighbor_cap)
+        if neighbor_cap
+        else vecs
+    )
+    b = nbr.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
     )
-    scored = (
-        a.join(b, "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            "bucket",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
-        )
-    )
+    scored = gemm_pair_scores(
+        a, b, ["bucket"], query_salts=query_salts
+    ).withColumn("cos_sim", F.round("cos_sim", round_digits))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -180,9 +312,17 @@ def lsh_multitable_topk(
     planes: int = 8,
     dim: int = 64,
     k: int = 3,
+    neighbor_cap: int | None = None,
     round_digits: int = 6,
+    query_salts: int = 1,
 ) -> DataFrame:
     """Multi-table hyperplane LSH top-k — the 100 TB ANN path.
+
+    ``query_salts`` defaults to 1 here (vs 8 for the single-table path):
+    with 2^planes = 256 buckets/table the groups are already small, and
+    salting only multiplies the per-group Python/Arrow dispatch overhead
+    (4096 near-empty cogroups cost ~3x the gemm time at the x16 probe).
+    Raise it only when a bucket outgrows executor memory.
 
     Single-table LSH has a fixed 2^planes bucket count, so bucket
     population (and the in-bucket quadratic) grows linearly with corpus
@@ -198,7 +338,8 @@ def lsh_multitable_topk(
     vecs = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     for t in range(tables):
         vecs = vecs.withColumn(
-            f"b{t}", lsh_bucket(F.col("v"), planes, dim, offset=t * planes)
+            f"b{t}",
+            lsh_bucket_arrow(planes, dim, offset=t * planes)(F.col("v")),
         )
     # index build: one pass computes all tables' bucket keys
     vecs = vecs.localCheckpoint(eager=False)
@@ -210,20 +351,21 @@ def lsh_multitable_topk(
             F.col("v").alias("qv"),
             F.col(f"b{t}").alias("__bk"),
         )
-        b = vecs.select(
+        nbr = (
+            bucket_sample_cap(vecs, [f"b{t}"], id_col, neighbor_cap)
+            if neighbor_cap
+            else vecs
+        )
+        b = nbr.select(
             F.col(id_col).alias("neighbor_id"),
             F.col("v").alias("cv"),
             F.col(f"b{t}").alias("__bk"),
         )
         per_table.append(
-            a.join(b, "__bk")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select(
+            gemm_pair_scores(a, b, ["__bk"], query_salts=query_salts).select(
                 "query_id",
                 "neighbor_id",
-                F.round(
-                    cosine(F.col("qv"), F.col("cv")), round_digits
-                ).alias("cos_sim"),
+                F.round("cos_sim", round_digits).alias("cos_sim"),
             )
         )
     cand = per_table[0]

@@ -47,68 +47,57 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # oracle entries are new or recently fixed, (b) every bench headliner,
 # before queries that already carry a green verdict from a prior round.
 _PRIORITY = [
-    # --- never driver-checked before round 3 (locally strict-green at
-    #     both SFs; rotating them in closes the 122/122 cumulative gap).
-    #     Everything green in r1/r2 left the window: coverage is
-    #     cumulative across rounds. ---
-    # quant indicators
-    "bollinger_bands",
-    "rsi_14",
-    "intraday_seasonality",
-    # round-2 TPC-H shapes
-    "promo_revenue_ratio",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "small_qty_avg_revenue",
-    "nation_year_revenue",
-    "idle_rich_customers",
-    "bracket_revenue",
-    "revenue_mom_growth",
-    "sql_lateral_top2_orders",
-    # corpus-release suite
-    "train_split_assignment",
-    "per_source_quality",
-    "decontamination_report",
-    "source_overlap_matrix",
-    # LLM / text
-    "simhash60_neardup_pairs",
-    "bigram_conditional_probs",
-    "repetition_profile",
-    "vocab_top_ngrams",
-    "grouped_agg_median_value",
-    # events / misc analytics
-    "funnel_conversion",
-    "cohort_retention",
-    "variant_props_metrics",
-    "salted_hot_key_stats",
-    "column_profile_lineitem",
-    "group_concat_types",
-    # --- new round 3: the first driver-gated Structured Streaming runs ---
-    "stream_bars_5min_e2e",
-    "stream_attribution_e2e",
-    # --- new round 3: pipeline ops + TPC-H Q8 ---
-    "user_sessions_batch",
-    "ewma_bounded",
-    "bpe_merge_candidates",
-    "sequence_packing_bins",
-    "snapshot_diff_customers",
-    "k_anonymity_audit",
-    "market_share_q8",
+    # --- round-4 window.  Everything checked in r1-r3 left the window
+    #     (coverage is cumulative across rounds); what remains is (a)
+    #     the late-r3 indicator suite the r3 window never reached, (b)
+    #     queries whose OUTPUT changed this round, (c) new round-4
+    #     operators.  All are locally strict-green at sf0.01 and sf0.1.
+    # (a) indicator suite, committed after the r3 snapshot — never
+    #     driver-checked
+    "vwap_daily",
+    "atr_14",
+    "stochastic_14_3",
+    "obv_daily",
+    "macd_12_26_9",
+    "beta_vs_market",
+    # (b) changed round 4 — green verdicts must refresh:
+    # ANN queries now cap the neighbor side per bucket (md5-ordered
+    # probe limit; llm/similarity.py bucket_sample_cap) and score via
+    # the per-bucket gemm — result sets changed with the cap
+    "ann_lsh_topk",
     "ann_lsh_mt_topk",
-    "benford_totalprice_audit",
-    # --- changed round 3, must (re-)verify ---
-    # sketch queries: scalar percentile projection (r2 harness crash) and
-    # the exact-count + within-tolerance oracle upgrade
+    # sketch percentiles upgraded rows-only -> hash-checked (exact
+    # values + within-tolerance booleans, approx_distinct_users style)
     "approx_percentile_prices",
-    "approx_distinct_users",
-    # rows-only -> recursive-CTE oracle upgrade
-    "dedup_components",
-    # twin-id offset now derived from max(doc_id)+1 (collision-proof at
-    # any SF) — outputs changed, green verdicts must refresh
-    "ngram_jaccard_pairs",
-    "jaccard_pairs_df_capped",
+    # MinHash family switched to one-md5 + k modular mixes (16x less
+    # hashing CPU on the shingle stream) — signatures and pair sets
+    # changed, verdicts must refresh
+    "minhash_signatures",
+    # (c) new round 4
+    "twap_daily",
+    "anomaly_zscore_counts",
+    "rfm_segments",
+    "price_decile_profile",
+    "bigram_pmi",
+    "source_mix_plan",
+    "doc_chunk_plan",
+    "stream_sessionize_e2e",
+    # --- bench headliners: keep the perf-critical set under continuous
+    #     driver verification (they rotate back in whenever the window
+    #     has room) ---
+    "flagship_pair_zscore",
+    "bars_5min_ohlcv",
+    "missing_buckets_audit",
+    "asof_join_backward",
+    "pricing_summary",
+    "shipping_priority",
+    "regional_revenue",
+    "dedup_exact_docs",
+    "text_stats",
     "minhash_lsh_pairs",
-    "simhash32_neardup_pairs",
+    "ann_ivf_topk",
+    "bars_rollup_1h",
+    "simhash60_neardup_pairs",
 ]
 
 

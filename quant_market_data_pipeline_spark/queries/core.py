@@ -1489,3 +1489,91 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return profile.select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation over the event stream.
+# ---------------------------------------------------------------------------
+@register(
+    "rfm_segments",
+    oracle="""
+WITH anchor AS (
+  SELECT max(ts) AS now FROM events
+), base AS (
+  SELECT user_id,
+         date_diff('day', max(ts), (SELECT now FROM anchor)) AS recency_days,
+         count(*) AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+), scored AS (
+  SELECT *,
+         ntile(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM base
+)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+         CAST(m_score AS VARCHAR) AS segment
+FROM scored
+""",
+    doc="Classic RFM segmentation: per-user recency (whole days from the "
+    "corpus max ts — a scalar broadcast, no driver round-trip), "
+    "frequency, monetary over purchase events, each quartiled with "
+    "ntile(4).  Determinism: every ntile ORDER BY carries user_id as "
+    "the tiebreak, and monetary is rounded BEFORE ranking so both "
+    "engines rank the same doubles.  Scale note: the ntile total order "
+    "is over the pre-aggregated per-user rollup (|users| rows, not "
+    "|events|); past ~100M users swap ntile for percentile-boundary "
+    "bucketing (price_decile_profile shows the pattern).",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    all_ev = _events(spark, sf_dir)
+    ev = all_ev.filter(F.col("event_type") == "purchase")
+    anchor = all_ev.agg(F.max("ts").alias("now"))
+    base = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("now"), F.to_date("last_ts")).cast(
+                "long"
+            ).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = base.select(
+        "*",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("segment"),
+    )

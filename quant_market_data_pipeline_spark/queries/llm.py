@@ -20,6 +20,8 @@ from quant_market_data_pipeline_spark.llm.dedup import (
     simhash_fingerprints,
 )
 from quant_market_data_pipeline_spark.llm.hashing import (
+    MINHASH_P as _MH_P,
+    minhash_mix_consts,
     seeded_md5_long,
     word_shingles,
     word_tokens,
@@ -214,21 +216,30 @@ def _planted_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+# Mixed MinHash family (hashing.py minhash_mixed_agg_exprs): ONE seeded
+# md5 per shingle, k modular mixes — coefficients are Python ints baked
+# identically into both engines.
+_MINHASH_BASE_SQL = (
+    f"('0x' || substr(md5('mh|' || sh), 1, 15))::BIGINT % {_MH_P}"
+)
 _MIN_EXPRS = ",\n       ".join(
-    f"min(('0x' || substr(md5('{i}|' || sh), 1, 15))::BIGINT) AS h{i}"
-    for i in range(16)
+    f"min((bh * {a} + {b}) % {_MH_P}) AS h{i}"
+    for i, (a, b) in enumerate(minhash_mix_consts(16))
 )
 
 @register(
     "minhash_signatures",
     oracle=f"""
-WITH {_SHINGLE_CTE}
+WITH {_SHINGLE_CTE}, shb AS (
+  SELECT doc_id, {_MINHASH_BASE_SQL} AS bh FROM sh
+)
 SELECT doc_id,
        {_MIN_EXPRS}
-FROM sh GROUP BY doc_id
+FROM shb GROUP BY doc_id
 """,
     doc="16-slot MinHash signature over distinct word-3-gram shingles — "
-    "one shuffle builds all slots (llm/dedup.py).",
+    "one shuffle builds all slots; one md5 per shingle + k modular "
+    "mixes (llm/dedup.py, hashing.py minhash_mixed_agg_exprs).",
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
@@ -255,10 +266,12 @@ WITH corpus AS (
            unnest([array_to_string(tokens[i:i+2], ' ')
                    for i in generate_series(1, len(tokens) - 2)]) AS sh
     FROM corpus)
+), shb AS (
+  SELECT doc_id, {_MINHASH_BASE_SQL} AS bh FROM sh
 ), sig AS (
   SELECT doc_id,
        {_MIN_EXPRS}
-  FROM sh GROUP BY doc_id
+  FROM shb GROUP BY doc_id
 ), banded AS (
 {_BAND_UNION}
 )
@@ -389,6 +402,8 @@ def _plane_sql(p: int) -> str:
 
 _BUCKET_SQL = " || ".join(_plane_sql(p) for p in range(4))
 
+_LSH_CAP = 64  # neighbor-side probe limit per bucket (md5-ordered sample)
+
 @register(
     "ann_lsh_topk",
     oracle=f"""
@@ -396,13 +411,18 @@ WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), bucketed AS (
   SELECT vec_id, cv, {_BUCKET_SQL} AS bucket FROM vecs
+), slotted AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket ORDER BY md5(vec_id::VARCHAR), vec_id) AS slot
+  FROM bucketed
 ), pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
          round(list_dot_product(a.cv, b.cv) /
                nullif(sqrt(list_dot_product(a.cv, a.cv)) *
                       sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
-  FROM bucketed a JOIN bucketed b
+  FROM bucketed a JOIN slotted b
     ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  WHERE b.slot <= {_LSH_CAP}
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -411,12 +431,16 @@ WITH vecs AS (
 SELECT query_id, neighbor_id, bucket, cos_sim, rn FROM ranked WHERE rn <= 3
 """,
     doc="Approximate top-3 neighbors via md5-derived random-hyperplane LSH "
-    "buckets — the scale path: bucket equi-join replaces the O(n^2) cross "
-    "product; keys are hash-uniform (no skew).",
+    "buckets: bucket equi-join replaces the O(n^2) cross product; keys "
+    "are hash-uniform (no skew).  The neighbor side is capped at "
+    f"{_LSH_CAP} md5-ordered members per bucket (the probe limit), so "
+    "candidate count is <= n*cap — LINEAR in corpus size even though "
+    "the 4-plane table has only 16 buckets.  Uncapped, the x16 docscale "
+    "probe paid a 256x in-bucket quadratic (312 s vs ~3 s; BENCH_r04).",
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embeddings(spark, sf_dir)
-    return lsh_cosine_topk(emb, planes=4, dim=64, k=3)
+    return lsh_cosine_topk(emb, planes=4, dim=64, k=3, neighbor_cap=_LSH_CAP)
 
 
 _MT_B0 = " || ".join(_plane_sql(p) for p in range(0, 8))
@@ -429,20 +453,30 @@ WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
 ), bucketed AS (
   SELECT vec_id, cv, {_MT_B0} AS b0, {_MT_B1} AS b1 FROM vecs
+), slot0 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY b0 ORDER BY md5(vec_id::VARCHAR), vec_id) AS slot
+  FROM bucketed
+), slot1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY b1 ORDER BY md5(vec_id::VARCHAR), vec_id) AS slot
+  FROM bucketed
 ), cand AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
          round(list_dot_product(a.cv, b.cv) /
                nullif(sqrt(list_dot_product(a.cv, a.cv)) *
                       sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
-  FROM bucketed a JOIN bucketed b
+  FROM bucketed a JOIN slot0 b
     ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+  WHERE b.slot <= {_LSH_CAP}
   UNION
   SELECT a.vec_id, b.vec_id,
          round(list_dot_product(a.cv, b.cv) /
                nullif(sqrt(list_dot_product(a.cv, a.cv)) *
                       sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6)
-  FROM bucketed a JOIN bucketed b
+  FROM bucketed a JOIN slot1 b
     ON a.b1 = b.b1 AND a.vec_id <> b.vec_id
+  WHERE b.slot <= {_LSH_CAP}
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -455,7 +489,10 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM ranked WHERE rn <= 3
     "whose fixed 16 buckets grow linearly with the corpus (in-bucket "
     "quadratic).  Small buckets bound the per-query cosine count; the "
     "second independent table restores recall; duplicate candidates "
-    "dedup on the scalar triple before ranking.",
+    "dedup on the scalar triple before ranking.  Each table's neighbor "
+    f"side additionally carries the {_LSH_CAP}-member md5-ordered probe "
+    "cap (bucket_sample_cap), so worst-case candidates are tables*n*cap "
+    "regardless of how the corpus distributes over buckets.",
 )
 def q_ann_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.similarity import (
@@ -463,7 +500,9 @@ def q_ann_lsh_mt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _embeddings(spark, sf_dir)
-    return lsh_multitable_topk(emb, tables=2, planes=8, dim=64, k=3)
+    return lsh_multitable_topk(
+        emb, tables=2, planes=8, dim=64, k=3, neighbor_cap=_LSH_CAP
+    )
 
 
 @register(
@@ -2158,5 +2197,80 @@ def q_bigram_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_p"),
         )
         .orderBy(F.col("n_bigram").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI: collocation strength for tokenizer/vocab curation.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_pmi",
+    oracle="""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\\S+') AS tokens FROM documents
+), big AS (
+  SELECT t.p['w1'] AS w1, t.p['w2'] AS w2 FROM (
+    SELECT unnest([struct_pack(w1 := tokens[i], w2 := tokens[i+1])
+                   for i in generate_series(1, len(tokens) - 1)]) AS p
+    FROM toks) t
+), c12 AS (
+  SELECT w1, w2, count(*) AS n_bigram FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_left FROM c12 GROUP BY w1
+), c2 AS (
+  SELECT w2, CAST(sum(n_bigram) AS BIGINT) AS n_right FROM c12 GROUP BY w2
+), tot AS (
+  SELECT CAST(sum(n_bigram) AS BIGINT) AS n_total FROM c12
+)
+SELECT c12.w1 AS w1, c12.w2 AS w2, n_bigram, n_left, n_right,
+       round(ln((CAST(n_bigram AS DOUBLE) * n_total)
+                / (CAST(n_left AS DOUBLE) * n_right)), 6) AS pmi
+FROM c12 JOIN c1 ON c1.w1 = c12.w1 JOIN c2 ON c2.w2 = c12.w2, tot
+WHERE n_bigram >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+""",
+    doc="Pointwise mutual information of adjacent token pairs (collocation "
+    "mining for vocab/tokenizer curation): PMI = ln(c12*N / (c1*c2)) with "
+    "a min-support cut (c12 >= 5).  ALL marginals derive from the bigram "
+    "counts — one corpus tokenize pass total; left/right totals and N "
+    "are re-aggregations of the (w1, w2) rollup, N rides along as a "
+    "1-row broadcast.  Counts stay BIGINT; the only float op is the "
+    "final ln of a ratio assembled double-first (c12*N as DOUBLE — the "
+    "BIGINT product overflows at web scale), so both engines evaluate "
+    "the identical double expression.  Top-k is "
+    "TakeOrderedAndProject on (pmi, w1, w2) — no global sort.",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(word_tokens(F.lower("text")).alias("tokens"))
+    n = F.size("tokens")
+    toks = toks.filter(n >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tokens", 1, n - 1).alias("w1"),
+                F.slice("tokens", 2, n - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c12.groupBy("w1").agg(F.sum("n_bigram").alias("n_left"))
+    c2 = c12.groupBy("w2").agg(F.sum("n_bigram").alias("n_right"))
+    tot = c12.agg(F.sum("n_bigram").alias("n_total"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_bigram").cast("double") * F.col("n_total"))
+            / (F.col("n_left").cast("double") * F.col("n_right"))
+        ),
+        6,
+    )
+    return (
+        c12.filter(F.col("n_bigram") >= 5)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_bigram", "n_left", "n_right", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(100)
     )

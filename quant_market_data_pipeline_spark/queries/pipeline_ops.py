@@ -28,7 +28,10 @@ from quant_market_data_pipeline_spark.functions.exact import (
     money_sum,
     sql_money_sum,
 )
-from quant_market_data_pipeline_spark.llm.hashing import word_tokens
+from quant_market_data_pipeline_spark.llm.hashing import (
+    seeded_md5_long,
+    word_tokens,
+)
 from quant_market_data_pipeline_spark.operators.bars import build_bars
 from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import configure_runtime
@@ -452,4 +455,147 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(actual, 6).alias("actual_pct"),
         benford.alias("benford_pct"),
         F.round(F.abs(actual - benford), 6).alias("abs_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mix resampling plan: hit target per-source shares with a
+# deterministic hash gate, sized by the scarcest source.
+# ---------------------------------------------------------------------------
+@register(
+    "source_mix_plan",
+    oracle="""
+WITH w AS (
+  SELECT source, count(*) AS n_docs,
+         1 + (('0x' || substr(md5('mix|' || source), 1, 15))::BIGINT % 3)
+           AS weight
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS sum_w FROM w
+), shares AS (
+  SELECT source, n_docs, weight,
+         CAST(weight AS DOUBLE) / sum_w AS share
+  FROM w, tot
+), feas AS (
+  SELECT min(n_docs / share) AS n_out FROM shares
+), plan AS (
+  SELECT source, n_docs, weight, share,
+         least(1.0, n_out * share / n_docs) AS keep_frac
+  FROM shares, feas
+), gated AS (
+  SELECT d.source, p.n_docs, p.weight, p.share, p.keep_frac,
+         CASE WHEN ('0x' || substr(md5('keep|' || CAST(doc_id AS VARCHAR)),
+                                   1, 15))::BIGINT % 1000000
+                   < p.keep_frac * 1000000.0
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN plan p ON p.source = d.source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs, weight,
+       round(share, 6) AS target_share,
+       round(keep_frac, 6) AS keep_frac,
+       CAST(sum(kept) AS BIGINT) AS n_kept
+FROM gated
+GROUP BY source, n_docs, weight, share, keep_frac
+""",
+    doc="Data-mixing plan for a training run: md5-derived per-source "
+    "target weights, feasible output size N_out = min_s(n_s / share_s) "
+    "(the scarcest source caps the corpus — no source oversamples), "
+    "keep fraction per source, then a seeded-hash keep gate per doc.  "
+    "Everything is executor-recomputable (train_split_assignment "
+    "discipline): no RNG state, any worker can re-derive any doc's "
+    "verdict; the plan itself is a |sources|-row broadcast, the gate is "
+    "map-side.  The hash-vs-threshold comparison is done in exact "
+    "integer-vs-double form identically on both engines.",
+)
+def q_source_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = w.withColumn(
+        "weight", F.lit(1) + seeded_md5_long("mix", F.col("source")) % 3
+    )
+    tot = w.agg(F.sum("weight").alias("sum_w"))
+    shares = w.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("weight").cast("double") / F.col("sum_w")
+    )
+    feas = shares.agg(
+        F.min(F.col("n_docs") / F.col("share")).alias("n_out")
+    )
+    plan = shares.crossJoin(F.broadcast(feas)).withColumn(
+        "keep_frac",
+        F.least(
+            F.lit(1.0),
+            F.col("n_out") * F.col("share") / F.col("n_docs"),
+        ),
+    )
+    gate = (
+        seeded_md5_long("keep", F.col("doc_id").cast("string")) % 1000000
+    ).cast("double") < F.col("keep_frac") * 1000000.0
+    gated = docs.join(
+        F.broadcast(plan.select("source", "n_docs", "weight", "share", "keep_frac")),
+        "source",
+    ).select(
+        "source",
+        "n_docs",
+        "weight",
+        "share",
+        "keep_frac",
+        F.when(gate, 1).otherwise(0).alias("kept"),
+    )
+    return gated.groupBy(
+        "source", "n_docs", "weight", "share", "keep_frac"
+    ).agg(F.sum("kept").alias("n_kept")).select(
+        "source",
+        "n_docs",
+        "weight",
+        F.round("share", 6).alias("target_share"),
+        F.round("keep_frac", 6).alias("keep_frac"),
+        "n_kept",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-size token chunks per doc.
+# ---------------------------------------------------------------------------
+@register(
+    "doc_chunk_plan",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\\S+')) AS n
+  FROM documents
+), starts AS (
+  SELECT doc_id, n, unnest(range(0, n, 96)) AS tok_start
+  FROM toks WHERE n >= 1
+)
+SELECT doc_id, tok_start // 96 AS chunk_idx, tok_start,
+       least(tok_start + 128, n) AS tok_end,
+       least(tok_start + 128, n) - tok_start AS n_tok
+FROM starts
+""",
+    doc="Context-window chunk plan (chunk 128 tokens, stride 96 = 32-token "
+    "overlap — the RAG/pretraining windowing step): chunk starts are a "
+    "stride sequence over the token count, exploded map-side — no "
+    "shuffle at all, the whole plan is embarrassingly parallel over "
+    "docs.  Token positions only (the plan is joined back to token "
+    "arrays by the consumer): rows stay 5 scalars wide however long the "
+    "documents are.  Empty docs emit no chunks on both sides.",
+)
+def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(word_tokens(F.lower("text"))).alias("n")
+    ).filter(F.col("n") >= 1)
+    starts = toks.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.col("n") - 1, F.lit(96))
+        ).alias("chunk_idx", "tok_start"),
+    )
+    tok_end = F.least(F.col("tok_start") + 128, F.col("n"))
+    return starts.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        (tok_end - F.col("tok_start")).cast("long").alias("n_tok"),
     )

@@ -897,3 +897,113 @@ def q_beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_pop("r", "m") / F.var_pop("m"), 6).alias("beta"),
         F.round(F.corr("r", "m"), 6).alias("mkt_corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average price: interval-to-next-tick weighting.
+# ---------------------------------------------------------------------------
+@register(
+    "twap_daily",
+    oracle="""
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_day, ts, value,
+         lead(ts) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                        ORDER BY ts, event_id) AS nxt
+  FROM events WHERE value > 0
+)
+SELECT symbol, trading_day,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(value * (epoch_us(nxt) - epoch_us(ts)))
+             / sum(epoch_us(nxt) - epoch_us(ts)), 6) AS twap
+FROM t WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Daily TIME-weighted average price (vwap_daily's twin for "
+    "irregular tick arrival): each tick's price holds until the next "
+    "tick of the same (symbol, day), weight = interval length in exact "
+    "integer microseconds (unix_micros — no float epoch drift), the "
+    "day's last tick carries no interval and drops on both sides.  One "
+    "window exchange on (symbol, day) doubles as the partial for the "
+    "final hash aggregate; weights are int64 so the only float rounding "
+    "is the final ratio.",
+)
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("symbol"),
+        day.alias("trading_day"),
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("nxt_us"),
+        "value",
+    ).filter(F.col("nxt_us").isNotNull())
+    wt = F.col("nxt_us") - F.col("us")
+    return t.groupBy("symbol", "trading_day").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * wt) / F.sum(wt), 6).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-volume anomaly detection: trailing-window z-score on daily counts.
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_zscore_counts",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, event_date, n_events,
+         avg(n_events) OVER w AS mu,
+         stddev_samp(n_events) OVER w AS sigma,
+         count(*) OVER w AS n_hist
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_date, CAST(n_events AS BIGINT) AS n_events,
+       CASE WHEN n_hist >= 3 AND sigma > 0
+            THEN round((n_events - mu) / sigma, 4) END AS zscore,
+       coalesce(n_hist >= 3 AND sigma > 0
+                AND abs((n_events - mu) / sigma) >= 2.0, FALSE)
+         AS is_anomaly
+FROM scored
+""",
+    doc="Operational anomaly flag on daily event volume: z-score of each "
+    "(event_type, day) count against its own TRAILING 7-day window "
+    "(ROWS 7 PRECEDING..1 PRECEDING — the current day never pollutes "
+    "its own baseline), min-periods 3 and sigma>0 gate exactly like the "
+    "flagship z-score (operators/rolling.py).  Daily pre-aggregation "
+    "first: the window runs over #days rows per type, not raw events, "
+    "so the exchange is tiny at any scale.",
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("event_date")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_date")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "event_date",
+        "n_events",
+        F.avg("n_events").over(w).alias("mu"),
+        F.stddev_samp("n_events").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+    )
+    ok = (F.col("n_hist") >= 3) & (F.col("sigma") > 0)
+    z = (F.col("n_events") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_type",
+        "event_date",
+        "n_events",
+        F.when(ok, F.round(z, 4)).alias("zscore"),
+        (ok & (F.abs(z) >= 2.0)).alias("is_anomaly"),
+    )

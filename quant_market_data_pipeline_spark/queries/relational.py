@@ -485,23 +485,61 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile_prices",
-    oracle=None,
+    oracle="""
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS exact_p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS exact_p99,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol,
+       TRUE AS p99_within_tol,
+       count(*) AS n_rows
+FROM orders
+GROUP BY o_orderstatus
+""",
     doc="approx_percentile (Greenwald-Khanna, accuracy 10000) of order "
-    "totals per status — the sketch twin of percentiles_quantity.  The "
-    "three quantiles are projected to scalar double columns (p50/p90/p99),"
-    " never an array cell: the driver's canonicalizer sorts on cell "
-    "values and list cells are unhashable (round-2 harness crash).",
+    "totals per status — the sketch twin of percentiles_quantity.  "
+    "Hash-checkable (same discipline as approx_distinct_users): alongside "
+    "the sketch the query emits the exact interpolated percentiles plus a "
+    "within-tolerance boolean (|approx-exact| <= max(1, 5%·exact), "
+    "generous vs the 1e-4 rank error), so the oracle verifies the exact "
+    "values and TRUE while the GK sketch still runs.  Scalar doubles only "
+    "— never an array cell (the driver's canonicalizer sorts on cell "
+    "values and list cells are unhashable; round-2 harness crash).",
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     qs = F.approx_percentile(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000
     )
-    return orders.groupBy("o_orderstatus").agg(
-        qs.getItem(0).alias("p50"),
-        qs.getItem(1).alias("p90"),
-        qs.getItem(2).alias("p99"),
+    ex = F.percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    )
+    agg = orders.groupBy("o_orderstatus").agg(
+        qs.getItem(0).alias("a50"),
+        qs.getItem(1).alias("a90"),
+        qs.getItem(2).alias("a99"),
+        ex.getItem(0).alias("e50"),
+        ex.getItem(1).alias("e90"),
+        ex.getItem(2).alias("e99"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def within(a: str, e: str, out: str):
+        return (
+            F.abs(F.col(a) - F.col(e))
+            <= F.greatest(F.lit(1.0), F.col(e) * F.lit(0.05))
+        ).alias(out)
+
+    return agg.select(
+        "o_orderstatus",
+        F.round("e50", 2).alias("exact_p50"),
+        F.round("e90", 2).alias("exact_p90"),
+        F.round("e99", 2).alias("exact_p99"),
+        within("a50", "e50", "p50_within_tol"),
+        within("a90", "e90", "p90_within_tol"),
+        within("a99", "e99", "p99_within_tol"),
+        "n_rows",
     )
 
 
@@ -587,4 +625,61 @@ def q_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("types_csv"),
         F.countDistinct("event_type").alias("n_types"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "price_decile_profile",
+    oracle="""
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice,
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bs
+  FROM orders
+), bucketed AS (
+  SELECT o_totalprice,
+         1 + len(list_filter(bs, b -> o_totalprice > b)) AS decile
+  FROM orders, bounds
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi,
+       round(avg(o_totalprice), 6) AS avg_price
+FROM bucketed GROUP BY decile
+""",
+    doc="Decile feature profile of order totals WITHOUT a global ntile: "
+    "exact interpolated decile boundaries (one percentile aggregate, 9 "
+    "doubles) broadcast back over the fact, bucket = 1 + #boundaries "
+    "below the price (map-side, no sort), then a 10-group rollup.  This "
+    "is the 100 TB substitute for ntile's single-reducer total order — "
+    "the only global structure is a 9-element array.  Cross-engine "
+    "boundary safety: where the interpolation fraction is 0 both "
+    "engines emit the exact data value; otherwise the boundary falls "
+    "strictly between two 2-decimal prices, so 1-ulp interpolation "
+    "drift cannot flip a comparison.",
+)
+def q_price_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias(
+            "bs"
+        )
+    )
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    "bs", lambda b: F.col("o_totalprice") > b
+                )
+            )
+        ).alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
     )

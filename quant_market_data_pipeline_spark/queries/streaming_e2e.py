@@ -189,3 +189,104 @@ def q_stream_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_ts",
         F.round("p_value", 6).alias("p_value"),
     )
+
+
+@register(
+    "stream_sessionize_e2e",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM sess
+GROUP BY user_id, sid
+""",
+    doc="Driver gate for the CUSTOM stateful operator surface "
+    "(applyInPandasWithState): the event stream plus one sentinel tick "
+    "per user (max user ts + 1 day — provably >= one gap after any real "
+    "event) runs through streaming/stateful.py sessionize_with_state "
+    "under availableNow; the sentinel closes every real session in the "
+    "data path, so emission is deterministic WITHOUT reasoning about "
+    "timeout/watermark races, and sentinel-started sessions are "
+    "anti-joined away afterwards.  Oracle = the batch gap-"
+    "sessionization (>= gap boundary, matching the state machine's "
+    "half-open windows).  This is the strongest driver signal the "
+    "streaming extension has: a hash-checked custom state machine, not "
+    "just built-in windowed aggregation.",
+)
+def q_stream_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        sessionize_with_state,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id", "value")
+    sentinels = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            (F.col("mx") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    corpus = ev.unionByName(sentinels)
+
+    base = _SCRATCH / (Path(sf_dir).name + "_sess")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    corpus.repartition(4).write.parquet(landing)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_tick_stream(spark, landing, schema=schema, fmt="parquet")
+    sessions = sessionize_with_state(stream, gap="30 minutes")
+    query = (
+        sessions.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    sentinel_keys = sentinels.select(
+        "user_id", F.col("ts").alias("session_start")
+    )
+    return (
+        spark.read.parquet(out)
+        .join(sentinel_keys, ["user_id", "session_start"], "left_anti")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            F.round("total_value", 6).alias("total_value"),
+        )
+    )

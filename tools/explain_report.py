@@ -52,6 +52,15 @@ QUERIES = [
     "snapshot_diff_customers",
     "k_anonymity_audit",
     "dedup_components",
+    # round 4
+    "twap_daily",
+    "anomaly_zscore_counts",
+    "rfm_segments",
+    "price_decile_profile",
+    "bigram_pmi",
+    "source_mix_plan",
+    "doc_chunk_plan",
+    "approx_percentile_prices",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
@@ -85,6 +94,38 @@ recall; duplicate candidates dedup on the scalar (query, neighbor,
 cos) triple, never re-shuffling vectors.  Scale rule: grow `planes`
 with log2(corpus) to hold bucket population constant, add tables to
 buy recall.
+
+## ANN probe cap + gemm scoring (round 4)
+
+The r3 x16 doc-scale probe exposed `ann_lsh_topk` at 312 s (vs 2.7 s at
+x1): with 16 fixed buckets, bucket population grows linearly with the
+corpus and the in-bucket pair count quadratically — 64M candidate
+cosines at x16.  Two orthogonal fixes, both kept:
+
+1. **Neighbor probe cap** (`llm/similarity.py bucket_sample_cap`): each
+   bucket's neighbor side is capped to 64 members, ranked by md5(id) —
+   a deterministic uniform subsample, reproducible in the DuckDB oracle
+   verbatim.  Candidates become <= n*cap — LINEAR in corpus size.  This
+   is the probe-limit knob every production ANN system exposes; recall
+   degrades gracefully (top-k over a uniform bucket subsample).
+2. **Per-bucket gemm scoring** (`gemm_pair_scores`): profiling showed
+   the capped query STILL spent 68 of 163 s in the interpreted
+   zip_with/aggregate cosine (~34 us/pair: Spark evaluates higher-order
+   lambdas per element).  The scorer now cogroups (bucket x query-salt)
+   via applyInPandas and computes each group's score matrix as ONE
+   float64 BLAS gemm: every vector crosses the Arrow boundary once per
+   table — O(n*dim) transfer, not O(candidates*dim) — and output rows
+   are 3 scalars.  Ranking, rounding (F.round HALF_UP) and the top-k
+   window stay JVM-side and byte-identical to the previous plan.
+   Bucket assignment got the same treatment (`lsh_bucket_arrow`: all
+   sign bits from one V @ H^T).  `query_salts` bounds per-task memory
+   for hot buckets (default 8 single-table; 1 for the 256-bucket
+   multi-table path, where 4096 near-empty cogroups cost 3x the gemm).
+
+Measured x16 (warm, local[32]): ann_lsh_topk 312 s -> 4.0 s,
+ann_lsh_mt_topk 125 s -> 14.5 s.  sf0.1 headline: 2.5 s / 4.8 s.
+Parity pinned by tests/test_gemm_similarity.py (gemm == interpreted
+cosine after round-6, salt-invariance, cap properties).
 """  # noqa: E501 (durable notes precede generated sections)
 
 _ROUND2_NOTES = """
