@@ -82,6 +82,11 @@ _PRIORITY = [
     "source_mix_plan",
     "doc_chunk_plan",
     "stream_sessionize_e2e",
+    # (c continued) added later in round 4
+    "pair_halflife",
+    "doc_lm_surprise",
+    "copurchase_lift",
+    "bucketed_join_priority_revenue",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

@@ -2274,3 +2274,71 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-LM document scoring (perplexity-style quality filter).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_lm_surprise",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '\\S+')) >= 2
+), big AS (
+  SELECT doc_id, t.p['w1'] AS w1, t.p['w2'] AS w2 FROM (
+    SELECT doc_id, unnest([struct_pack(w1 := tokens[i], w2 := tokens[i+1])
+                   for i in generate_series(1, len(tokens) - 1)]) AS p
+    FROM toks) t
+), c12 AS (
+  SELECT w1, w2, count(*) AS n_bigram FROM big GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_left FROM c12 GROUP BY w1
+)
+SELECT big.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(CAST(n_bigram AS DOUBLE) / n_left)), 6) AS avg_logp
+FROM big JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY 1
+""",
+    doc="CCNet-style perplexity filter with the corpus as its own LM: "
+    "score every document by the mean log conditional bigram "
+    "probability ln P(w2|w1) under the corpus count model; low scorers "
+    "are the out-of-distribution / noise docs a quality gate drops.  "
+    "No smoothing needed: every doc's bigrams are, by construction, in "
+    "the model it is scored against.  Plan: ONE tokenize pass feeds "
+    "both the model counts and the per-doc scoring stream; the "
+    "doc-bigram -> model join is keyed on the bigram itself (md5-"
+    "uniform, no skew) and AQE handles the head of the Zipf "
+    "distribution; final agg is one shuffle on doc_id.  At 100 TB the "
+    "model tables are the vocab-squared corner -- orders smaller than "
+    "the corpus -- and the scoring join stays map-heavy.",
+)
+def q_doc_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(
+        "doc_id", word_tokens(F.lower("text")).alias("tokens")
+    )
+    n = F.size("tokens")
+    toks = toks.filter(n >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tokens", 1, n - 1).alias("w1"),
+                F.slice("tokens", 2, n - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    c1 = c12.groupBy("w1").agg(F.sum("n_bigram").alias("n_left"))
+    logp = F.log(F.col("n_bigram").cast("double") / F.col("n_left"))
+    return (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logp"),
+        )
+    )

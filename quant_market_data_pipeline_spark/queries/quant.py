@@ -16,6 +16,8 @@ reads ~1/width of the previous level instead of re-scanning raw ticks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1006,4 +1008,85 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.when(ok, F.round(z, 4)).alias("zscore"),
         (ok & (F.abs(z) >= 2.0)).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean-reversion half-life per pair (AR(1) fit on the flagship spread).
+# ---------------------------------------------------------------------------
+@register(
+    "pair_halflife",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), pairs(sym1, sym2) AS (VALUES ('click','view'), ('purchase','signup')),
+aligned AS (
+  SELECT p.sym1 || '_' || p.sym2 AS pair_name, b1.bar_ts AS ts_b,
+         ln(b1.close) - ln(b2.close) AS spread
+  FROM pairs p
+  JOIN bars b1 ON b1.symbol = p.sym1
+  JOIN bars b2 ON b2.symbol = p.sym2 AND b2.bar_ts = b1.bar_ts
+), lagged AS (
+  SELECT pair_name, spread,
+         lag(spread) OVER (PARTITION BY pair_name ORDER BY ts_b) AS x
+  FROM aligned
+)
+SELECT pair_name, CAST(count(*) AS BIGINT) AS n_obs,
+       round(covar_pop(spread - x, x) / var_pop(x), 6) AS ar1_slope,
+       CASE WHEN covar_pop(spread - x, x) / var_pop(x) < 0
+            THEN round(-ln(2) / (covar_pop(spread - x, x) / var_pop(x)), 4)
+       END AS halflife_bars
+FROM lagged WHERE x IS NOT NULL GROUP BY 1
+""",
+    doc="Ornstein-Uhlenbeck-style mean-reversion half-life of the pair "
+    "spread: fit Delta-spread_t = a + b * spread_(t-1) by OLS "
+    "(b = covar_pop/var_pop -- same moment form beta_vs_market uses), "
+    "half-life = -ln(2)/b in bar units.  The research companion to the "
+    "flagship z-score: it answers 'how many bars does a shock take to "
+    "decay?'.  Plan: the same fused bar+pair alignment as the flagship "
+    "(one shuffle on (pair, bucket)), one lag window and one tiny "
+    "per-pair aggregate on the pair-partitioned exchange -- nothing "
+    "here scales with tick volume except the first bar aggregate.",
+)
+def q_pair_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir, positive_ticks=True)
+    pairs = spark.createDataFrame(
+        [(s1, s2) for s1, s2 in [("click", "view"), ("purchase", "signup")]],
+        ["sym1", "sym2"],
+    )
+    b1 = bars.select(
+        F.col("symbol").alias("sym1"),
+        F.col("bar_ts"),
+        F.col("close").alias("close1"),
+    )
+    b2 = bars.select(
+        F.col("symbol").alias("sym2"),
+        F.col("bar_ts"),
+        F.col("close").alias("close2"),
+    )
+    aligned = (
+        b1.join(F.broadcast(pairs), "sym1")
+        .join(b2, ["sym2", "bar_ts"])
+        .select(
+            F.concat_ws("_", "sym1", "sym2").alias("pair_name"),
+            "bar_ts",
+            (F.log("close1") - F.log("close2")).alias("spread"),
+        )
+    )
+    w = Window.partitionBy("pair_name").orderBy("bar_ts")
+    lagged = aligned.select(
+        "pair_name", "spread", F.lag("spread").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    slope = F.covar_pop(F.col("spread") - F.col("x"), F.col("x")) / F.var_pop(
+        "x"
+    )
+    return lagged.groupBy("pair_name").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(slope, 6).alias("ar1_slope"),
+        F.when(slope < 0, F.round(-F.lit(math.log(2.0)) / slope, 4)).alias(
+            "halflife_bars"
+        ),
     )

@@ -892,3 +892,134 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         fin(total_vol).alias("total_volume"),
         F.round(fin(nation_vol) / fin(total_vol), 6).alias("mkt_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence with lift (parts co-ordered).
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_lift",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+         CAST(count(*) AS BIGINT) AS n_co
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), pc AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part FROM li GROUP BY 1
+), tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT p1, p2, n_co,
+       pa.n_part AS n_p1, pb.n_part AS n_p2,
+       round(CAST(n_co AS DOUBLE) * n_orders
+             / (pa.n_part * pb.n_part), 6) AS lift
+FROM co
+JOIN pc pa ON pa.l_partkey = p1
+JOIN pc pb ON pb.l_partkey = p2
+CROSS JOIN tot
+WHERE n_co >= 2
+""",
+    doc="Market-basket analysis over the order->part bipartite graph: "
+    "co-purchase counts by self-joining the (orderkey, partkey) edge "
+    "list on orderkey, lift = P(a,b)/(P(a)P(b)) from the marginal "
+    "part frequencies.  Scale shape: the self-join is keyed on "
+    "orderkey, so in-order cart size bounds the per-key quadratic "
+    "(TPC-H carts are <= 7 lines; a general pipeline caps cart size "
+    "first -- same bound the LSH bucket cap enforces).  The marginals "
+    "join back on partkey (uniform), the order total rides in as a "
+    "1-row broadcast, and n_co >= 2 cuts the long random tail before "
+    "the marginal join, not after.",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("p2"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    tot = li.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        co.join(pc.select(F.col("l_partkey").alias("p1"),
+                          F.col("n_part").alias("n_p1")), "p1")
+        .join(pc.select(F.col("l_partkey").alias("p2"),
+                        F.col("n_part").alias("n_p2")), "p2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p1", "p2", "n_co", "n_p1", "n_p2",
+            F.round(
+                F.col("n_co").cast("double") * F.col("n_orders")
+                / (F.col("n_p1") * F.col("n_p2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-layout co-located join (shuffle-free fact-fact join).
+# ---------------------------------------------------------------------------
+@register(
+    "bucketed_join_priority_revenue",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       {sql_fin(f'sum({_DISC_PRICE})')} AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="The bucketing scale pattern: both fact tables are written "
+    "bucketed (and bucket-sorted) on the join key, so the orders-"
+    "lineitem join needs NO Exchange at read time -- at 100 TB this is "
+    "the difference between re-shuffling the fact table on every "
+    "nightly join and doing it once at layout time.  The query writes "
+    "both sides with bucketBy(8, orderkey) + sortBy, reads them back "
+    "through the catalog, joins bucket-to-bucket, and aggregates "
+    "revenue per priority; tests/test_plans.py pins the no-Exchange "
+    "plan property.  Results are identical to the plain join (the "
+    "oracle runs the unbucketed SQL).",
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="qmdps_bucketed_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name, df, key in (
+        ("qmdps_orders_bkt", orders, "o_orderkey"),
+        ("qmdps_lineitem_bkt", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .saveAsTable(name)
+        )
+    o = spark.table("qmdps_orders_bkt")
+    l = spark.table("qmdps_lineitem_bkt")
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            fin(F.sum(_disc_price())).alias("revenue"),
+        )
+    )

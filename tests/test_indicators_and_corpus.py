@@ -193,3 +193,67 @@ def test_simhash60_twins_found_and_blocking_lossless(spark):
     # token multisets land within 3 bits
     twin_pairs = sum(1 for r in rows if r.doc_hi == r.doc_lo + off)
     assert twin_pairs >= 0.5 * len(rows)
+
+
+def test_simhash60_lane_packing_matches_naive_bit_counts():
+    """The lane-spread trick (nib * MULT) & MASK must place bit j of the
+    nibble at lane position 16*j for all 16 nibble values, and summed
+    lanes must equal naive per-bit counts."""
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        _LANE_MASK,
+        _LANE_MULT,
+    )
+
+    for nib in range(16):
+        spread = (nib * _LANE_MULT) & _LANE_MASK
+        for j in range(4):
+            assert (spread >> (16 * j)) & 0xFFFF == (nib >> j) & 1
+    # accumulated lanes count ones exactly (no cross-lane carries below
+    # 65536 tokens)
+    import random
+
+    rng = random.Random(7)
+    nibs = [rng.randrange(16) for _ in range(10_000)]
+    acc = 0
+    for nib in nibs:
+        acc += (nib * _LANE_MULT) & _LANE_MASK
+    for j in range(4):
+        assert (acc >> (16 * j)) & 0xFFFF == sum(
+            (nib >> j) & 1 for nib in nibs
+        )
+
+
+def test_simhash60_fingerprints_one_exchange_lane_packed(spark):
+    """The fingerprint stage plans exactly one exchange (the per-doc
+    hash aggregate, partial map-side), and the aggregate carries the 15
+    lane-packed longs + count — not 60 per-bit buffers."""
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        simhash60_fingerprints,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id", "text")
+    plan = (
+        simhash60_fingerprints(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan  # map-side combine active
+    assert plan.count("sum(__p") <= 15 or plan.count("partial_sum") <= 16
+
+
+def test_pair_halflife_mean_reverting_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_pair_halflife,
+    )
+
+    rows = q_pair_halflife(spark, SF_DIR).collect()
+    assert {r.pair_name for r in rows} == {"click_view", "purchase_signup"}
+    for r in rows:
+        # synthetic spreads mean-revert: AR(1) slope negative, so the
+        # half-life is defined and positive
+        assert r.ar1_slope < 0
+        assert r.halflife_bars is not None and r.halflife_bars > 0
+        assert r.n_obs > 5

@@ -192,3 +192,24 @@ def test_k_anonymity_partial_agg(spark):
     plan = _plan(spark, "k_anonymity_audit")
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bucketed_join_is_shuffle_free_on_the_join_key(spark):
+    """Bucketed layout co-locates the orders-lineitem join: with both
+    sides written bucketBy(8, orderkey), the join needs NO Exchange on
+    the join key -- the 100 TB layout-once / join-many pattern.
+    Broadcast is disabled so the small test fixture exercises the same
+    SortMergeJoin a fact-fact join plans at scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_join_priority_revenue")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    assert "SortMergeJoin" in plan
+    assert not re.search(
+        r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
+    )
+    # the only exchange is the final per-priority aggregate
+    assert plan.count("Exchange hashpartitioning") == 1
