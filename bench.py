@@ -151,6 +151,20 @@ def main() -> None:
     for t in ("events", "lineitem", "orders", "documents", "embeddings"):
         load_table(spark, t, sf_dir).count()
 
+    # Python-worker-pool warmup: the Arrow/pandas-UDF queries (gemm ANN
+    # scoring) otherwise charge the one-time daemon spin-up to whichever
+    # of them runs first — session bootstrap, not operator cost.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(64).repartition(32).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)

@@ -87,6 +87,10 @@ _PRIORITY = [
     "doc_lm_surprise",
     "copurchase_lift",
     "bucketed_join_priority_revenue",
+    "winsorized_value_stats",
+    "rolling_beta_60",
+    "chisq_lang_source",
+    "partitioned_lake_day_scan",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

@@ -2342,3 +2342,59 @@ def q_doc_lm_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(logp), 6).alias("avg_logp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence audit: language x crawl-source contingency.
+# ---------------------------------------------------------------------------
+@register(
+    "chisq_lang_source",
+    oracle="""
+WITH o AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+  FROM documents GROUP BY 1, 2
+), r AS (SELECT lang, sum(observed) AS row_tot FROM o GROUP BY 1),
+c AS (SELECT source, sum(observed) AS col_tot FROM o GROUP BY 1),
+t AS (SELECT sum(observed) AS n FROM o)
+SELECT o.lang AS lang, o.source AS source, observed,
+       round(row_tot * col_tot / n, 6) AS expected,
+       round(pow(observed - row_tot * col_tot / n, 2)
+             / (row_tot * col_tot / n), 6) AS chi2_contrib
+FROM o JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+""",
+    doc="Corpus-composition drift audit: per-cell chi-square "
+    "contributions of the language x source contingency table against "
+    "the independence expectation — the release-gate check that a "
+    "crawl source hasn't silently shifted its language mix.  Every "
+    "marginal derives from ONE (lang, source) rollup (#cells rows, "
+    "independent of corpus size); the marginals and the 1-row total "
+    "join back as broadcasts, so corpus volume is touched exactly "
+    "once.",
+)
+def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    o = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    r = o.groupBy("lang").agg(F.sum("observed").alias("row_tot"))
+    c = o.groupBy("source").agg(F.sum("observed").alias("col_tot"))
+    t = o.agg(F.sum("observed").alias("n"))
+    exp = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot")
+        / F.col("n")
+    )
+    return (
+        o.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "source",
+            "observed",
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(F.col("observed") - exp, F.lit(2.0)) / exp, 6
+            ).alias("chi2_contrib"),
+        )
+    )

@@ -1090,3 +1090,125 @@ def q_pair_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
             "halflife_bars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized tick-value stats per symbol (outlier-robust moments).
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_value_stats",
+    oracle="""
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS q01,
+         quantile_cont(value, 0.99) AS q99
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type, CAST(count(*) AS BIGINT) AS n,
+       round(q.q01, 6) AS p01, round(q.q99, 6) AS p99,
+       round(avg(greatest(q.q01, least(q.q99, e.value))), 6) AS wins_mean,
+       round(stddev_samp(greatest(q.q01, least(q.q99, e.value))), 6)
+         AS wins_std
+FROM events e JOIN q USING (event_type)
+GROUP BY 1, q.q01, q.q99
+""",
+    doc="Outlier-robust moments: clamp each tick value to its symbol's "
+    "exact interpolated [p01, p99] band, then mean/std of the clamped "
+    "stream — the standard fat-tail guard before fitting anything to "
+    "market data.  Two passes by necessity (percentiles are holistic): "
+    "pass 1 is one per-symbol aggregate producing a #symbols-row "
+    "boundary table, which broadcasts back onto the tick stream for "
+    "the clamped second aggregate.  Both shuffles key on the uniform "
+    "symbol column; nothing materializes per-tick state.",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("q01"),
+        F.percentile("value", F.lit(0.99)).alias("q99"),
+    )
+    clamped = ev.join(F.broadcast(q), "event_type").select(
+        "event_type",
+        "q01",
+        "q99",
+        F.greatest("q01", F.least("q99", F.col("value"))).alias("w"),
+    )
+    return clamped.groupBy("event_type", "q01", "q99").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("w"), 6).alias("wins_mean"),
+        F.round(F.stddev_samp("w"), 6).alias("wins_std"),
+    ).select(
+        "event_type",
+        "n",
+        F.round("q01", 6).alias("p01"),
+        F.round("q99", 6).alias("p99"),
+        "wins_mean",
+        "wins_std",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 60-bar market beta per symbol (windowed regression moments).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_beta_60",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), rets AS (
+  SELECT symbol, bar_ts,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           AS r
+  FROM bars
+), rr AS (SELECT * FROM rets WHERE r IS NOT NULL),
+mkt AS (SELECT bar_ts, avg(r) AS m FROM rr GROUP BY bar_ts),
+j AS (SELECT rr.symbol, rr.bar_ts, rr.r, mkt.m
+      FROM rr JOIN mkt USING (bar_ts)),
+wb AS (
+  SELECT symbol, bar_ts,
+         covar_pop(r, m) OVER w AS cv,
+         var_pop(m) OVER w AS vm,
+         count(*) OVER w AS c
+  FROM j
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts,
+       CASE WHEN c >= 30 AND vm > 0 THEN round(cv / vm, 4) END AS beta60
+FROM wb
+""",
+    doc="Time-varying market exposure: 60-bar trailing beta per symbol "
+    "against the equal-weight market return, the windowed twin of "
+    "beta_vs_market.  The regression moments (covar_pop, var_pop) run "
+    "as window aggregates over ONE symbol-partitioned exchange — the "
+    "same frame the flagship z-score uses, so at 100 TB this adds "
+    "columns to an existing sort, not a new shuffle.  The per-bucket "
+    "market return joins in as a #buckets-row broadcast.  Min-periods "
+    "30 and var>0 gate nulls exactly like the flagship.",
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir, positive_ticks=True)
+    wlag = Window.partitionBy("symbol").orderBy("bar_ts")
+    rets = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.log("close") - F.log(F.lag("close").over(wlag))).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy("bar_ts").agg(F.avg("r").alias("m"))
+    j = rets.join(F.broadcast(mkt), "bar_ts")
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-59, 0)
+    )
+    cv = F.covar_pop("r", "m").over(w)
+    vm = F.var_pop("m").over(w)
+    c = F.count(F.lit(1)).over(w)
+    return j.select(
+        "symbol",
+        "bar_ts",
+        F.when((c >= 30) & (vm > 0), F.round(cv / vm, 4)).alias("beta60"),
+    )

@@ -683,3 +683,47 @@ def q_price_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-partitioned lake layout + partition-pruned scan.
+# ---------------------------------------------------------------------------
+@register(
+    "partitioned_lake_day_scan",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+GROUP BY event_type
+""",
+    doc="The partition-pruning scale pattern: the tick stream is laid "
+    "out partitioned by event_date (hive-style directories), and a "
+    "one-day query prunes to ONE directory at planning time — at "
+    "100 TB this is the difference between scanning a month and "
+    "scanning 1/30th of it, before any row is read.  The query writes "
+    "the date-partitioned lake to a temp dir, reads it back with an "
+    "event_date equality filter, and aggregates per symbol; "
+    "tests/test_plans.py pins PartitionFilters reaching the scan with "
+    "PushedFilters empty (the predicate is resolved entirely against "
+    "the directory tree).  Oracle = same day filter on the flat "
+    "table.",
+)
+def q_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="qmdps_partlake_")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.to_date("ts").alias("event_date")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+    lake = spark.read.parquet(base)
+    return (
+        lake.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )

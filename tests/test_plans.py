@@ -213,3 +213,16 @@ def test_bucketed_join_is_shuffle_free_on_the_join_key(spark):
     )
     # the only exchange is the final per-priority aggregate
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_lake_scan_prunes_at_plan_time(spark):
+    """The one-day query against the date-partitioned lake resolves its
+    predicate against the directory tree: PartitionFilters carries the
+    date equality, PushedFilters stays empty (nothing left to evaluate
+    row-wise), and only the matching partition directory is scanned."""
+    plan = _plan(spark, "partitioned_lake_day_scan")
+    scan = plan[plan.index("FileScan") :]
+    head = scan[: scan.index("ReadSchema")]
+    assert "PartitionFilters: [" in head
+    assert "2024-01-15" in head
+    assert "PushedFilters: []" in head
