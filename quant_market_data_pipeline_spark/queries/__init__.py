@@ -91,6 +91,8 @@ _PRIORITY = [
     "rolling_beta_60",
     "chisq_lang_source",
     "partitioned_lake_day_scan",
+    "deterministic_group_sample",
+    "token_entropy_by_source",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

@@ -9,7 +9,7 @@ deterministic and oracle-checkable (see llm/hashing.py; re-exported by the funct
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.llm.dedup import (
@@ -2397,4 +2397,92 @@ def q_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.pow(F.col("observed") - exp, F.lit(2.0)) / exp, 6
             ).alias("chi2_contrib"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group sample (seedless, executor-recomputable).
+# ---------------------------------------------------------------------------
+@register(
+    "deterministic_group_sample",
+    oracle="""
+SELECT lang, doc_id, source, n_chars FROM (
+  SELECT lang, doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 5
+""",
+    doc="Exact-size-k per-group sample with NO random state: rank by "
+    "md5 of the stable doc key and keep the first k per language.  "
+    "Unlike rand()-based sampling this is executor-recomputable (task "
+    "retries and re-runs pick the SAME rows — the property "
+    "train_split_assignment relies on), auditable, and exactly k per "
+    "group.  Plans as WindowGroupLimit: each partition keeps a k-row "
+    "heap map-side, so the exchange carries ~k x #groups rows, not "
+    "the corpus.",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "source", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy per crawl source.
+# ---------------------------------------------------------------------------
+@register(
+    "token_entropy_by_source",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM cnt GROUP BY 1
+)
+SELECT cnt.source AS source, tot.n AS n_tokens, tot.vocab AS vocab_size,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6)
+         AS token_entropy
+FROM cnt JOIN tot USING (source)
+GROUP BY 1, 2, 3
+""",
+    doc="Shannon entropy of each source's token distribution — the "
+    "monoculture detector: a crawler stuck in a template farm shows "
+    "collapsing entropy long before humans read samples.  One tokenize "
+    "pass -> (source, token) counts (the only corpus-sized shuffle); "
+    "totals and vocab derive FROM the count rollup; the entropy sum "
+    "runs over #distinct-token rows per source.  Pairs with "
+    "repetition_profile (per-doc) as the corpus-level lens.",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    cnt = (
+        d.select(
+            "source",
+            F.explode(word_tokens(F.lower("text"))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    return (
+        cnt.join(F.broadcast(tot), "source")
+        .groupBy("source", "n_tokens", "vocab_size")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
     )
