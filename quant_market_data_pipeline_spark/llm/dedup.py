@@ -41,15 +41,19 @@ def doc_shingles(
 ) -> DataFrame:
     """(id, shingle) pairs; ``distinct=True`` gives the set representation.
 
-    MinHash consumers pass ``distinct=False``: min over a multiset equals
-    min over its set, so the dedup shuffle (the largest intermediate in
-    the whole pipeline) is pure waste there.  Jaccard NEEDS the set form —
-    its counts are set cardinalities.
+    The set form costs NO shuffle: each doc's shingles are one array, so
+    ``array_distinct`` dedups inside the row before the explode (an
+    earlier form paid a corpus-wide ``.distinct()`` exchange for the
+    same result).  Jaccard NEEDS the set form — its counts are set
+    cardinalities.  MinHash is indifferent (min over a multiset equals
+    min over its set), so its consumers ALSO pass ``distinct=True``:
+    the free in-row dedup cuts base-hash calls by the corpus's mean
+    shingle multiplicity.
     """
-    out = docs.select(
-        F.col(id_col), F.explode(word_shingles(word_tokens(text), n)).alias("sh")
-    )
-    return out.distinct() if distinct else out
+    arr = word_shingles(word_tokens(text), n)
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select(F.col(id_col), F.explode(arr).alias("sh"))
 
 
 def minhash_signatures(
@@ -305,8 +309,20 @@ def simhash60_fingerprints(
     bit's sign is >= 0 iff 2 * ones >= n_tokens.  Zero-token docs
     produce no rows, exactly as the exploded form always did.
     """
-    toks = docs.select(
-        F.col(id_col), F.explode(word_tokens(text)).alias("tok")
+    # Hash the per-doc VOCABULARY, not the token stream: votes are
+    # multiplicity-weighted (sum over the multiset == count * vote), so
+    # rolling up to (doc, token, count) first means one md5+conv per
+    # DISTINCT token per doc.  Natural text repeats tokens ~2-50x, and
+    # the explode emits each doc's tokens into a single partition, so
+    # the rollup partial-aggregates map-side — the exchange carries
+    # per-doc vocab rows, in return for a hash-CPU cut equal to the
+    # corpus's mean token multiplicity.
+    cnt = (
+        docs.select(
+            F.col(id_col), F.explode(word_tokens(text)).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     v = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     spreads = []
@@ -314,16 +330,17 @@ def simhash60_fingerprints(
         nib = F.shiftrightunsigned(F.col("__v"), 4 * (14 - i)).bitwiseAND(
             F.lit(15)
         )
+        # lane values stay <= per-doc token count (< 2^16): each lane of
+        # the spread is 0/1, scaled by this token's multiplicity
         spreads.append(
-            (nib * F.lit(_LANE_MULT))
-            .bitwiseAND(F.lit(_LANE_MASK))
+            ((nib * F.lit(_LANE_MULT)).bitwiseAND(F.lit(_LANE_MASK)) * F.col("__c"))
             .alias(f"__p{i}")
         )
-    per_tok = toks.select(F.col(id_col), v.alias("__v")).select(
-        id_col, *spreads
+    per_tok = cnt.select(F.col(id_col), F.col("__c"), v.alias("__v")).select(
+        id_col, "__c", *spreads
     )
     sums = per_tok.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.sum("__c").alias("__n"),
         *[F.sum(f"__p{i}").alias(f"__s{i}") for i in range(15)],
     )
     sh = F.lit(0).cast("long")

@@ -209,11 +209,16 @@ def _planted_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tokens"),
     )
     corpus = toks.unionByName(planted)
+    # per-doc set via in-row array_distinct — no corpus-wide distinct
+    # exchange ((doc_id, source) is unique per row, so row-local dedup
+    # IS the set representation)
     return corpus.select(
         "doc_id",
         "source",
-        F.explode(word_shingles(F.col("tokens"))).alias("sh"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(word_shingles(F.col("tokens")))
+        ).alias("sh"),
+    )
 
 
 # Mixed MinHash family (hashing.py minhash_mixed_agg_exprs): ONE seeded
@@ -243,7 +248,10 @@ FROM shb GROUP BY doc_id
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
-    return minhash_signatures(doc_shingles(d, distinct=False))
+    # distinct=True is the free in-row array_distinct (min over the
+    # shingle SET == min over the multiset): one md5 per distinct
+    # shingle per doc instead of per occurrence
+    return minhash_signatures(doc_shingles(d, distinct=True))
 
 
 _BAND_UNION = "\nUNION ALL\n".join(
@@ -291,8 +299,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("tokens", 1, 30).alias("tokens"),
     )
     corpus = toks.unionByName(planted)
+    # in-row array_distinct: min over the shingle set == min over the
+    # multiset, so each distinct shingle hashes once per doc
     shingled = corpus.select(
-        "doc_id", F.explode(word_shingles(F.col("tokens"))).alias("sh")
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("tokens")))
+        ).alias("sh"),
     )
     sigs = minhash_signatures(shingled)
     return lsh_candidate_pairs(sigs, k=16, bands=8, rows_per_band=2)

@@ -223,10 +223,14 @@ def test_simhash60_lane_packing_matches_naive_bit_counts():
         )
 
 
-def test_simhash60_fingerprints_one_exchange_lane_packed(spark):
-    """The fingerprint stage plans exactly one exchange (the per-doc
-    hash aggregate, partial map-side), and the aggregate carries the 15
-    lane-packed longs + count — not 60 per-bit buffers."""
+def test_simhash60_fingerprints_lane_packed_two_stage(spark):
+    """The fingerprint stage plans exactly two exchanges — the per-doc
+    vocabulary rollup on (doc_id, tok) (so each distinct token hashes
+    once per doc) and the per-doc vote aggregate on doc_id — both
+    partial-aggregated map-side, with the votes carried as 15
+    lane-packed longs + count, not 60 per-bit buffers."""
+    import re
+
     from quant_market_data_pipeline_spark.llm.dedup import (
         simhash60_fingerprints,
     )
@@ -239,9 +243,13 @@ def test_simhash60_fingerprints_one_exchange_lane_packed(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("Exchange hashpartitioning") == 1
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2
+    assert any("tok" in k for k in keys)  # vocab rollup exchange
+    assert any("tok" not in k for k in keys)  # per-doc vote exchange
     assert "partial_sum" in plan  # map-side combine active
-    assert plan.count("sum(__p") <= 15 or plan.count("partial_sum") <= 16
+    # 15 lane sums + token count, not 60 per-bit counters
+    assert plan.count("partial_sum") <= 16
 
 
 def test_pair_halflife_mean_reverting_fixture(spark):

@@ -61,6 +61,21 @@ QUERIES = [
     "source_mix_plan",
     "doc_chunk_plan",
     "approx_percentile_prices",
+    # round 4, second batch
+    "pair_halflife",
+    "doc_lm_surprise",
+    "copurchase_lift",
+    "bucketed_join_priority_revenue",
+    "winsorized_value_stats",
+    "rolling_beta_60",
+    "chisq_lang_source",
+    "partitioned_lake_day_scan",
+    "deterministic_group_sample",
+    "token_entropy_by_source",
+    "vwap_daily",
+    "atr_14",
+    "macd_12_26_9",
+    "beta_vs_market",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
