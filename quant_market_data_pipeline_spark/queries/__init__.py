@@ -93,6 +93,9 @@ _PRIORITY = [
     "partitioned_lake_day_scan",
     "deterministic_group_sample",
     "token_entropy_by_source",
+    "tick_rule_imbalance",
+    "amihud_illiquidity",
+    "zipf_slope_by_source",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

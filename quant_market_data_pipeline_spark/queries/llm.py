@@ -2499,3 +2499,51 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "n_tokens", "vocab_size")
         .agg(F.round(-F.sum(p * F.log(p)), 6).alias("token_entropy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law exponent fit per crawl source.
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_slope_by_source",
+    oracle="""
+WITH cnt AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+    FROM documents) t GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+  FROM cnt
+)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       round(covar_pop(ln(c), ln(rnk)) / var_pop(ln(rnk)), 6)
+         AS zipf_slope
+FROM ranked GROUP BY 1
+""",
+    doc="Zipf-law conformance per source: OLS slope of ln(frequency) on "
+    "ln(rank) over the source's token frequency table (natural text "
+    "sits near -1; template farms and generated spam deviate hard — "
+    "the distributional cousin of token_entropy_by_source).  The only "
+    "corpus-sized work is the (source, token) count; ranking and the "
+    "regression moments run over vocab-sized rows on one source-"
+    "partitioned exchange.",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    cnt = (
+        d.select(
+            "source", F.explode(word_tokens(F.lower("text"))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    ranked = cnt.select(
+        "source", "c", F.row_number().over(w).alias("rnk")
+    )
+    slope = F.covar_pop(F.log("c"), F.log("rnk")) / F.var_pop(F.log("rnk"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )

@@ -1212,3 +1212,103 @@ def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bar_ts",
         F.when((c >= 30) & (vm > 0), F.round(cv / vm, 4)).alias("beta60"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tick-rule order-flow imbalance per (symbol, day).
+# ---------------------------------------------------------------------------
+@register(
+    "tick_rule_imbalance",
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, value,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pv
+  FROM events
+)
+SELECT event_type, d AS trading_day,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(sum(CASE WHEN pv IS NULL OR value = pv THEN 0
+                     WHEN value > pv THEN 1 ELSE -1 END) AS BIGINT)
+         AS imbalance,
+       round(avg(CASE WHEN pv IS NULL OR value = pv THEN 0.0
+                      WHEN value > pv THEN 1.0 ELSE -1.0 END), 6)
+         AS imbalance_ratio
+FROM t GROUP BY 1, 2
+""",
+    doc="Microstructure order-flow proxy: classify each tick +1/-1/0 by "
+    "the tick rule (up/down vs the previous trade, (ts, event_id) "
+    "tiebreak) and roll daily net imbalance + ratio per symbol.  One "
+    "window exchange on symbol classifies; the daily rollup partial-"
+    "aggregates on the same partitioning before the tiny (symbol, "
+    "day) exchange.",
+)
+def q_tick_rule_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = ev.select(
+        "event_type",
+        F.to_date("ts").alias("trading_day"),
+        "value",
+        F.lag("value").over(w).alias("pv"),
+    )
+    side = F.when(
+        F.col("pv").isNull() | (F.col("value") == F.col("pv")), F.lit(0)
+    ).when(F.col("value") > F.col("pv"), F.lit(1)).otherwise(F.lit(-1))
+    return t.groupBy("event_type", "trading_day").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum(side).alias("imbalance"),
+        F.round(F.avg(side.cast("double")), 6).alias("imbalance_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Amihud illiquidity per symbol (daily |return| per unit volume).
+# ---------------------------------------------------------------------------
+@register(
+    "amihud_illiquidity",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS d,
+         arg_max(value, ts) AS close, count(*) AS vol
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), r AS (
+  SELECT symbol, d, vol,
+         abs(ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY d)))
+           AS aret
+  FROM daily
+)
+SELECT symbol, CAST(count(aret) AS BIGINT) AS n_days,
+       round(avg(aret / vol) * 1e6, 6) AS amihud_x1m
+FROM r WHERE aret IS NOT NULL GROUP BY 1
+""",
+    doc="Amihud (2002) illiquidity: mean daily |log return| per unit "
+    "volume (x1e6), the standard price-impact proxy when order-book "
+    "depth is unavailable.  Derives from the materialized daily series "
+    "(#symbols x #days rows) — the tick scan happens once in the daily "
+    "rollup; the lag window and final aggregate touch only daily "
+    "rows.",
+)
+def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("d"),
+    ).agg(
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("close"),
+        F.count(F.lit(1)).alias("vol"),
+    )
+    w = Window.partitionBy("symbol").orderBy("d")
+    r = daily.select(
+        "symbol",
+        "vol",
+        F.abs(F.log("close") - F.log(F.lag("close").over(w))).alias("aret"),
+    ).filter(F.col("aret").isNotNull())
+    return r.groupBy("symbol").agg(
+        F.count("aret").alias("n_days"),
+        F.round(
+            F.avg(F.col("aret") / F.col("vol")) * F.lit(1e6), 6
+        ).alias("amihud_x1m"),
+    )
