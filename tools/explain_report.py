@@ -141,6 +141,53 @@ Measured x16 (warm, local[32]): ann_lsh_topk 312 s -> 4.0 s,
 ann_lsh_mt_topk 125 s -> 14.5 s.  sf0.1 headline: 2.5 s / 4.8 s.
 Parity pinned by tests/test_gemm_similarity.py (gemm == interpreted
 cosine after round-6, salt-invariance, cap properties).
+
+The gemm trade has a visible cost at sf0.1: ann_lsh_topk's one-shot
+bench wall rose ~2.4 s -> ~3.8 s (cogroup plan compile + Arrow setup;
+repeat executions run 2.1-2.4 s, and the Python worker pool is warmed
+by bench.py so daemon spin-up is not charged to the query).  Kept:
++1.4 s of fixed overhead at the toy scale buys the 100x at x16, and
+the probe cap makes candidate volume linear in corpus size — the only
+shape that survives 100 TB.
+
+## SimHash60 fingerprints: hash the vocabulary, pack the lanes (round 4)
+
+Two r4 rewrites of `simhash60_fingerprints`, both exact (integer
+votes, min/max-free):
+
+1. **Lane packing**: the 60 per-bit +/-1 vote counters collapse into
+   15 lane-packed longs (4 x 16-bit ONE-counts per long, spread by one
+   multiply-and-mask — `dedup.py _LANE_MULT`), plus a token count:
+   16 aggregate buffers instead of 60, and ONE conv(substr(md5,1,15))
+   per token instead of 15 substr+conv calls.  First-run wall at sf0.1
+   dropped 4.2 s -> 1.9 s (the 60-sum form's codegen compile dominated).
+   An F.aggregate in-row fold variant was measured 2.6x SLOWER —
+   higher-order lambdas with struct accumulators leave whole-stage
+   codegen — and rejected.
+2. **Vocabulary rollup**: votes are multiplicity-weighted, so the
+   stream rolls up to (doc, token, count) first — map-side partial agg
+   (each doc's tokens sit in one partition post-explode), then one
+   md5+conv per DISTINCT token per doc.  Hash CPU drops by the mean
+   token multiplicity (large on template-heavy corpora, ~2x on natural
+   text) for one extra tiny exchange of per-doc vocab rows.
+
+Same principle applied to the shingle pipelines: `array_distinct`
+INSIDE the row replaces the corpus-wide `.distinct()` exchange for
+Jaccard's set representation (per-doc set == row-local dedup), and
+MinHash consumers — indifferent to multiplicity (min over set == min
+over multiset) — now hash each distinct shingle once per doc.
+
+## Physical-layout queries (round 4)
+
+`bucketed_join_priority_revenue` and `partitioned_lake_day_scan` are
+driver-gated demonstrations of the two layout levers that matter most
+at 100 TB: write-time bucketing (orders-lineitem joins with NO
+Exchange on the join key — layout once, join many) and hive-style
+date partitioning (a one-day query prunes to 1/30th of the directory
+tree at plan time, PushedFilters empty).  Both oracles run the plain
+unbucketed/unpartitioned SQL; tests/test_plans.py pins the plan
+properties (SelectedBucketsCount, no join-key Exchange,
+PartitionFilters carrying the date).
 """  # noqa: E501 (durable notes precede generated sections)
 
 _ROUND2_NOTES = """
