@@ -96,6 +96,8 @@ _PRIORITY = [
     "tick_rule_imbalance",
     "amihud_illiquidity",
     "zipf_slope_by_source",
+    "scd2_user_state_history",
+    "rolling_distinct_users_7d",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

@@ -599,3 +599,103 @@ def q_doc_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_end.cast("long").alias("tok_end"),
         (tok_end - F.col("tok_start")).cast("long").alias("n_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state history (change-capture intervals from an event stream).
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_user_state_history",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts AS valid_from, event_type AS state
+  FROM ordered WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         IS NULL AS is_current
+FROM changes
+""",
+    doc="Type-2 slowly-changing-dimension build from a change stream: "
+    "collapse consecutive repeats (lag filter), then each surviving "
+    "transition opens an interval closed by the next one (lead), with "
+    "the open interval flagged current — the standard warehouse "
+    "history table, derived without MERGE.  Both windows ride ONE "
+    "user-partitioned exchange (lag and lead share the sort); the "
+    "repeat filter drops rows BEFORE the second window touches them.",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(
+            F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-7-day distinct users per day (windowed COUNT DISTINCT).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_distinct_users_7d",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM du)
+SELECT days.d AS trading_day,
+       CAST(count(DISTINCT du.user_id) AS BIGINT) AS users_7d
+FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+""",
+    doc="Trailing-7-day active users per day — the windowed COUNT "
+    "DISTINCT that plain window frames cannot express (DISTINCT is "
+    "not frame-decomposable).  Strategy: dedup to (day, user) first "
+    "(the only corpus-sized shuffle; #days x #users upper bound), "
+    "then a bounded 7-way day-range fan joins each daily cohort onto "
+    "the trailing week and one distinct-agg per day closes it.  The "
+    "fan factor is the window length, not data size, so cost stays "
+    "linear; the HLL sketch variant (approx_distinct_users) is the "
+    "mergeable alternative when exactness can relax.",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("day"))
+    return (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy(F.col("day").alias("trading_day"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )

@@ -1052,26 +1052,28 @@ FROM lagged WHERE x IS NOT NULL GROUP BY 1
     "here scales with tick volume except the first bar aggregate.",
 )
 def q_pair_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fused leg-dimension alignment (same shape as plans/flagship.py):
+    # a naive b1-join-b2 self-join builds the bar aggregate TWICE (one
+    # subtree per join side — observed in the executed plan); instead
+    # the bar series joins the broadcast leg map once and a conditional
+    # struct-max per (pair, bucket) pivots both legs out of ONE scan.
     bars = _bars_close(spark, sf_dir, positive_ticks=True)
-    pairs = spark.createDataFrame(
-        [(s1, s2) for s1, s2 in [("click", "view"), ("purchase", "signup")]],
-        ["sym1", "sym2"],
-    )
-    b1 = bars.select(
-        F.col("symbol").alias("sym1"),
-        F.col("bar_ts"),
-        F.col("close").alias("close1"),
-    )
-    b2 = bars.select(
-        F.col("symbol").alias("sym2"),
-        F.col("bar_ts"),
-        F.col("close").alias("close2"),
-    )
+    leg_rows = [
+        (s, f"{s1}_{s2}", i + 1)
+        for s1, s2 in [("click", "view"), ("purchase", "signup")]
+        for i, s in enumerate((s1, s2))
+    ]
+    legs = spark.createDataFrame(leg_rows, ["symbol", "pair_name", "leg"])
     aligned = (
-        b1.join(F.broadcast(pairs), "sym1")
-        .join(b2, ["sym2", "bar_ts"])
+        bars.join(F.broadcast(legs), "symbol")
+        .groupBy("pair_name", "bar_ts")
+        .agg(
+            F.max(F.when(F.col("leg") == 1, F.col("close"))).alias("close1"),
+            F.max(F.when(F.col("leg") == 2, F.col("close"))).alias("close2"),
+        )
+        .filter(F.col("close1").isNotNull() & F.col("close2").isNotNull())
         .select(
-            F.concat_ws("_", "sym1", "sym2").alias("pair_name"),
+            "pair_name",
             "bar_ts",
             (F.log("close1") - F.log("close2")).alias("spread"),
         )
