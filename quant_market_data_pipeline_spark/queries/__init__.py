@@ -98,6 +98,7 @@ _PRIORITY = [
     "zipf_slope_by_source",
     "scd2_user_state_history",
     "rolling_distinct_users_7d",
+    "bm25_keyword_search",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---

@@ -2547,3 +2547,82 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("vocab"),
         F.round(slope, 6).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring for a fixed keyword query.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens) AS dl FROM toks
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(tokens) AS w FROM toks) t
+  WHERE w IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+  GROUP BY 1, 2
+), df AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * {_BM25_K1 + 1.0})
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * dl.dl / avgdl))), 6) AS bm25
+FROM tf JOIN df USING (w)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY 1
+""",
+    doc="Sparse retrieval over the corpus: Robertson BM25 (k1=1.2, "
+    "b=0.75, +1-smoothed IDF) for a fixed keyword query — the lexical "
+    "half of a RAG retrieval stack next to the dense ANN queries.  "
+    "Postings build is the inverted-index pattern: term filter pushes "
+    "into the token explode so only query-term postings aggregate "
+    "(#docs x #terms rows max); document lengths and the corpus "
+    "average come from the same tokenize pass; DF and the 1-row "
+    "stats broadcast.  At 100 TB the per-query cost is the postings "
+    "of the query terms, never the corpus.",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens(F.lower("text")).alias("tokens"))
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum(term_score), 6).alias("bm25"),
+        )
+    )
