@@ -99,6 +99,13 @@ _PRIORITY = [
     "scd2_user_state_history",
     "rolling_distinct_users_7d",
     "bm25_keyword_search",
+    # (c continued) risk & strategy analytics suite
+    "garman_klass_vol",
+    "sharpe_sortino_daily",
+    "return_autocorr",
+    "xsection_momentum_spread",
+    "engle_granger_pair",
+    "meanrev_backtest_5min",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---
@@ -131,6 +138,7 @@ def load_all() -> dict[str, QuerySpec]:
         pipeline_ops,
         quant,
         relational,
+        risk,
         streaming_e2e,
         tpch,
     )

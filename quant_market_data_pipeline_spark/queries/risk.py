@@ -1,0 +1,474 @@
+"""Risk & strategy analytics over the tick stream.
+
+Round-4 extension of the derived-series layer (queries/quant.py): range-
+based volatility estimators, risk-adjusted return ratios, return
+autocorrelation, cross-sectional momentum, cointegration stage-1 and a
+threshold mean-reversion backtest.  The reference stops at the z-score
+signal (project/transform_data.py:145-153); a quant user also needs the
+evaluation layer that decides whether the signal is tradeable.
+
+Design rules (same as quant.py):
+- every series derives from the materialized bar level, never a second
+  raw-tick scan;
+- window exchanges partition on symbol / pair (low-skew, bounded
+  cardinality);
+- regression coefficients are rounded to a fixed precision BEFORE being
+  fed into downstream series on BOTH engines (the filter-stage rule,
+  COVERAGE.md) so float drift cannot compound across stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.operators.bars import build_bars
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
+
+
+def _daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC per symbol from positive ticks (arg_min/arg_max by ts)."""
+    t = _ticks(spark, sf_dir)
+    return (
+        t.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.to_date("ts").alias("trading_day"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+    )
+
+
+_DAILY_CTE = """
+daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_day,
+         arg_min(value, ts) AS open, max(value) AS high,
+         min(value) AS low, arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+)"""
+
+_BARS_CTE = """
+bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Range-based volatility: Garman-Klass and Parkinson daily estimators.
+# ---------------------------------------------------------------------------
+@register(
+    "garman_klass_vol",
+    oracle=f"""
+WITH {_DAILY_CTE}
+SELECT symbol, trading_day,
+       round(0.5 * ln(high / low) * ln(high / low)
+             - (2 * ln(2) - 1) * ln(close / open) * ln(close / open),
+             6) AS gk_var,
+       round(ln(high / low) * ln(high / low) / (4 * ln(2)), 6)
+         AS parkinson_var
+FROM daily
+""",
+    doc="Range-based daily volatility: Garman-Klass and Parkinson "
+    "estimators from the daily OHLC aggregate.  One hash-agg on "
+    "(symbol, day) builds OHLC (map-side partials), then the estimators "
+    "are scalar expressions — no window, no second scan.  At 100 TB the "
+    "whole query is one shuffle on a naturally uniform key.  Reference "
+    "analog: the bar-level OHLC the vendor feed supplies "
+    "(project/ingest_data.py:33-55), extended to the vol layer.",
+)
+def q_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir)
+    hl = F.log(F.col("high") / F.col("low"))
+    co = F.log(F.col("close") / F.col("open"))
+    ln2 = float(__import__("math").log(2.0))
+    return d.select(
+        "symbol",
+        "trading_day",
+        F.round(0.5 * hl * hl - (2 * ln2 - 1) * co * co, 6).alias("gk_var"),
+        F.round(hl * hl / (4 * ln2), 6).alias("parkinson_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Risk-adjusted return ratios: Sharpe and Sortino from daily log returns.
+# ---------------------------------------------------------------------------
+@register(
+    "sharpe_sortino_daily",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY trading_day)) AS r
+  FROM daily
+), rr AS (SELECT * FROM rets WHERE r IS NOT NULL)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(r), 6) AS mean_ret,
+       round(stddev_samp(r), 6) AS ret_sd,
+       round(avg(r) / NULLIF(stddev_samp(r), 0) * sqrt(252), 4)
+         AS ann_sharpe,
+       round(avg(r) / NULLIF(
+               sqrt(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END)
+                    / NULLIF(count(*) - 1, 0)), 0) * sqrt(252), 4)
+         AS ann_sortino
+FROM rr
+GROUP BY symbol
+""",
+    doc="Annualized Sharpe and Sortino per symbol from daily close log "
+    "returns.  Daily closes: one (symbol, day) hash-agg; returns: LAG "
+    "over one symbol-partitioned window; ratios: one final per-symbol "
+    "agg whose partials piggyback on the window exchange.  Downside "
+    "deviation uses the sum-of-squared-negative-returns / (n-1) "
+    "convention on both engines.",
+)
+def q_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    r = (F.log("close") - F.log(F.lag("close").over(w))).alias("r")
+    rr = d.select("symbol", r).filter(F.col("r").isNotNull())
+    n = F.count(F.lit(1))
+    downside = F.sqrt(
+        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0.0))
+        / F.nullif((n - 1).cast("double"), F.lit(0.0))
+    )
+    sqrt252 = 252.0 ** 0.5
+    return rr.groupBy("symbol").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(F.avg("r"), 6).alias("mean_ret"),
+        F.round(F.stddev_samp("r"), 6).alias("ret_sd"),
+        F.round(
+            F.avg("r") / F.nullif(F.stddev_samp("r"), F.lit(0.0)) * sqrt252, 4
+        ).alias("ann_sharpe"),
+        F.round(
+            F.avg("r") / F.nullif(downside, F.lit(0.0)) * sqrt252, 4
+        ).alias("ann_sortino"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Return autocorrelation at lags 1..3 (microstructure signature).
+# ---------------------------------------------------------------------------
+@register(
+    "return_autocorr",
+    oracle=f"""
+WITH {_BARS_CTE},
+rets AS (
+  SELECT symbol, bar_ts,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           AS r
+  FROM bars
+), rr AS (SELECT * FROM rets WHERE r IS NOT NULL),
+lagged AS (
+  SELECT symbol, r,
+         lag(r, 1) OVER (PARTITION BY symbol ORDER BY bar_ts) AS r1,
+         lag(r, 2) OVER (PARTITION BY symbol ORDER BY bar_ts) AS r2,
+         lag(r, 3) OVER (PARTITION BY symbol ORDER BY bar_ts) AS r3
+  FROM rr
+)
+SELECT symbol,
+       round(corr(r, r1), 4) AS ac1,
+       round(corr(r, r2), 4) AS ac2,
+       round(corr(r, r3), 4) AS ac3
+FROM lagged
+GROUP BY symbol
+""",
+    doc="Lag-1..3 autocorrelation of 5-min log returns per symbol — the "
+    "mean-reversion / momentum signature test.  All three lags come from "
+    "ONE symbol-partitioned window exchange (three LAG columns over the "
+    "same sort), then one per-symbol agg computes three corr() pairs.  "
+    "No self-join: the lag trick keeps it a single pass.",
+)
+def q_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    bars = build_bars(
+        t, key="event_type", ts="ts", price="value", width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rr = bars.select(
+        "symbol",
+        "bar_ts",
+        (F.log("close") - F.log(F.lag("close").over(w))).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    lagged = rr.select(
+        "symbol",
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 2).over(w).alias("r2"),
+        F.lag("r", 3).over(w).alias("r3"),
+    )
+    return lagged.groupBy("symbol").agg(
+        F.round(F.corr("r", "r1"), 4).alias("ac1"),
+        F.round(F.corr("r", "r2"), 4).alias("ac2"),
+        F.round(F.corr("r", "r3"), 4).alias("ac3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional momentum: yesterday's winners vs losers, today's spread.
+# ---------------------------------------------------------------------------
+@register(
+    "xsection_momentum_spread",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol, trading_day,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY trading_day)) AS r
+  FROM daily
+), signal AS (
+  SELECT symbol, trading_day, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY trading_day) AS r_prev
+  FROM rets
+), ranked AS (
+  SELECT symbol, trading_day, r,
+         row_number() OVER (PARTITION BY trading_day
+                            ORDER BY r_prev DESC, symbol) AS rk,
+         count(*) OVER (PARTITION BY trading_day) AS n_sym
+  FROM signal WHERE r_prev IS NOT NULL AND r IS NOT NULL
+)
+SELECT trading_day, CAST(max(n_sym) AS BIGINT) AS n_symbols,
+       round(avg(CASE WHEN rk <= 2 THEN r END), 6) AS winner_ret,
+       round(avg(CASE WHEN rk > n_sym - 2 THEN r END), 6) AS loser_ret,
+       round(avg(CASE WHEN rk <= 2 THEN r END)
+             - avg(CASE WHEN rk > n_sym - 2 THEN r END), 6) AS momentum_spread
+FROM ranked
+WHERE n_sym >= 4
+GROUP BY trading_day
+""",
+    doc="Cross-sectional momentum: rank symbols each day by YESTERDAY's "
+    "return (deterministic tiebreak on symbol), long the top 2 / short "
+    "the bottom 2, report today's winner-minus-loser spread.  The "
+    "cross-sectional rank is a window over the trading_day partition — "
+    "cardinality = universe size per day, so the exchange is tiny "
+    "regardless of tick volume; all heavy lifting stays in the daily "
+    "rollup.",
+)
+def q_xsection_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    rets = d.select(
+        "symbol",
+        "trading_day",
+        (F.log("close") - F.log(F.lag("close").over(wsym))).alias("r"),
+    )
+    signal = rets.withColumn("r_prev", F.lag("r").over(wsym)).filter(
+        F.col("r_prev").isNotNull() & F.col("r").isNotNull()
+    )
+    wday = Window.partitionBy("trading_day").orderBy(
+        F.col("r_prev").desc(), "symbol"
+    )
+    ranked = signal.select(
+        "trading_day",
+        "r",
+        F.row_number().over(wday).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("trading_day"))
+        .alias("n_sym"),
+    ).filter(F.col("n_sym") >= 4)
+    win = F.avg(F.when(F.col("rk") <= 2, F.col("r")))
+    lose = F.avg(F.when(F.col("rk") > F.col("n_sym") - 2, F.col("r")))
+    return ranked.groupBy("trading_day").agg(
+        F.max("n_sym").cast("bigint").alias("n_symbols"),
+        F.round(win, 6).alias("winner_ret"),
+        F.round(lose, 6).alias("loser_ret"),
+        F.round(win - lose, 6).alias("momentum_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engle-Granger stage 1: OLS hedge ratio + residual mean-reversion stats.
+# ---------------------------------------------------------------------------
+@register(
+    "engle_granger_pair",
+    oracle=f"""
+WITH {_DAILY_CTE},
+px AS (SELECT symbol, trading_day, ln(close) AS lp FROM daily),
+aligned AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.trading_day,
+         a.lp AS x, b.lp AS y
+  FROM px a JOIN px b
+    ON a.trading_day = b.trading_day AND a.symbol < b.symbol
+), fit AS (
+  SELECT sym_a, sym_b,
+         round(covar_samp(y, x) / NULLIF(var_samp(x), 0), 6) AS beta,
+         round(avg(y) - covar_samp(y, x) / NULLIF(var_samp(x), 0) * avg(x),
+               6) AS alpha,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM aligned GROUP BY 1, 2
+), resid AS (
+  SELECT al.sym_a, al.sym_b, al.trading_day, f.beta, f.alpha, f.n_days,
+         al.y - f.alpha - f.beta * al.x AS e
+  FROM aligned al JOIN fit f
+    ON al.sym_a = f.sym_a AND al.sym_b = f.sym_b
+), lagged AS (
+  SELECT sym_a, sym_b, beta, alpha, n_days, e,
+         lag(e) OVER (PARTITION BY sym_a, sym_b ORDER BY trading_day)
+           AS e_prev
+  FROM resid
+)
+SELECT sym_a, sym_b, any_value(n_days) AS n_days,
+       any_value(beta) AS beta, any_value(alpha) AS alpha,
+       round(corr(e, e_prev), 4) AS resid_rho1,
+       round(avg((e - e_prev) * e_prev) / NULLIF(avg(e_prev * e_prev), 0), 4)
+         AS adf_gamma
+FROM lagged WHERE e_prev IS NOT NULL
+GROUP BY sym_a, sym_b
+""",
+    doc="Engle-Granger cointegration stage 1 per symbol pair: OLS hedge "
+    "ratio beta on aligned daily log closes, then the residual's lag-1 "
+    "autocorrelation and the ADF-regression slope gamma from "
+    "delta_e = gamma * e_prev (gamma << 0 => mean-reverting spread).  "
+    "beta/alpha are rounded to 6dp BEFORE the residual series is formed "
+    "on BOTH engines (filter-stage rule) so coefficient float drift "
+    "cannot compound into the autocorrelation.  Plan: daily rollup -> "
+    "day-key self-join (output is |universe|^2 per day, bounded) -> "
+    "per-pair agg -> broadcast fit back -> one pair-partitioned window.",
+)
+def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select(
+        "symbol", "trading_day", F.log("close").alias("lp")
+    )
+    d = d.localCheckpoint(eager=False)  # both self-join sides
+    a = d.select(
+        F.col("symbol").alias("sym_a"), "trading_day", F.col("lp").alias("x")
+    )
+    b = d.select(
+        F.col("symbol").alias("sym_b"), "trading_day", F.col("lp").alias("y")
+    )
+    aligned = a.join(b, "trading_day").filter(F.col("sym_a") < F.col("sym_b"))
+    aligned = aligned.localCheckpoint(eager=False)  # reused below
+    beta_raw = F.covar_samp("y", "x") / F.nullif(
+        F.var_samp("x"), F.lit(0.0)
+    )
+    fit = aligned.groupBy("sym_a", "sym_b").agg(
+        F.round(beta_raw, 6).alias("beta"),
+        F.round(F.avg("y") - beta_raw * F.avg("x"), 6).alias("alpha"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    resid = aligned.join(F.broadcast(fit), ["sym_a", "sym_b"]).withColumn(
+        "e", F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")
+    )
+    w = Window.partitionBy("sym_a", "sym_b").orderBy("trading_day")
+    lagged = resid.withColumn("e_prev", F.lag("e").over(w)).filter(
+        F.col("e_prev").isNotNull()
+    )
+    return lagged.groupBy("sym_a", "sym_b").agg(
+        F.any_value("n_days").alias("n_days"),
+        F.any_value("beta").alias("beta"),
+        F.any_value("alpha").alias("alpha"),
+        F.round(F.corr("e", "e_prev"), 4).alias("resid_rho1"),
+        F.round(
+            F.avg((F.col("e") - F.col("e_prev")) * F.col("e_prev"))
+            / F.nullif(F.avg(F.col("e_prev") * F.col("e_prev")), F.lit(0.0)),
+            4,
+        ).alias("adf_gamma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Threshold mean-reversion backtest on the 5-min z-score.
+# ---------------------------------------------------------------------------
+@register(
+    "meanrev_backtest_5min",
+    oracle=f"""
+WITH {_BARS_CTE},
+stat AS (
+  SELECT symbol, bar_ts, close,
+         avg(close) OVER w AS ma,
+         stddev_samp(close) OVER w AS sd,
+         count(*) OVER w AS c
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY bar_ts
+               ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+), sig AS (
+  SELECT symbol, bar_ts, close,
+         CASE WHEN c >= 30 AND sd > 0
+              THEN round((close - ma) / sd, 6) END AS z
+  FROM stat
+), pos AS (
+  SELECT symbol, bar_ts, close,
+         CASE WHEN z > 2 THEN -1 WHEN z < -2 THEN 1 ELSE 0 END AS position,
+         ln(lead(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           - ln(close) AS next_r
+  FROM sig
+), pnl AS (
+  SELECT symbol, position, next_r, position * next_r AS ret
+  FROM pos WHERE next_r IS NOT NULL
+)
+SELECT symbol,
+       CAST(count(CASE WHEN position != 0 THEN 1 END) AS BIGINT)
+         AS n_bars_in_position,
+       round(sum(ret), 6) AS total_logret,
+       round(CAST(count(CASE WHEN position != 0 AND ret > 0 THEN 1 END)
+                  AS DOUBLE)
+             / NULLIF(count(CASE WHEN position != 0 THEN 1 END), 0), 4)
+         AS hit_rate
+FROM pnl
+GROUP BY symbol
+""",
+    doc="Evaluation layer for the flagship-style z-score signal: enter "
+    "short at z > 2 / long at z < -2 (position formed at bar t, applied "
+    "to the t -> t+1 log return via LEAD), report bars-in-position, "
+    "total strategy log return and hit rate per symbol.  z is rounded "
+    "to 6dp BEFORE thresholding on both engines so a float-drift "
+    "boundary flip cannot change a trade.  Everything runs in the ONE "
+    "symbol-partitioned window exchange (rolling moments, LEAD) plus a "
+    "final per-symbol agg — the same plan shape as the flagship, so "
+    "the backtest adds no shuffle a signal scan would not already pay.",
+)
+def q_meanrev_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    bars = build_bars(
+        t, key="event_type", ts="ts", price="value", width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+    w = Window.partitionBy("symbol").orderBy("bar_ts").rowsBetween(-59, 0)
+    ws = Window.partitionBy("symbol").orderBy("bar_ts")
+    ma = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    c = F.count(F.lit(1)).over(w)
+    sig = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.when(
+            (c >= 30) & (sd > 0), F.round((F.col("close") - ma) / sd, 6)
+        ).alias("z"),
+    )
+    pos = sig.select(
+        "symbol",
+        (
+            F.when(F.col("z") > 2, -1)
+            .when(F.col("z") < -2, 1)
+            .otherwise(0)
+        ).alias("position"),
+        (F.log(F.lead("close").over(ws)) - F.log("close")).alias("next_r"),
+    ).filter(F.col("next_r").isNotNull())
+    pnl = pos.withColumn("ret", F.col("position") * F.col("next_r"))
+    in_pos = F.count(F.when(F.col("position") != 0, F.lit(1)))
+    return pnl.groupBy("symbol").agg(
+        in_pos.cast("bigint").alias("n_bars_in_position"),
+        F.round(F.sum("ret"), 6).alias("total_logret"),
+        F.round(
+            F.count(
+                F.when((F.col("position") != 0) & (F.col("ret") > 0), F.lit(1))
+            ).cast("double")
+            / F.nullif(in_pos, F.lit(0)),
+            4,
+        ).alias("hit_rate"),
+    )

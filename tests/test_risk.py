@@ -1,0 +1,96 @@
+"""Risk & strategy analytics properties (queries/risk.py).
+
+Oracle equivalence is covered by the DuckDB gate; these pin the
+invariants the SQL can't state: estimator non-negativity, ratio sign
+consistency, regression identities, backtest accounting.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries.risk import (
+    q_engle_granger,
+    q_garman_klass,
+    q_meanrev_backtest,
+    q_sharpe_sortino,
+    q_xsection_momentum,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parkinson_nonnegative_gk_bounded(spark):
+    rows = q_garman_klass(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # Parkinson is a squared log-range: strictly >= 0
+        assert r.parkinson_var >= 0
+        # GK subtracts a fraction of ln(C/O)^2 from half the squared
+        # range; it's bounded above by half the squared range
+        hl2 = r.parkinson_var * 4 * math.log(2.0)
+        assert r.gk_var <= 0.5 * hl2 + 1e-9
+
+
+def test_sharpe_sign_matches_mean(spark):
+    rows = q_sharpe_sortino(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.ann_sharpe is not None and r.mean_ret is not None:
+            if abs(r.mean_ret) > 1e-9:
+                assert (r.ann_sharpe > 0) == (r.mean_ret > 0)
+        # downside deviation <= full deviation => |sortino| >= |sharpe|
+        if (
+            r.ann_sortino is not None
+            and r.ann_sharpe is not None
+            and r.mean_ret is not None
+            and r.mean_ret > 0
+        ):
+            assert r.ann_sortino >= r.ann_sharpe - 1e-6
+
+
+def test_autocorr_in_unit_interval(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_return_autocorr,
+    )
+
+    rows = q_return_autocorr(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        for v in (r.ac1, r.ac2, r.ac3):
+            if v is not None:
+                assert -1.0001 <= v <= 1.0001
+
+
+def test_xsection_spread_is_winner_minus_loser(spark):
+    rows = q_xsection_momentum(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_symbols >= 4
+        if r.winner_ret is not None and r.loser_ret is not None:
+            assert abs(
+                r.momentum_spread - round(r.winner_ret - r.loser_ret, 6)
+            ) <= 2e-6
+
+
+def test_engle_granger_pairs_ordered_and_rho_bounded(spark):
+    rows = q_engle_granger(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.sym_a < r.sym_b
+        if r.resid_rho1 is not None:
+            assert -1.0001 <= r.resid_rho1 <= 1.0001
+        assert r.n_days >= 2
+
+
+def test_backtest_accounting(spark):
+    rows = q_meanrev_backtest(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_bars_in_position == 0:
+            # flat the whole time => zero PnL, null hit rate
+            assert r.total_logret == 0.0
+            assert r.hit_rate is None
+        elif r.hit_rate is not None:
+            assert 0.0 <= r.hit_rate <= 1.0
