@@ -106,6 +106,11 @@ _PRIORITY = [
     "xsection_momentum_spread",
     "engle_granger_pair",
     "meanrev_backtest_5min",
+    # (c continued) corpus-preparation analytics
+    "quality_threshold_sweep",
+    "tokenizer_fertility",
+    "containment_neardup_pairs",
+    "embedding_cluster_quality",
     # --- bench headliners: keep the perf-critical set under continuous
     #     driver verification (they rotate back in whenever the window
     #     has room) ---
@@ -140,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         risk,
         streaming_e2e,
+        textprep,
         tpch,
     )
 

@@ -1,0 +1,305 @@
+"""Corpus-preparation analytics: threshold sweeps, tokenizer fertility,
+containment dedup, embedding-cluster quality.
+
+Round-4 additions to the training-data-pipeline surface (queries/llm.py).
+Common scale rule: every sweep/audit is ONE corpus scan with the grid or
+the comparison realized as an in-row array / broadcast join — never one
+scan per threshold and never an all-pairs join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.llm.similarity import as_double, cosine
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.queries.llm import (
+    _BPE_PAT,
+    _PLANTED_SHINGLE_CTE,
+    _docs_wide,
+    _embeddings,
+    _planted_shingled,
+)
+
+# ---------------------------------------------------------------------------
+# Quality-gate threshold sweep: one scan, the whole operating curve.
+# ---------------------------------------------------------------------------
+_THRESHOLDS = [40, 80, 120, 160, 200, 240]
+
+
+@register(
+    "quality_threshold_sweep",
+    oracle=f"""
+WITH stats AS (
+  SELECT doc_id, length(text) AS n_char,
+         len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe
+  FROM documents
+), grid AS (
+  SELECT s.*, t.thr
+  FROM stats s, unnest([{", ".join(str(t) for t in _THRESHOLDS)}]) AS t(thr)
+)
+SELECT thr AS min_chars,
+       CAST(count(CASE WHEN n_char >= thr THEN 1 END) AS BIGINT)
+         AS n_surviving,
+       round(CAST(count(CASE WHEN n_char >= thr THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS survival_rate,
+       round(CAST(sum(CASE WHEN n_char >= thr THEN n_bpe ELSE 0 END)
+                  AS DOUBLE) / NULLIF(sum(n_bpe), 0), 4)
+         AS token_retention
+FROM grid GROUP BY thr
+""",
+    doc="Filter-calibration sweep: survival rate and retained-token share "
+    "of a min-length gate at six thresholds, from ONE corpus scan — the "
+    "grid is an in-row array explode, so choosing a filter operating "
+    "point costs one pass at 100 TB instead of one pass per candidate "
+    "threshold.  The per-threshold agg shuffles 6 x |sources| tiny rows.",
+)
+def q_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    stats = d.select(
+        F.length("text").alias("n_char"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).alias(
+            "n_bpe"
+        ),
+    )
+    grid = stats.select(
+        "n_char",
+        "n_bpe",
+        F.explode(
+            F.array(*[F.lit(t) for t in _THRESHOLDS])
+        ).alias("min_chars"),
+    )
+    survive = F.col("n_char") >= F.col("min_chars")
+    return grid.groupBy("min_chars").agg(
+        F.count(F.when(survive, F.lit(1))).cast("bigint").alias(
+            "n_surviving"
+        ),
+        F.round(
+            F.count(F.when(survive, F.lit(1))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("survival_rate"),
+        F.round(
+            F.sum(F.when(survive, F.col("n_bpe")).otherwise(0)).cast("double")
+            / F.nullif(F.sum("n_bpe"), F.lit(0)),
+            4,
+        ).alias("token_retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: chars per BPE piece, pieces per word, by segment.
+# ---------------------------------------------------------------------------
+@register(
+    "tokenizer_fertility",
+    oracle=f"""
+WITH stats AS (
+  SELECT lang, source, length(text) AS n_char,
+         len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe,
+         len(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents
+)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(n_char) AS DOUBLE) / NULLIF(sum(n_bpe), 0), 4)
+         AS chars_per_piece,
+       round(CAST(sum(n_bpe) AS DOUBLE) / NULLIF(sum(n_words), 0), 4)
+         AS pieces_per_word
+FROM stats GROUP BY 1, 2
+""",
+    doc="Tokenizer-fertility audit by (lang, source): corpus-level chars "
+    "per BPE-style piece and pieces per whitespace word — the standard "
+    "check that a tokenizer does not over-fragment a language segment "
+    "before a training run is budgeted.  One scan, one tiny-key agg; "
+    "the regexp piece counting is the same JVM pre-tokenizer rule as "
+    "token_count_bpe.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    stats = d.select(
+        "lang",
+        "source",
+        F.length("text").alias("n_char"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)).alias(
+            "n_bpe"
+        ),
+        F.size(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).alias("n_words"),
+    )
+    return stats.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("n_char").cast("double") / F.nullif(F.sum("n_bpe"), F.lit(0)),
+            4,
+        ).alias("chars_per_piece"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.nullif(F.sum("n_words"), F.lit(0)),
+            4,
+        ).alias("pieces_per_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup pairs: catches truncation/subset copies that
+# Jaccard under-scores.
+# ---------------------------------------------------------------------------
+@register(
+    "containment_neardup_pairs",
+    oracle=f"""
+WITH {_PLANTED_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS n_shared
+  FROM sh a JOIN sh b
+    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_lo, doc_hi, n_shared,
+       round(n_shared / least(sa.sz, sb.sz), 6) AS containment,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_lo
+JOIN sizes sb ON sb.doc_id = doc_hi
+WHERE round(n_shared / least(sa.sz, sb.sz), 6) >= 0.6
+""",
+    doc="Asymmetric-containment near-dup pairs: |A n B| / min(|A|, |B|) "
+    "over the source-blocked inverted-index join — the right metric for "
+    "truncation/subset copies (a doc fully contained in a longer one "
+    "scores containment 1.0 while Jaccard dilutes toward |A|/|B|).  "
+    "Same bounded candidate generation as ngram_jaccard_pairs: pairs "
+    "materialize only through shared shingles within a source block, "
+    "never an all-pairs join.  The planted truncation twins are exactly "
+    "the case containment catches and Jaccard misses.",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _planted_shingled(spark, sf_dir)
+    sh = sh.localCheckpoint(eager=False)  # both join sides + sizes
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_lo"), "source", F.col("sh").alias("s")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_hi"), "source", F.col("sh").alias("s")
+    )
+    inter = (
+        a.join(b, ["source", "s"])
+        .filter(F.col("doc_lo") < F.col("doc_hi"))
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("szb"))
+    cont = F.round(
+        F.col("n_shared") / F.least("sza", "szb"), 6
+    )
+    return (
+        inter.join(sa, "doc_lo")
+        .join(sb, "doc_hi")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            "n_shared",
+            cont.alias("containment"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("sza") + F.col("szb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.6)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cluster quality: per-label cohesion vs nearest other centroid.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_cluster_quality",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), elems AS (
+  SELECT label, i AS pos, avg(embedding[i]::DOUBLE) AS m
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+  GROUP BY 1, 2
+), cents AS (
+  SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM elems GROUP BY 1
+), scored AS (
+  SELECT vec_id, label, clabel,
+         round(list_dot_product(v, cv) /
+               nullif(sqrt(list_dot_product(v, v)) *
+                      sqrt(list_dot_product(cv, cv)), 0.0), 6) AS cs
+  FROM vecs CROSS JOIN cents
+), pervec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN label = clabel THEN cs END) AS own_cos,
+         max(CASE WHEN label != clabel THEN cs END) AS best_other
+  FROM scored GROUP BY 1, 2
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(own_cos), 4) AS mean_own_cos,
+       round(avg(own_cos - best_other), 4) AS mean_margin,
+       round(CAST(count(CASE WHEN own_cos > best_other THEN 1 END)
+                  AS DOUBLE) / count(*), 4) AS frac_cohesive
+FROM pervec GROUP BY label
+""",
+    doc="Silhouette-lite cluster audit for a labeled embedding corpus: "
+    "cosine of every vector to its own label centroid vs the best other "
+    "centroid, aggregated per label (mean cohesion, mean margin, "
+    "fraction on the right side).  Centroids: one posexplode agg on "
+    "(label, pos) then an array rebuild — |labels| rows, broadcast to "
+    "the scoring join, so the only data-sized operations are one scan "
+    "to build centroids and one scan to score.  Cosines are rounded to "
+    "6dp on both engines BEFORE the own-vs-other comparison (filter-"
+    "stage rule).",
+)
+def q_embedding_cluster_quality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    elems = emb.select(
+        "label", F.posexplode("v").alias("pos", "val")
+    )
+    cents = (
+        elems.groupBy("label", "pos")
+        .agg(F.avg("val").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cs"),
+    )
+    pervec = scored.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("label") == F.col("clabel"), F.col("cs"))
+        ).alias("own_cos"),
+        F.max(
+            F.when(F.col("label") != F.col("clabel"), F.col("cs"))
+        ).alias("best_other"),
+    )
+    return pervec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("own_cos"), 4).alias("mean_own_cos"),
+        F.round(F.avg(F.col("own_cos") - F.col("best_other")), 4).alias(
+            "mean_margin"
+        ),
+        F.round(
+            F.count(
+                F.when(F.col("own_cos") > F.col("best_other"), F.lit(1))
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_cohesive"),
+    )

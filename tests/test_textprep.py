@@ -1,0 +1,58 @@
+"""Corpus-preparation analytics properties (queries/textprep.py)."""
+
+from __future__ import annotations
+
+from quant_market_data_pipeline_spark.queries.textprep import (
+    q_containment_pairs,
+    q_embedding_cluster_quality,
+    q_quality_threshold_sweep,
+    q_tokenizer_fertility,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_threshold_sweep_monotone(spark):
+    rows = {
+        r.min_chars: r for r in q_quality_threshold_sweep(spark, SF_DIR).collect()
+    }
+    thresholds = sorted(rows)
+    assert len(thresholds) == 6
+    for lo, hi in zip(thresholds, thresholds[1:]):
+        # stricter gate can only shrink survival and token retention
+        assert rows[hi].n_surviving <= rows[lo].n_surviving
+        assert rows[hi].token_retention <= rows[lo].token_retention + 1e-9
+        assert 0.0 <= rows[hi].survival_rate <= 1.0
+
+
+def test_fertility_positive_and_words_bound_pieces(spark):
+    rows = q_tokenizer_fertility(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.chars_per_piece > 0
+        # BPE pre-tokenizer splits inside words, never merges across
+        # whitespace => at least one piece per word
+        assert r.pieces_per_word >= 1.0
+
+
+def test_containment_dominates_jaccard_and_twins_score_one(spark):
+    rows = q_containment_pairs(spark, SF_DIR).collect()
+    assert rows, "planted truncation twins must produce pairs"
+    saw_full = False
+    for r in rows:
+        assert r.containment >= r.jaccard - 1e-9
+        assert 0.6 <= r.containment <= 1.0 + 1e-9
+        if r.containment >= 0.999999:
+            saw_full = True
+    # a 10-token-truncated twin's shingle set is a subset of its source:
+    # at least one pair must have containment exactly 1
+    assert saw_full
+
+
+def test_cluster_quality_bounds(spark):
+    rows = q_embedding_cluster_quality(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_vecs >= 1
+        assert -1.0001 <= r.mean_own_cos <= 1.0001
+        assert 0.0 <= r.frac_cohesive <= 1.0
