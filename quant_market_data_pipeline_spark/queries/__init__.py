@@ -111,6 +111,9 @@ _PRIORITY = [
     "tokenizer_fertility",
     "containment_neardup_pairs",
     "embedding_cluster_quality",
+    # (c continued) graph propagation + lake-maintenance e2e
+    "pagerank_one_iter",
+    "incremental_bar_refresh_e2e",
     # --- bench headliners: the perf-critical subset rotates back into
     #     the 50-query window only while there is room left after the
     #     never-checked set (all headliners already carry cumulative
@@ -119,8 +122,6 @@ _PRIORITY = [
     "minhash_lsh_pairs",
     "simhash60_neardup_pairs",
     "ann_ivf_topk",
-    "dedup_exact_docs",
-    "bars_5min_ohlcv",
 ]
 
 
@@ -133,6 +134,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
+        graph,
         llm,
         pipeline_ops,
         quant,

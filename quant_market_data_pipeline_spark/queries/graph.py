@@ -1,0 +1,185 @@
+"""Graph propagation and lake-maintenance e2e gates.
+
+`pagerank_one_iter` adds the iterative-graph-algorithm family (one
+deterministic power-iteration step, the building block dedup_components'
+label propagation loops): edge generation is bounded by cart size, the
+propagation is two hash-aggregations — the exact shape GraphX/Pregel
+compiles to, expressed as plain DataFrame ops.
+
+`incremental_bar_refresh_e2e` driver-gates the continuous-aggregate
+maintenance plan (plans/incremental.py): late ticks must refresh ONLY
+their touched partitions, and the refreshed lake must be byte-equal to a
+full rebuild.  The reference full-table-overwrites on every run
+(/root/reference/project/transform_data.py); the incremental path is what
+survives 100 TB.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.plans.incremental import (
+    refresh_bars_incremental,
+)
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.sink import write_partitioned
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# One PageRank power-iteration step over the co-purchase graph.
+# ---------------------------------------------------------------------------
+@register(
+    "pagerank_one_iter",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST(count(*) AS BIGINT) AS w
+  FROM li a
+  JOIN li b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+), outdeg AS (
+  SELECT src, sum(w) AS total_w FROM edges GROUP BY src
+), pr AS (
+  SELECT e.dst AS part_key,
+         round(0.15 + 0.85 * sum(e.w / d.total_w), 6) AS pagerank
+  FROM edges e JOIN outdeg d ON e.src = d.src
+  GROUP BY e.dst
+)
+SELECT part_key, pagerank,
+       row_number() OVER (ORDER BY pagerank DESC, part_key) AS rank
+FROM pr
+ORDER BY pagerank DESC, part_key
+LIMIT 100
+""",
+    doc="One deterministic PageRank power-iteration step (damping 0.85, "
+    "uniform start pr0=1) over the part co-purchase graph.  Edge "
+    "generation self-joins the distinct (order, part) edge list on "
+    "orderkey — the per-key quadratic is bounded by cart size, exactly "
+    "the bound every scalable graph build needs.  The step itself is "
+    "two hash shuffles (out-degree agg on src, contribution agg on dst) "
+    "— the Pregel superstep shape; a full PageRank loops this with the "
+    "localCheckpoint-per-round convention dedup_components uses.  "
+    "Top-100 plans as TakeOrderedAndProject, no global sort.",
+)
+def q_pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)  # both self-join sides
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = edges.localCheckpoint(eager=False)  # outdeg + contribution
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
+    pr = (
+        edges.join(outdeg, "src")
+        .groupBy(F.col("dst").alias("part_key"))
+        .agg(
+            F.round(
+                0.15 + 0.85 * F.sum(F.col("w") / F.col("total_w")), 6
+            ).alias("pagerank")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("pagerank").desc(), "part_key")
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .orderBy(F.col("pagerank").desc(), "part_key")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental bar-lake refresh, end to end against a full-rebuild oracle.
+# ---------------------------------------------------------------------------
+_SCRATCH = Path(__file__).resolve().parents[2] / ".incr_e2e"
+_LATE_DAY = "2024-01-15"
+
+
+@register(
+    "incremental_bar_refresh_e2e",
+    oracle=f"""
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+       arg_min(value, ts) AS open, max(value) AS high,
+       min(value) AS low, arg_max(value, ts) AS close,
+       CAST(count(*) AS BIGINT) AS volume
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Driver gate for the incremental continuous-aggregate plan "
+    "(plans/incremental.py): the tick lake lands WITHOUT day "
+    f"{_LATE_DAY}, the bar lake is built from it, then the missing "
+    "day arrives late and refresh_bars_incremental folds it in — "
+    "appending only that partition and dynamic-partition-overwriting "
+    "only that day's bars (touched-date pruning; "
+    "tests/test_incremental.py pins that untouched partitions keep "
+    "their files).  The returned lake must equal the full batch "
+    "rebuild over ALL ticks — the oracle — proving the incremental "
+    "path converges to batch semantics.  Cost scales with the late "
+    "span, never table size.",
+)
+def q_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+    )
+    late_day = F.lit(_LATE_DAY).cast("date")
+    on_time = ticks.filter(F.to_date("ts") != late_day)
+    late = ticks.filter(F.to_date("ts") == late_day)
+
+    base = _SCRATCH / Path(sf_dir.rstrip("/")).name
+    shutil.rmtree(base, ignore_errors=True)
+    tick_lake = str(base / "ticks")
+    bar_lake = str(base / "bars")
+
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+
+    on_time.withColumn("trading_date", F.to_date("ts")).write.mode(
+        "overwrite"
+    ).partitionBy("trading_date").parquet(tick_lake)
+    initial = build_bars(
+        spark.read.parquet(tick_lake),
+        key="symbol",
+        ts="ts",
+        price="price",
+        width="5 minutes",
+        tiebreak="event_id",
+    )
+    write_partitioned(initial, bar_lake, ts_col="bar_ts")
+
+    refresh_bars_incremental(
+        spark,
+        tick_lake,
+        bar_lake,
+        late,
+        key="symbol",
+        ts="ts",
+        price="price",
+        width="5 minutes",
+        tiebreak="event_id",
+    )
+    return spark.read.parquet(bar_lake).select(
+        "symbol", "bar_ts", "open", "high", "low", "close",
+        F.col("volume").cast("bigint").alias("volume"),
+    )
