@@ -114,14 +114,15 @@ _PRIORITY = [
     # (c continued) graph propagation + lake-maintenance e2e
     "pagerank_one_iter",
     "incremental_bar_refresh_e2e",
-    # --- bench headliners: the perf-critical subset rotates back into
-    #     the 50-query window only while there is room left after the
-    #     never-checked set (all headliners already carry cumulative
-    #     green verdicts from r1-r3, so dropping out is safe) ---
-    "flagship_pair_zscore",
-    "minhash_lsh_pairs",
-    "simhash60_neardup_pairs",
-    "ann_ivf_topk",
+    # (c continued) final round-4 batch: microstructure + governance
+    "lead_lag_xcorr",
+    "kyle_lambda_daily",
+    "dedup_rate_by_source",
+    "stable_doc_enumeration",
+    # (bench headliners rotate back into the window only while there is
+    #  room after the never-checked set; this round the 50 slots are all
+    #  new/changed queries — every headliner already carries a cumulative
+    #  green driver verdict from r1-r3, so dropping out is safe)
 ]
 
 

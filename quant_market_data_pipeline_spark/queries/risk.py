@@ -472,3 +472,144 @@ def q_meanrev_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hit_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation between symbol pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "lead_lag_xcorr",
+    oracle=f"""
+WITH {_BARS_CTE},
+rets AS (
+  SELECT symbol, bar_ts,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts))
+           AS r
+  FROM bars
+), rr AS (
+  SELECT symbol, bar_ts, r,
+         lag(r) OVER (PARTITION BY symbol ORDER BY bar_ts) AS r_prev
+  FROM rets WHERE r IS NOT NULL
+), j AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+         a.r AS ra, a.r_prev AS ra_prev, b.r AS rb, b.r_prev AS rb_prev
+  FROM rr a JOIN rr b ON a.bar_ts = b.bar_ts AND a.symbol < b.symbol
+  WHERE a.r_prev IS NOT NULL AND b.r_prev IS NOT NULL
+)
+SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_obs,
+       round(corr(ra_prev, rb), 4) AS a_leads_b,
+       round(corr(rb_prev, ra), 4) AS b_leads_a
+FROM j GROUP BY 1, 2
+""",
+    doc="Lead-lag structure between symbol pairs: corr(r_a(t-1), r_b(t)) "
+    "vs corr(r_b(t-1), r_a(t)) — which asset's last bar predicts the "
+    "other's next.  The lag columns ride the same symbol-partitioned "
+    "window pass as the return build, the alignment is one bar_ts "
+    "equi-join (output linear in bars x universe), and rows missing "
+    "either lag are dropped explicitly so both engines correlate the "
+    "identical row set.",
+)
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    bars = build_bars(
+        t, key="event_type", ts="ts", price="value", width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+    w = Window.partitionBy("symbol").orderBy("bar_ts")
+    rr = (
+        bars.select(
+            "symbol",
+            "bar_ts",
+            (F.log("close") - F.log(F.lag("close").over(w))).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+        .withColumn("r_prev", F.lag("r").over(w))
+    )
+    rr = rr.localCheckpoint(eager=False)  # both self-join sides
+    a = rr.select(
+        F.col("symbol").alias("sym_a"),
+        "bar_ts",
+        F.col("r").alias("ra"),
+        F.col("r_prev").alias("ra_prev"),
+    )
+    b = rr.select(
+        F.col("symbol").alias("sym_b"),
+        "bar_ts",
+        F.col("r").alias("rb"),
+        F.col("r_prev").alias("rb_prev"),
+    )
+    j = (
+        a.join(b, "bar_ts")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .filter(F.col("ra_prev").isNotNull() & F.col("rb_prev").isNotNull())
+    )
+    return j.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.round(F.corr("ra_prev", "rb"), 4).alias("a_leads_b"),
+        F.round(F.corr("rb_prev", "ra"), 4).alias("b_leads_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kyle's lambda: per-day price-impact regression on signed bar volume.
+# ---------------------------------------------------------------------------
+@register(
+    "kyle_lambda_daily",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close, count(*) AS volume
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), d AS (
+  SELECT symbol, CAST(bar_ts AS DATE) AS trading_day, bar_ts, volume,
+         close - lag(close) OVER (PARTITION BY symbol, CAST(bar_ts AS DATE)
+                                  ORDER BY bar_ts) AS dp
+  FROM bars
+), s AS (
+  SELECT symbol, trading_day, dp,
+         volume * CASE WHEN dp > 0 THEN 1 WHEN dp < 0 THEN -1 ELSE 0 END
+           AS signed_vol
+  FROM d WHERE dp IS NOT NULL
+)
+SELECT symbol, trading_day, CAST(count(*) AS BIGINT) AS n_bars,
+       CASE WHEN var_samp(signed_vol) > 0
+            THEN round(covar_samp(dp, signed_vol) / var_samp(signed_vol), 8)
+       END AS kyle_lambda
+FROM s GROUP BY 1, 2
+""",
+    doc="Kyle's lambda price-impact proxy per (symbol, day): regress the "
+    "5-min close change on tick-rule-signed bar volume — the slope is "
+    "the per-unit-flow price move, the microstructure cousin of "
+    "amihud_illiquidity.  The day-scoped LAG shares the bar build's "
+    "symbol exchange; the regression moments are one (symbol, day) "
+    "hash-agg with map-side partials.",
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    bars = build_bars(
+        t, key="event_type", ts="ts", price="value", width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close", "volume")
+    day = F.to_date("bar_ts").alias("trading_day")
+    w = Window.partitionBy("symbol", F.to_date("bar_ts")).orderBy("bar_ts")
+    d = bars.select(
+        "symbol",
+        day,
+        "volume",
+        (F.col("close") - F.lag("close").over(w)).alias("dp"),
+    ).filter(F.col("dp").isNotNull())
+    s = d.withColumn(
+        "signed_vol",
+        F.col("volume")
+        * F.when(F.col("dp") > 0, 1).when(F.col("dp") < 0, -1).otherwise(0),
+    )
+    return s.groupBy("symbol", "trading_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.when(
+            F.var_samp("signed_vol") > 0,
+            F.round(
+                F.covar_samp("dp", "signed_vol") / F.var_samp("signed_vol"), 8
+            ),
+        ).alias("kyle_lambda"),
+    )

@@ -303,3 +303,96 @@ def q_embedding_cluster_quality(
             4,
         ).alias("frac_cohesive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-duplication governance report per source.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+), grp AS (
+  SELECT h, count(*) AS n_copies FROM hashed GROUP BY h
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN g.n_copies >= 2 THEN 1 END) AS BIGINT)
+         AS n_dup_docs,
+       round(CAST(count(CASE WHEN g.n_copies >= 2 THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS dup_rate
+FROM hashed d JOIN grp g ON d.h = g.h
+GROUP BY source
+""",
+    doc="Corpus-governance duplication report: per source, the fraction "
+    "of documents whose exact text hash occurs 2+ times ANYWHERE in the "
+    "corpus (cross-source copies count against both sources).  Two "
+    "shuffles: the md5 group count and the hash-keyed join back — both "
+    "on the uniform md5 key, no skew at any corpus size.  This is the "
+    "summary a crawl operator watches per ingest batch; the doc-level "
+    "keep/drop list is dedup_keep_list.",
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select(
+        "source", F.md5("text").alias("h")
+    )
+    d = d.localCheckpoint(eager=False)  # hashed docs feed count + join
+    grp = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    dup = F.count(F.when(F.col("n_copies") >= 2, F.lit(1)))
+    return (
+        d.join(grp, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            dup.cast("bigint").alias("n_dup_docs"),
+            F.round(
+                dup.cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stable global enumeration without a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "stable_doc_enumeration",
+    oracle="""
+SELECT doc_id, source,
+       row_number() OVER (ORDER BY source, doc_id) AS global_id
+FROM documents
+""",
+    doc="Contiguous global ids ordered by (source, doc_id) WITHOUT the "
+    "single-partition global sort row_number() OVER (ORDER BY ...) "
+    "compiles to: per-source counts (a |sources|-row agg) turn into "
+    "prefix offsets via a window over the tiny side, broadcast back, "
+    "and each source numbers its own partition independently — "
+    "global_id = source_offset + per-source row_number.  The heavy "
+    "window runs partitioned by source; only the offset table (rows = "
+    "|sources|) ever sees a single-partition exchange.  This is the "
+    "sharded-enumeration pattern every exported training corpus needs "
+    "(stable example ids), and the oracle is the naive global window.",
+)
+def q_stable_doc_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir).select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    # prefix offsets over the |sources|-row frame: the only global sort
+    # in the plan runs on a dimension-sized input
+    woff = (
+        Window.orderBy("source").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    offsets = counts.select(
+        "source",
+        F.coalesce(F.sum("cnt").over(woff), F.lit(0)).alias("offset"),
+    )
+    wsrc = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "source")
+        .select(
+            "doc_id",
+            "source",
+            (F.col("offset") + F.row_number().over(wsrc)).alias("global_id"),
+        )
+    )

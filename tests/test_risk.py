@@ -94,3 +94,26 @@ def test_backtest_accounting(spark):
             assert r.hit_rate is None
         elif r.hit_rate is not None:
             assert 0.0 <= r.hit_rate <= 1.0
+
+
+def test_lead_lag_pairs_ordered(spark):
+    from quant_market_data_pipeline_spark.queries.risk import q_lead_lag_xcorr
+
+    rows = q_lead_lag_xcorr(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.sym_a < r.sym_b
+        for v in (r.a_leads_b, r.b_leads_a):
+            if v is not None:
+                assert -1.0001 <= v <= 1.0001
+
+
+def test_kyle_lambda_gated_on_variance(spark):
+    from quant_market_data_pipeline_spark.queries.risk import q_kyle_lambda
+
+    rows = q_kyle_lambda(spark, SF_DIR).collect()
+    assert rows
+    # lambda is null exactly when signed-volume variance is zero
+    assert any(r.kyle_lambda is not None for r in rows)
+    for r in rows:
+        assert r.n_bars >= 1

@@ -56,3 +56,29 @@ def test_cluster_quality_bounds(spark):
         assert r.n_vecs >= 1
         assert -1.0001 <= r.mean_own_cos <= 1.0001
         assert 0.0 <= r.frac_cohesive <= 1.0
+
+
+def test_dedup_rate_bounds(spark):
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        q_dedup_rate_by_source,
+    )
+
+    rows = q_dedup_rate_by_source(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_docs <= r.n_docs
+        assert 0.0 <= r.dup_rate <= 1.0
+
+
+def test_stable_enumeration_is_contiguous_and_ordered(spark):
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        q_stable_doc_enumeration,
+    )
+
+    rows = q_stable_doc_enumeration(spark, SF_DIR).collect()
+    assert rows
+    ids = sorted(r.global_id for r in rows)
+    assert ids == list(range(1, len(rows) + 1))
+    by_gid = sorted(rows, key=lambda r: r.global_id)
+    keys = [(r.source, r.doc_id) for r in by_gid]
+    assert keys == sorted(keys)
