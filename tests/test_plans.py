@@ -226,3 +226,39 @@ def test_partitioned_lake_scan_prunes_at_plan_time(spark):
     assert "PartitionFilters: [" in head
     assert "2024-01-15" in head
     assert "PushedFilters: []" in head
+
+
+def test_stable_enumeration_no_global_sort_on_fact(spark):
+    plan = _plan(spark, "stable_doc_enumeration")
+    # the single-partition exchange (global prefix-sum window) must exist
+    # exactly once — and only for the |sources|-row counts frame; the
+    # documents-sized side is windowed per source and joined broadcast
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"hashpartitioning\(source", plan)
+
+
+def test_pagerank_topk_no_global_sort(spark):
+    plan = _plan(spark, "pagerank_one_iter")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_garman_klass_pushdown_and_partial_agg(spark):
+    plan = _plan(spark, "garman_klass_vol")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(value,0", plan)
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+
+
+def test_threshold_sweep_single_scan(spark):
+    plan = _plan(spark, "quality_threshold_sweep")
+    # one documents scan feeds the whole six-threshold grid
+    assert plan.count("FileScan parquet") == 1
+    assert "Generate explode" in plan
+
+
+def test_backtest_single_symbol_exchange(spark):
+    plan = _plan(spark, "meanrev_backtest_5min")
+    # bar agg + window + final agg share the symbol hash partitioning:
+    # at most 2 hash exchanges (bar build on (symbol,bucket), window on
+    # symbol, whose sort the final agg partials reuse)
+    assert plan.count("Exchange hashpartitioning") <= 2
