@@ -326,29 +326,27 @@ GROUP BY source
 """,
     doc="Corpus-governance duplication report: per source, the fraction "
     "of documents whose exact text hash occurs 2+ times ANYWHERE in the "
-    "corpus (cross-source copies count against both sources).  Two "
-    "shuffles: the md5 group count and the hash-keyed join back — both "
-    "on the uniform md5 key, no skew at any corpus size.  This is the "
-    "summary a crawl operator watches per ingest batch; the doc-level "
-    "keep/drop list is dedup_keep_list.",
+    "corpus (cross-source copies count against both sources).  The "
+    "copy count is a COUNT OVER (PARTITION BY hash) window — ONE fact "
+    "shuffle on the uniform md5 key (vs the groupBy + join-back shape's "
+    "two) — followed by the tiny per-source agg.  No skew at any corpus "
+    "size.  This is the summary a crawl operator watches per ingest "
+    "batch; the doc-level keep/drop list is dedup_keep_list.",
 )
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir).select(
         "source", F.md5("text").alias("h")
     )
-    d = d.localCheckpoint(eager=False)  # hashed docs feed count + join
-    grp = d.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    counted = d.withColumn(
+        "n_copies", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     dup = F.count(F.when(F.col("n_copies") >= 2, F.lit(1)))
-    return (
-        d.join(grp, "h")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            dup.cast("bigint").alias("n_dup_docs"),
-            F.round(
-                dup.cast("double") / F.count(F.lit(1)), 4
-            ).alias("dup_rate"),
-        )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dup.cast("bigint").alias("n_dup_docs"),
+        F.round(
+            dup.cast("double") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
     )
 
 
