@@ -76,6 +76,22 @@ QUERIES = [
     "atr_14",
     "macd_12_26_9",
     "beta_vs_market",
+    # round 4, third batch: risk/strategy + corpus prep + graph
+    "garman_klass_vol",
+    "sharpe_sortino_daily",
+    "return_autocorr",
+    "xsection_momentum_spread",
+    "engle_granger_pair",
+    "meanrev_backtest_5min",
+    "lead_lag_xcorr",
+    "kyle_lambda_daily",
+    "quality_threshold_sweep",
+    "tokenizer_fertility",
+    "containment_neardup_pairs",
+    "embedding_cluster_quality",
+    "dedup_rate_by_source",
+    "stable_doc_enumeration",
+    "pagerank_one_iter",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
