@@ -135,6 +135,7 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
+        drift,
         graph,
         llm,
         pipeline_ops,

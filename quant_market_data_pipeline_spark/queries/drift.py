@@ -1,0 +1,458 @@
+"""Distribution-drift, concentration and robust-statistics audits.
+
+The monitoring layer every production pipeline grows next to its ETL:
+did this ingest batch's distribution move (KS / PSI), is a segment
+dangerously concentrated (HHI), which points are robust outliers (MAD),
+how do users actually transition between actions (Markov)?
+
+Common scale rules:
+- every statistic reduces the fact table ONCE (a hash-agg on a bounded
+  key: (source, length), (period, bucket), supplier, (prev, next));
+  all comparison/normalization work happens on the reduced frame, whose
+  size is data-independent (dimension x distinct-statistic-values);
+- data-derived constants (quantile boundaries, medians, date midpoints)
+  are reduced to tiny frames and BROADCAST back — never recomputed per
+  row, never collected to the driver;
+- the filter-stage rule (COVERAGE.md): any value that feeds a
+  comparison (median, MAD, quantile boundary, KS threshold) is rounded
+  to a fixed scale on BOTH engines BEFORE the comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift between every pair of sources.
+# ---------------------------------------------------------------------------
+@register(
+    "ks_source_drift",
+    oracle="""
+WITH counts AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, l.n_chars
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT n_chars FROM documents) l
+), ecdf AS (
+  SELECT g.source, g.n_chars,
+         sum(coalesce(c.cnt, 0)) OVER (
+           PARTITION BY g.source ORDER BY g.n_chars) AS cum,
+         sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.source) AS total
+  FROM grid g LEFT JOIN counts c
+    ON c.source = g.source AND c.n_chars = g.n_chars
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         max(a.total) AS n_a, max(b.total) AS n_b,
+         round(max(abs(CAST(a.cum AS DOUBLE) / a.total
+                       - CAST(b.cum AS DOUBLE) / b.total)), 6) AS ks_stat
+  FROM ecdf a JOIN ecdf b
+    ON a.n_chars = b.n_chars AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b, ks_stat,
+       ks_stat > round(1.36 * sqrt(CAST(n_a + n_b AS DOUBLE)
+                                   / (n_a * n_b)), 6) AS drifted
+FROM pairs
+""",
+    doc="Pairwise two-sample Kolmogorov-Smirnov drift over the doc-length "
+    "distribution of every source pair: D = max |ECDF_a - ECDF_b|, "
+    "flagged against the 95% critical value 1.36*sqrt((n_a+n_b)/(n_a*n_b))."
+    "  Scale shape: the corpus reduces ONCE to (source, length) counts; "
+    "ECDFs come from a window cumsum over the |sources| x |distinct "
+    "lengths| grid (data-independent size), and the pair join runs on "
+    "that reduced frame — the 100 TB cost is one fact hash-agg.  Both "
+    "D and the threshold are rounded to 6dp before the flag comparison "
+    "(filter-stage rule).",
+)
+def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, "documents", sf_dir)
+    counts = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    sources = d.select("source").distinct()
+    lens = d.select("n_chars").distinct()
+    grid = lens.crossJoin(F.broadcast(sources))
+    joined = grid.join(counts, ["source", "n_chars"], "left").select(
+        "source", "n_chars", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    wcum = Window.partitionBy("source").orderBy("n_chars")
+    wtot = Window.partitionBy("source")
+    ecdf = joined.select(
+        "source",
+        "n_chars",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+    a = ecdf.select(
+        F.col("source").alias("source_a"),
+        "n_chars",
+        F.col("cum").alias("cum_a"),
+        F.col("total").alias("tot_a"),
+    )
+    b = ecdf.select(
+        F.col("source").alias("source_b"),
+        "n_chars",
+        F.col("cum").alias("cum_b"),
+        F.col("total").alias("tot_b"),
+    )
+    pairs = (
+        a.join(b, "n_chars")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("tot_a").alias("n_a"),
+            F.max("tot_b").alias("n_b"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("tot_a")
+                        - F.col("cum_b").cast("double") / F.col("tot_b")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+    threshold = F.round(
+        1.36
+        * F.sqrt(
+            (F.col("n_a") + F.col("n_b")).cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "ks_stat",
+        (F.col("ks_stat") > threshold).alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index of the order-value distribution over time.
+# ---------------------------------------------------------------------------
+@register(
+    "psi_price_drift",
+    oracle="""
+WITH span AS (
+  SELECT min(epoch_ms(o_orderdate)) AS lo, max(epoch_ms(o_orderdate)) AS hi
+  FROM orders
+), tagged AS (
+  SELECT o_totalprice AS price,
+         CASE WHEN 2 * epoch_ms(o_orderdate) < lo + hi
+              THEN 'base' ELSE 'cur' END AS period
+  FROM orders CROSS JOIN span
+), bounds AS (
+  SELECT list_transform(
+           quantile_cont(price, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]),
+           q -> round(q, 4)) AS bnds
+  FROM tagged WHERE period = 'base'
+), bucketed AS (
+  SELECT period,
+         len(list_filter(bnds, b -> price > b)) AS bucket
+  FROM tagged CROSS JOIN bounds
+), fracs AS (
+  SELECT bucket,
+         CAST(count(CASE WHEN period = 'base' THEN 1 END) AS DOUBLE)
+           / sum(count(CASE WHEN period = 'base' THEN 1 END)) OVER ()
+           AS p_base,
+         CAST(count(CASE WHEN period = 'cur' THEN 1 END) AS DOUBLE)
+           / sum(count(CASE WHEN period = 'cur' THEN 1 END)) OVER ()
+           AS p_cur
+  FROM bucketed GROUP BY bucket
+), terms AS (
+  SELECT bucket, round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+         round((greatest(p_cur, 0.000001) - greatest(p_base, 0.000001))
+               * ln(greatest(p_cur, 0.000001)
+                    / greatest(p_base, 0.000001)), 6) AS psi_term
+  FROM fracs
+)
+SELECT bucket, p_base, p_cur, psi_term,
+       round(sum(psi_term) OVER (), 6) AS psi_total
+FROM terms
+""",
+    doc="Population Stability Index of the order-value distribution: the "
+    "fixture's date span splits at its integer-millisecond midpoint "
+    "(2*t < lo+hi — pure BIGINT arithmetic, no division drift) into a "
+    "baseline and a current period; baseline deciles (exact interpolated "
+    "quantiles, rounded 4dp BEFORE bucketing — filter-stage rule) become "
+    "the 10 monitoring bins; PSI = sum (p_cur - p_base) * ln(p_cur / "
+    "p_base) with the standard 1e-6 floor on empty bins.  Scale shape: "
+    "one fact scan tags periods, the 9 boundaries are a 1-row broadcast, "
+    "bucket assignment is an in-row array filter, and everything after "
+    "the (period, bucket) hash-agg runs on <= 20 rows.  This is the "
+    "train/serve skew check run before every model refresh.",
+)
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, "orders", sf_dir)
+    span = o.agg(
+        F.min(F.unix_millis("o_orderdate")).alias("lo"),
+        F.max(F.unix_millis("o_orderdate")).alias("hi"),
+    )
+    tagged = o.crossJoin(F.broadcast(span)).select(
+        F.col("o_totalprice").alias("price"),
+        F.when(
+            2 * F.unix_millis("o_orderdate") < F.col("lo") + F.col("hi"),
+            F.lit("base"),
+        )
+        .otherwise(F.lit("cur"))
+        .alias("period"),
+    )
+    bounds = (
+        tagged.filter(F.col("period") == "base")
+        .agg(
+            F.percentile(
+                F.col("price"),
+                F.lit([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+            ).alias("raw")
+        )
+        .select(
+            F.transform(F.col("raw"), lambda q: F.round(q, 4)).alias("bnds")
+        )
+    )
+    bucketed = tagged.crossJoin(F.broadcast(bounds)).select(
+        "period",
+        F.size(
+            F.filter(F.col("bnds"), lambda b: F.col("price") > b)
+        ).alias("bucket"),
+    )
+    wall = Window.partitionBy()
+    n_base = F.count(F.when(F.col("period") == "base", F.lit(1)))
+    n_cur = F.count(F.when(F.col("period") == "cur", F.lit(1)))
+    fracs = bucketed.groupBy("bucket").agg(
+        (n_base.cast("double") / F.sum(n_base).over(wall)).alias("pb"),
+        (n_cur.cast("double") / F.sum(n_cur).over(wall)).alias("pc"),
+    )
+    pb_f = F.greatest(F.col("pb"), F.lit(0.000001))
+    pc_f = F.greatest(F.col("pc"), F.lit(0.000001))
+    terms = fracs.select(
+        "bucket",
+        F.round("pb", 6).alias("p_base"),
+        F.round("pc", 6).alias("p_cur"),
+        F.round((pc_f - pb_f) * F.log(pc_f / pb_f), 6).alias("psi_term"),
+    )
+    return terms.select(
+        "bucket",
+        "p_base",
+        "p_cur",
+        "psi_term",
+        F.round(F.sum("psi_term").over(wall), 6).alias("psi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier-revenue concentration per nation.
+# ---------------------------------------------------------------------------
+@register(
+    "hhi_supplier_concentration",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l.l_discount AS DECIMAL(4,2))))
+                   AS DECIMAL(38,4)) AS DOUBLE) AS supp_rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+), shares AS (
+  SELECT s_nationkey, supp_rev,
+         supp_rev / sum(supp_rev) OVER (PARTITION BY s_nationkey) AS share
+  FROM rev
+)
+SELECT n.n_name AS nation,
+       CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(10000 * sum(share * share), 4) AS hhi,
+       round(max(share), 6) AS top_share
+FROM shares
+JOIN nation n ON n.n_nationkey = s_nationkey
+GROUP BY 1
+""",
+    doc="Herfindahl-Hirschman concentration of discounted supplier revenue "
+    "within each nation (HHI on the 0-10000 scale; >2500 = highly "
+    "concentrated) plus the single largest supplier share — the "
+    "concentration audit a marketplace / risk desk runs per segment.  "
+    "Scale shape: ONE fact hash-agg on (nation, supplier) with exact "
+    "decimal revenue sums (q/functions/exact.py discipline), then shares "
+    "via a window over supplier-sized nation partitions and a "
+    "nation-sized final agg; the supplier and nation dims broadcast.",
+)
+def q_hhi_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.functions.exact import (
+        money,
+        one_minus,
+    )
+
+    li = _t(spark, "lineitem", sf_dir)
+    supp = _t(spark, "supplier", sf_dir)
+    nation = _t(spark, "nation", sf_dir)
+    rev = (
+        li.join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            li.l_suppkey == supp.s_suppkey,
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(money("l_extendedprice") * one_minus("l_discount"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            .alias("supp_rev")
+        )
+    )
+    wnat = Window.partitionBy("s_nationkey")
+    shares = rev.select(
+        "s_nationkey",
+        (F.col("supp_rev") / F.sum("supp_rev").over(wnat)).alias("share"),
+    )
+    return (
+        shares.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            shares.s_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.round(10000 * F.sum(F.col("share") * F.col("share")), 4).alias(
+                "hhi"
+            ),
+            F.round(F.max("share"), 6).alias("top_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Median-absolute-deviation robust outlier audit per symbol.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outlier_ticks",
+    oracle="""
+WITH med AS (
+  SELECT event_type AS symbol, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY 1
+), dev AS (
+  SELECT e.event_type AS symbol, abs(e.value - m.med) AS d, m.med
+  FROM events e JOIN med m ON e.event_type = m.symbol
+), mad AS (
+  SELECT symbol, round(quantile_cont(d, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT d.symbol, CAST(count(*) AS BIGINT) AS n_ticks,
+       max(d.med) AS median_value, max(m.mad) AS mad,
+       CAST(count(CASE WHEN d.d > 5 * m.mad THEN 1 END) AS BIGINT)
+         AS n_outliers,
+       round(CAST(count(CASE WHEN d.d > 5 * m.mad THEN 1 END) AS DOUBLE)
+             / count(*), 6) AS outlier_rate
+FROM dev d JOIN mad m ON d.symbol = m.symbol
+GROUP BY 1
+""",
+    doc="Robust outlier audit per symbol: median absolute deviation with "
+    "a 5-MAD fence — the fat-tail-safe alternative to z-score gating "
+    "(one bad print cannot drag the fence the way it drags a stddev).  "
+    "Two exact interpolated medians mean two passes over the ticks "
+    "(robust statistics are irreducibly two-pass); each reduces to a "
+    "|symbols|-row frame that broadcasts back, so the 100 TB cost is "
+    "two scans + two tiny joins, no wide shuffle.  Median and MAD are "
+    "rounded to 6dp BEFORE the fence comparison (filter-stage rule).",
+)
+def q_mad_outlier_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, "events", sf_dir).select(
+        F.col("event_type").alias("symbol"), "value"
+    )
+    med = e.groupBy("symbol").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "symbol").select(
+        "symbol", F.abs(F.col("value") - F.col("med")).alias("d"), "med"
+    )
+    mad = dev.groupBy("symbol").agg(
+        F.round(F.percentile("d", F.lit(0.5)), 6).alias("mad")
+    )
+    out = F.count(F.when(F.col("d") > 5 * F.col("mad"), F.lit(1)))
+    return (
+        dev.join(F.broadcast(mad), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            out.cast("bigint").alias("n_outliers"),
+            F.round(out.cast("double") / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+@register(
+    "event_markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY prev_type), 6) AS prob
+FROM pairs
+""",
+    doc="First-order Markov transition matrix of user behavior: "
+    "P(next event type | previous event type), from per-user "
+    "time-ordered LAG pairs (event_id tiebreak), row-normalized by the "
+    "previous-state marginal.  Scale shape: ONE window exchange on "
+    "user_id (bounded per-user sequences), then a #types^2-row agg; "
+    "the normalizing marginal is a window over the tiny matrix, not a "
+    "second scan.  This is the behavioral prior behind next-event "
+    "prediction and funnel-anomaly alerting.",
+)
+def q_event_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _t(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wprev = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wprev), 6
+        ).alias("prob"),
+    )

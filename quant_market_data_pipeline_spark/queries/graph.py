@@ -183,3 +183,106 @@ def q_incremental_refresh_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "bar_ts", "open", "high", "low", "close",
         F.col("volume").cast("bigint").alias("volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle census + global clustering coefficient of the co-purchase graph.
+# ---------------------------------------------------------------------------
+@register(
+    "copurchase_triangles",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT lo AS v FROM edges UNION ALL SELECT hi FROM edges) u
+  GROUP BY 1
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.lo = e1.hi
+  JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+)
+SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT) AS n_wedges,
+       n_triangles,
+       round(CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                  THEN 3.0 * n_triangles
+                       / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                  ELSE 0.0 END, 6) AS global_clustering
+FROM tri
+""",
+    doc="Triangle census of the support-thresholded co-purchase graph "
+    "(edges = part pairs bought together in >= 2 orders) plus the "
+    "global clustering coefficient 3*triangles/wedges.  Scale design: "
+    "the support-2 cut is what makes triangle counting tractable on a "
+    "transaction graph — raw co-occurrence edges grow with cart-size^2 "
+    "x orders, while support-thresholded edges converge to the stable "
+    "product-affinity graph; the enumeration joins keep every edge in "
+    "canonical lo<hi orientation so each triangle counts exactly once "
+    "(the standard distributed triangle algorithm; a degree-ordered "
+    "orientation drops the worst-case join fan-out to O(E^1.5) at "
+    "scale).  Wedges come from the degree aggregate, not a join.",
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    li = li.localCheckpoint(eager=False)  # both self-join sides
+    a = li.select("l_orderkey", F.col("l_partkey").alias("lo"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("hi"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+        .drop("support")
+    )
+    edges = edges.localCheckpoint(eager=False)  # three join legs + degrees
+    deg = (
+        edges.select(F.col("lo").alias("v"))
+        .unionAll(edges.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias(
+            "n_wedges"
+        )
+    )
+    n_edges = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    e1 = edges.select(F.col("lo").alias("va"), F.col("hi").alias("vb"))
+    e2 = edges.select(F.col("lo").alias("vb"), F.col("hi").alias("vc"))
+    e3 = edges.select(F.col("lo").alias("va"), F.col("hi").alias("vc"))
+    tri = (
+        e1.join(e2, "vb")
+        .join(e3, ["va", "vc"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(
+                    F.col("n_wedges") > 0,
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("global_clustering"),
+        )
+    )

@@ -1314,3 +1314,72 @@ def q_amihud(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.col("aret") / F.col("vol")) * F.lit(1e6), 6
         ).alias("amihud_x1m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overnight vs intraday return decomposition.
+# ---------------------------------------------------------------------------
+@register(
+    "overnight_intraday_split",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         arg_min(value, ts) AS open, arg_max(value, ts) AS close
+  FROM events WHERE value > 0
+  GROUP BY 1, 2
+), rets AS (
+  SELECT symbol, day,
+         ln(open) - ln(lag(close) OVER (
+           PARTITION BY symbol ORDER BY day)) AS overnight,
+         ln(close) - ln(open) AS intraday
+  FROM daily
+)
+SELECT symbol,
+       CAST(count(overnight) AS BIGINT) AS n_days,
+       round(avg(overnight), 6) AS mean_overnight,
+       round(avg(intraday), 6) AS mean_intraday,
+       round(sum(overnight * overnight)
+             / nullif(sum(overnight * overnight)
+                      + sum(intraday * intraday), 0.0), 6)
+         AS overnight_var_share
+FROM rets WHERE overnight IS NOT NULL
+GROUP BY 1
+""",
+    doc="Overnight vs intraday return decomposition per symbol: each "
+    "day's first/last positive tick (arg_min/arg_max by ts) gives open "
+    "and close; overnight = ln(open_d) - ln(close_{d-1}) via LAG over "
+    "the per-symbol day series, intraday = ln(close_d / open_d); the "
+    "variance share tells a desk where the risk actually accrues (a "
+    "classic market-microstructure decomposition — close-to-close vol "
+    "systematically mixes the two regimes).  Scale shape: one "
+    "(symbol, day) hash-agg reduces the ticks, then a window exchange "
+    "on symbol over day-count-sized partitions and a |symbols|-row "
+    "final agg.",
+)
+def q_overnight_intraday_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ticks = _events(spark, sf_dir).filter(F.col("value") > 0)
+    daily = ticks.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("day"),
+    ).agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max_by("value", "ts").alias("close"),
+    )
+    w = Window.partitionBy("symbol").orderBy("day")
+    rets = daily.select(
+        "symbol",
+        (F.log("open") - F.log(F.lag("close").over(w))).alias("overnight"),
+        (F.log("close") - F.log("open")).alias("intraday"),
+    ).filter(F.col("overnight").isNotNull())
+    ovar = F.sum(F.col("overnight") * F.col("overnight"))
+    ivar = F.sum(F.col("intraday") * F.col("intraday"))
+    return rets.groupBy("symbol").agg(
+        F.count("overnight").cast("bigint").alias("n_days"),
+        F.round(F.avg("overnight"), 6).alias("mean_overnight"),
+        F.round(F.avg("intraday"), 6).alias("mean_intraday"),
+        F.round(ovar / F.nullif(ovar + ivar, F.lit(0.0)), 6).alias(
+            "overnight_var_share"
+        ),
+    )

@@ -394,3 +394,216 @@ def q_stable_doc_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.row_number().over(wsrc)).alias("global_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense cosine.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_DEPTH = 50  # per-retriever candidate depth before fusion
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=None,  # assembled below after the llm module's constants import
+    doc="placeholder — oracle attached at import time",
+)
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.queries.llm import q_bm25_search
+
+    # lexical leg: BM25 scores (already rounded 6dp), top-DEPTH by
+    # (score desc, id) — plans as TakeOrderedAndProject, then the rank
+    # window runs on the DEPTH-row result
+    lex = (
+        q_bm25_search(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    wl = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wl).alias("r_lex")
+    )
+
+    # dense leg: cosine of every corpus vector against the fixed query
+    # vector (vec_id 0) — 1-row broadcast, JVM dot product, top-DEPTH
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+    )
+    wd = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    dense_ranked = dense.select(
+        "doc_id", F.row_number().over(wd).alias("r_dense")
+    )
+
+    # reciprocal-rank fusion: a missing leg contributes 0
+    fused = lex_ranked.join(dense_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0)).cast("bigint").alias("lex_rank"),
+        F.coalesce("r_dense", F.lit(0)).cast("bigint").alias("dense_rank"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_dense")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= 20)
+        .select("doc_id", "lex_rank", "dense_rank", "rrf_score", "fused_rank")
+    )
+
+
+def _attach_rrf_oracle() -> None:
+    from quant_market_data_pipeline_spark.queries import REGISTRY, QuerySpec
+    from quant_market_data_pipeline_spark.queries.llm import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
+), dl AS (
+  SELECT doc_id, len(tokens) AS dl FROM toks
+), stats AS (
+  SELECT avg(dl) AS avgdl, count(*) AS n FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM (
+    SELECT doc_id, unnest(tokens) AS w FROM toks) t
+  WHERE w IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}', '{_BM25_TERMS[2]}')
+  GROUP BY 1, 2
+), dfreq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), bm25 AS (
+  SELECT tf.doc_id AS doc_id,
+         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * {_BM25_K1 + 1.0})
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * dl.dl / avgdl))), 6) AS bm25
+  FROM tf JOIN dfreq USING (w)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY 1
+), lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM (SELECT * FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_RRF_DEPTH})
+), qv AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(v, qv)
+               / nullif(sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(qv, qv)), 0.0), 6)
+           AS cos_sim
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id != 0) e
+  CROSS JOIN qv
+), dense AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+  FROM (SELECT * FROM cos ORDER BY cos_sim DESC, doc_id
+        LIMIT {_RRF_DEPTH})
+), fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(l.r_lex, 0) AS BIGINT) AS lex_rank,
+         CAST(coalesce(d.r_dense, 0) AS BIGINT) AS dense_rank,
+         round(coalesce(1.0 / ({_RRF_K} + l.r_lex), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + d.r_dense), 0.0), 6)
+           AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, rrf_score,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= 20
+"""
+    REGISTRY["hybrid_rrf_fusion"] = QuerySpec(
+        name="hybrid_rrf_fusion",
+        spark=q_hybrid_rrf_fusion,
+        oracle=sql,
+        doc="Hybrid RAG retrieval: reciprocal-rank fusion (k=60) of the "
+        "BM25 lexical top-50 and the dense cosine top-50 for a fixed "
+        "query (terms + query vector vec_id 0), fused as "
+        "sum 1/(60+rank) with missing legs contributing 0 — the "
+        "standard two-tower retrieval merge.  Scale shape: each leg "
+        "reduces to its top-DEPTH via TakeOrderedAndProject (no global "
+        "sort); rank windows and the fusion join run on <= 50-row "
+        "frames.  The lexical leg reuses bm25_keyword_search's "
+        "postings plan; the dense leg is the 1-query broadcast cosine.",
+    )
+
+
+_attach_rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty: how much of each doc is first-seen content?
+# ---------------------------------------------------------------------------
+@register(
+    "shingle_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM toks)
+), first_seen AS (
+  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(CASE WHEN s.doc_id = f.first_doc THEN 1 END) AS BIGINT)
+         AS n_novel,
+       round(CAST(count(CASE WHEN s.doc_id = f.first_doc THEN 1 END)
+                  AS DOUBLE) / count(*), 6) AS novelty_rate
+FROM sh s JOIN first_seen f ON s.sh = f.sh
+GROUP BY s.doc_id
+""",
+    doc="Per-document novelty score: the fraction of a doc's distinct "
+    "3-gram shingles whose corpus-wide FIRST occurrence (min doc_id — "
+    "the ingest-order proxy) is this doc.  Low-novelty documents are "
+    "recombinations of already-seen content — the curriculum/dedup "
+    "signal between exact dedup (all-or-nothing) and MinHash (pairwise)."
+    "  Scale shape: one shingle explode (in-row distinct), one "
+    "first-seen agg on the uniform shingle key, one join back on the "
+    "same key — two shuffles, both skew-free; no pairwise work at all, "
+    "so it scales where pair-generation near-dup methods need banding.",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.dedup import doc_shingles
+
+    d = _docs_wide(spark, sf_dir)
+    sh = doc_shingles(d, n=3, distinct=True)
+    sh = sh.localCheckpoint(eager=False)  # first-seen agg + join-back side
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count(
+        F.when(F.col("doc_id") == F.col("first_doc"), F.lit(1))
+    )
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -262,3 +262,58 @@ def test_backtest_single_symbol_exchange(spark):
     # at most 2 hash exchanges (bar build on (symbol,bucket), window on
     # symbol, whose sort the final agg partials reuse)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_ks_drift_single_fact_agg(spark):
+    # the corpus reduces once: one hash-agg pair on (source, n_chars);
+    # the ECDF grid and pair join run on the reduced dimension frame
+    plan = _plan(spark, "ks_source_drift")
+    assert "CartesianProduct" not in plan
+    # every documents scan prunes to the two referenced columns
+    cols = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols |= {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"source", "n_chars"}
+
+
+def test_psi_boundaries_broadcast_not_recomputed(spark):
+    # the 1-row quantile-boundary frame broadcasts back to the fact scan;
+    # bucket assignment is an in-row array filter, no per-row join
+    plan = _plan(spark, "psi_price_drift")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hhi_supplier_dim_broadcast(spark):
+    plan = _plan(spark, "hhi_supplier_concentration")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation dims
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_mad_medians_broadcast_back(spark):
+    # per-symbol median/MAD frames are dimension-sized broadcasts;
+    # the fact table is never shuffled on a wide key
+    plan = _plan(spark, "mad_outlier_ticks")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangle_census_no_cartesian(spark):
+    plan = _plan(spark, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_legs_are_topk_not_global_sort(spark):
+    # both retrieval legs reduce via TakeOrderedAndProject before any
+    # single-partition rank window
+    plan = _plan(spark, "hybrid_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_shingle_novelty_two_uniform_shuffles(spark):
+    # first-seen agg + join-back, both keyed on the shingle string —
+    # no pairwise/cartesian work anywhere
+    plan = _plan(spark, "shingle_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
