@@ -456,3 +456,70 @@ def q_event_markov_transitions(
             F.col("n").cast("double") / F.sum("n").over(wprev), 6
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-distribution skew audit: Gini coefficient + head shares.
+# ---------------------------------------------------------------------------
+@register(
+    "key_skew_gini",
+    oracle="""
+WITH counts AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT cnt,
+         row_number() OVER (ORDER BY cnt, l_partkey) AS i,
+         row_number() OVER (ORDER BY cnt DESC, l_partkey) AS ri
+  FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS total_rows,
+       round((2.0 * sum(i * cnt) - (count(*) + 1) * sum(cnt))
+             / (count(*) * sum(cnt)), 6) AS gini,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS top1_share,
+       round(CAST(sum(CASE WHEN ri <= 10 THEN cnt ELSE 0 END) AS DOUBLE)
+             / sum(cnt), 6) AS top10_share
+FROM ranked
+""",
+    doc="Shuffle-key skew audit for the part key: Gini coefficient of "
+    "the per-key row-count distribution (0 = uniform, ->1 = one hot "
+    "key) plus the top-1/top-10 key shares — the numbers that decide "
+    "whether a join/agg on this key needs salting or AQE skew "
+    "handling (the diagnostic side of salted_hot_key_stats).  Scale "
+    "shape: the fact reduces ONCE to the per-key count table "
+    "(vocabulary-sized); the rank windows and the closed-form Gini "
+    "(2*sum(i*c) - (n+1)*sum(c)) / (n*sum(c)) run over that reduced "
+    "frame with exact integer sums — one double division at the end.",
+)
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, "lineitem", sf_dir)
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wasc = Window.orderBy("cnt", "l_partkey")
+    wdesc = Window.orderBy(F.col("cnt").desc(), "l_partkey")
+    ranked = counts.select(
+        "cnt",
+        F.row_number().over(wasc).alias("i"),
+        F.row_number().over(wdesc).alias("ri"),
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("cnt")
+    return ranked.agg(
+        n.cast("bigint").alias("n_keys"),
+        tot.cast("bigint").alias("total_rows"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cnt")) - (n + 1) * tot)
+            / (n * tot),
+            6,
+        ).alias("gini"),
+        F.round(F.max("cnt").cast("double") / tot, 6).alias("top1_share"),
+        F.round(
+            F.sum(
+                F.when(F.col("ri") <= 10, F.col("cnt")).otherwise(0)
+            ).cast("double")
+            / tot,
+            6,
+        ).alias("top10_share"),
+    )

@@ -699,3 +699,154 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("day").alias("trading_day"))
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding of order priority.
+# ---------------------------------------------------------------------------
+@register(
+    "loo_target_encoding",
+    oracle="""
+WITH marg AS (
+  SELECT o_orderpriority,
+         sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round(CAST(CAST(m.s - CAST(o.o_totalprice AS DECIMAL(12,2))
+                       AS DECIMAL(38,4)) AS DOUBLE)
+             / nullif(m.n - 1, 0), 6) AS loo_mean_price
+FROM orders o JOIN marg m USING (o_orderpriority)
+""",
+    doc="Leave-one-out target encoding of the order-priority category "
+    "against order value: each row's encoding is the category mean "
+    "COMPUTED WITHOUT THAT ROW ((sum - own) / (n - 1)) — the standard "
+    "leakage-safe way to feed a high-cardinality categorical to a "
+    "model.  Scale shape: category marginals come from ONE hash-agg "
+    "(map-side partial, so the 5-value category key never concentrates "
+    "rows on 5 reducers — the naive window-over-category version DOES "
+    "and is exactly the skew this avoids) and broadcast back; sums are "
+    "exact decimals per the engine's money discipline, one double "
+    "division at the end; singleton categories yield NULL via the "
+    "n-1 guard.",
+)
+def q_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.functions.exact import money
+
+    o = _t(spark, sf_dir, "orders")
+    marg = o.groupBy("o_orderpriority").agg(
+        F.sum(money("o_totalprice")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return o.join(F.broadcast(marg), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            (F.col("s") - money("o_totalprice"))
+            .cast("decimal(38,4)")
+            .cast("double")
+            / F.nullif(F.col("n") - 1, F.lit(0)),
+            6,
+        ).alias("loo_mean_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak concurrent sessions per day (sweep line, no global sort).
+# ---------------------------------------------------------------------------
+@register(
+    "peak_concurrency_daily",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id,
+         ts
+  FROM ordered
+), spans AS (
+  SELECT min(ts) AS s, max(ts) AS e
+  FROM sess GROUP BY user_id, session_id
+), deltas AS (
+  SELECT s AS ts, 1 AS delta FROM spans
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM spans
+), running AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM deltas
+)
+SELECT CAST(ts AS DATE) AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+       CAST(count(CASE WHEN delta = 1 THEN 1 END) AS BIGINT)
+         AS n_sessions_started
+FROM running
+GROUP BY 1
+""",
+    doc="Peak concurrent user sessions per day — the capacity-planning "
+    "number — via the sweep-line pattern: each 30-min-gap session "
+    "(user_sessions_batch's sessionization) emits +1 at its start and "
+    "-1 at its end; the running sum of deltas ordered by (ts, starts-"
+    "before-ends) is the live concurrency, and its per-day max is the "
+    "answer.  Sessions cross midnight, so the running sum must be "
+    "GLOBAL — but a single-partition window over all deltas would be "
+    "the classic scale trap; instead the engine reuses the sharded-"
+    "prefix pattern (stable_doc_enumeration): per-day delta totals -> "
+    "prefix offsets via a window over the #days-row frame -> broadcast "
+    "back, and each day scans only its own deltas.  The oracle is the "
+    "naive global window.  Equal (ts, delta) rows are interchangeable "
+    "under the cumsum, so the per-day max is deterministic.",
+)
+def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id", "ts", F.sum(is_new).over(run).alias("session_id")
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = spans.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.to_date("ts"))
+    # sharded prefix: per-day totals -> offsets over the #days frame
+    day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("dtot"))
+    woff = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = day_tot.select(
+        "day", F.coalesce(F.sum("dtot").over(woff), F.lit(0)).alias("off")
+    )
+    wday = Window.partitionBy("day").orderBy(
+        "ts", F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = deltas.join(F.broadcast(offsets), "day").select(
+        "day",
+        "delta",
+        (F.col("off") + F.sum("delta").over(wday)).alias("conc"),
+    )
+    return running.groupBy("day").agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.count(F.when(F.col("delta") == 1, F.lit(1)))
+        .cast("bigint")
+        .alias("n_sessions_started"),
+    )

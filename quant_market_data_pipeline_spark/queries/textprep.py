@@ -607,3 +607,68 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectors (long form).
+# ---------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing_long",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('fh|' || tok), 1, 15))::BIGINT
+           % {_FH_BUCKETS} AS bucket,
+         CASE WHEN substr(md5('fhs|' || tok), 1, 1) >= '8'
+              THEN cnt ELSE -cnt END AS signed_cnt
+  FROM vocab
+)
+SELECT doc_id, bucket,
+       CAST(sum(signed_cnt) AS BIGINT) AS weight
+FROM hashed GROUP BY 1, 2
+""",
+    doc="Hashing-trick featurization (Weinberger et al.): each token maps "
+    "to one of 64 buckets by hash, with a second hash choosing the sign "
+    "(the unbiased variant), weights = signed token counts.  Emitted in "
+    "LONG form (doc, bucket, weight) — the layout that joins, aggregates "
+    "and matrix-multiplies well in a distributed engine (and the driver "
+    "gate hashes scalar cells, not arrays).  Scale shape: per-doc vocab "
+    "rollup partial-aggregates map-side (one hash per DISTINCT token "
+    "per doc, same cut as simhash60), then one (doc, bucket) hash-agg; "
+    "no vocabulary table, no fit step — the property that makes the "
+    "trick the standard for streaming/of-core featurization.  Hashes "
+    "are the engine's seeded-md5 family, bit-identical in the oracle.",
+)
+def q_feature_hashing_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import (
+        md5_sign,
+        seeded_md5_long,
+        word_tokens,
+    )
+
+    d = _docs_wide(spark, sf_dir)
+    vocab = (
+        d.select(
+            "doc_id",
+            F.explode(word_tokens(F.lower("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hashed = vocab.select(
+        "doc_id",
+        (seeded_md5_long("fh", F.col("tok")) % _FH_BUCKETS).alias("bucket"),
+        (md5_sign("fhs", F.col("tok")) * F.col("cnt")).alias("signed_cnt"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("signed_cnt").cast("bigint").alias("weight")
+    )

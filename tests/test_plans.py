@@ -317,3 +317,27 @@ def test_shingle_novelty_two_uniform_shuffles(spark):
     plan = _plan(spark, "shingle_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_hashing_vocab_rollup_partial_agg(spark):
+    # per-doc vocab rollup partial-aggregates map-side before either
+    # exchange; no join anywhere in the plan
+    plan = _plan(spark, "feature_hashing_long")
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "Join" not in plan
+
+
+def test_loo_encoding_marginals_broadcast(spark):
+    # category marginals come from a hash-agg and broadcast back —
+    # never a window partitioned by the 5-value category key
+    plan = _plan(spark, "loo_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_peak_concurrency_no_global_sort_on_deltas(spark):
+    # the global running sum is sharded by day + offset broadcast; the
+    # only single-partition exchange handles the #days-row offset frame
+    plan = _plan(spark, "peak_concurrency_daily")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -102,6 +102,10 @@ QUERIES = [
     "hybrid_rrf_fusion",
     "shingle_novelty",
     "overnight_intraday_split",
+    "feature_hashing_long",
+    "loo_target_encoding",
+    "peak_concurrency_daily",
+    "key_skew_gini",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
