@@ -2626,3 +2626,85 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term_score), 6).alias("bm25"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup calibration: hamming distance vs exact Jaccard on the
+# candidate pairs — is the fingerprint threshold set right?
+# ---------------------------------------------------------------------------
+@register(
+    "neardup_calibration",
+    oracle=f"""
+WITH {_PLANTED_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (SELECT * FROM ({_SIMHASH60_ORACLE}) t),
+shared AS (
+  SELECT p.doc_lo, p.doc_hi, CAST(count(*) AS BIGINT) AS n_shared
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_lo
+  JOIN sh b ON b.doc_id = p.doc_hi AND b.sh = a.sh
+  GROUP BY 1, 2
+), scored AS (
+  SELECT p.hamming,
+         round(CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+               / (za.sz + zb.sz - coalesce(s.n_shared, 0)), 6) AS jac
+  FROM pairs p
+  LEFT JOIN shared s
+    ON s.doc_lo = p.doc_lo AND s.doc_hi = p.doc_hi
+  JOIN sizes za ON za.doc_id = p.doc_lo
+  JOIN sizes zb ON zb.doc_id = p.doc_hi
+)
+SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jac), 4) AS mean_jaccard,
+       round(min(jac), 6) AS min_jaccard,
+       round(CAST(count(CASE WHEN jac >= 0.8 THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS frac_jaccard_ge_08
+FROM scored GROUP BY hamming
+""",
+    doc="Fingerprint-threshold calibration: for every simhash60 candidate "
+    "pair, the EXACT 3-gram Jaccard, aggregated by hamming distance "
+    "(pair count, mean/min Jaccard, fraction >= 0.8) — the evaluation "
+    "a dedup operator runs before trusting a hamming cutoff on a new "
+    "corpus.  Scale shape: the candidate pair list is fingerprint-"
+    "bounded (tiny vs the corpus) and BROADCASTS into the shingle "
+    "joins, so exact verification costs only the candidates' shingle "
+    "rows — the standard sketch-then-verify split where the cheap "
+    "sketch bounds the expensive exact metric's input.",
+)
+def q_neardup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_simhash60(spark, sf_dir)
+    sh = _planted_shingled(spark, sf_dir).select("doc_id", "sh")
+    sh = sh.localCheckpoint(eager=False)  # sizes + both shared-join legs
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_lo"), "sh")
+    b = sh.select(F.col("doc_id").alias("doc_hi"), "sh")
+    shared = (
+        a.join(F.broadcast(pairs.select("doc_lo", "doc_hi")), "doc_lo")
+        .join(b, ["doc_hi", "sh"])
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("szb"))
+    ns = F.coalesce("n_shared", F.lit(0))
+    scored = (
+        pairs.join(shared, ["doc_lo", "doc_hi"], "left")
+        .join(za, "doc_lo")
+        .join(zb, "doc_hi")
+        .select(
+            "hamming",
+            F.round(
+                ns.cast("double") / (F.col("sza") + F.col("szb") - ns), 6
+            ).alias("jac"),
+        )
+    )
+    return scored.groupBy("hamming").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("jac"), 4).alias("mean_jaccard"),
+        F.round(F.min("jac"), 6).alias("min_jaccard"),
+        F.round(
+            F.count(F.when(F.col("jac") >= 0.8, F.lit(1))).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("frac_jaccard_ge_08"),
+    )

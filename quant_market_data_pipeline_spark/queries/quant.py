@@ -1383,3 +1383,179 @@ def q_overnight_intraday_split(
             "overnight_var_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Transaction-cost analysis: signed slippage vs the day's VWAP.
+# ---------------------------------------------------------------------------
+@register(
+    "vwap_slippage_tca",
+    oracle="""
+WITH t AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS d, value,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pv
+  FROM events WHERE value > 0
+), vwap AS (
+  SELECT symbol, d, round(sum(value * k) / sum(k), 6) AS vw
+  FROM t GROUP BY 1, 2
+), signed AS (
+  SELECT t.symbol, t.d, t.value, v.vw,
+         CASE WHEN pv IS NULL OR value = pv THEN 0
+              WHEN value > pv THEN 1 ELSE -1 END AS side
+  FROM t JOIN vwap v ON t.symbol = v.symbol AND t.d = v.d
+)
+SELECT symbol, d AS trading_day,
+       CAST(count(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS n_buys,
+       CAST(count(CASE WHEN side = -1 THEN 1 END) AS BIGINT) AS n_sells,
+       round(avg(CASE WHEN side = 1
+                      THEN (value - vw) / vw * 10000 END), 4)
+         AS buy_slip_bps,
+       round(avg(CASE WHEN side = -1
+                      THEN (vw - value) / vw * 10000 END), 4)
+         AS sell_slip_bps
+FROM signed GROUP BY 1, 2
+""",
+    doc="Transaction-cost analysis vs the day's size-weighted VWAP: ticks "
+    "classify buy/sell by the tick rule (tick_rule_imbalance's "
+    "convention), and slippage is the side-signed deviation from VWAP "
+    "in basis points (buys above VWAP cost, sells below VWAP cost) — "
+    "the execution-quality report every desk runs nightly.  Scale "
+    "shape: the VWAP table is a (symbol, day) hash-agg joined back "
+    "(dimension-sized), the tick-rule window reuses the symbol "
+    "exchange, and VWAP is rounded to 6dp BEFORE the per-tick "
+    "deviation arithmetic (filter-stage rule).",
+)
+def q_vwap_slippage_tca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    t = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("trading_day"),
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        F.lag("value")
+        .over(Window.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("pv"),
+    )
+    vwap = t.groupBy("symbol", "trading_day").agg(
+        F.round(F.sum(F.col("value") * F.col("k")) / F.sum("k"), 6).alias(
+            "vw"
+        )
+    )
+    side = (
+        F.when(F.col("pv").isNull() | (F.col("value") == F.col("pv")), 0)
+        .when(F.col("value") > F.col("pv"), 1)
+        .otherwise(-1)
+    )
+    signed = t.join(vwap, ["symbol", "trading_day"]).select(
+        "symbol", "trading_day", "value", "vw", side.alias("side")
+    )
+    return signed.groupBy("symbol", "trading_day").agg(
+        F.count(F.when(F.col("side") == 1, F.lit(1)))
+        .cast("bigint")
+        .alias("n_buys"),
+        F.count(F.when(F.col("side") == -1, F.lit(1)))
+        .cast("bigint")
+        .alias("n_sells"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("side") == 1,
+                    (F.col("value") - F.col("vw")) / F.col("vw") * 10000,
+                )
+            ),
+            4,
+        ).alias("buy_slip_bps"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("side") == -1,
+                    (F.col("vw") - F.col("value")) / F.col("vw") * 10000,
+                )
+            ),
+            4,
+        ).alias("sell_slip_bps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Longest underwater streak (gaps-and-islands over the drawdown state).
+# ---------------------------------------------------------------------------
+@register(
+    "underwater_streaks",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), state AS (
+  SELECT symbol, day, close,
+         max(close) OVER (PARTITION BY symbol ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS peak
+  FROM daily
+), islands AS (
+  SELECT symbol, day, close < peak AS under,
+         CAST(sum(CASE WHEN close < peak THEN 0 ELSE 1 END)
+              OVER (PARTITION BY symbol ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM state
+), runs AS (
+  SELECT symbol, island, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands WHERE under GROUP BY 1, 2
+)
+SELECT i.symbol,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(count(CASE WHEN i.under THEN 1 END) AS BIGINT)
+         AS n_underwater_days,
+       CAST(coalesce(max(r.run_len), 0) AS BIGINT)
+         AS longest_underwater_run
+FROM islands i
+LEFT JOIN runs r ON r.symbol = i.symbol AND r.island = i.island
+GROUP BY 1
+""",
+    doc="Longest underwater streak per symbol: consecutive days below "
+    "the running close peak — drawdown DURATION, the recovery-time "
+    "complement to max_drawdown's depth.  The streaks come from the "
+    "gaps-and-islands pattern: a running count of at-peak days is "
+    "constant exactly while the symbol stays underwater, so it is the "
+    "island id; one groupBy gives run lengths.  All three windows and "
+    "both aggregations reuse ONE symbol-keyed exchange over day-count-"
+    "sized partitions.",
+)
+def q_underwater_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = _events(spark, sf_dir).filter(F.col("value") > 0)
+    daily = ticks.groupBy(
+        F.col("event_type").alias("symbol"), F.to_date("ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    wrun = Window.partitionBy("symbol").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    state = daily.select(
+        "symbol", "day", "close", F.max("close").over(wrun).alias("peak")
+    )
+    under = F.col("close") < F.col("peak")
+    # cumsum-anchor streak length: cu counts underwater days so far;
+    # anchor remembers cu at the last at-peak day; their difference is
+    # the CURRENT streak length — no island ids, no join-back, and the
+    # whole computation stays inside the one symbol-keyed window
+    # exchange (the gaps-and-islands groupBy form costs 2 more)
+    cumu = state.select(
+        "symbol",
+        "day",
+        under.alias("under"),
+        F.sum(F.when(under, 1).otherwise(0)).over(wrun).alias("cu"),
+    )
+    anchor = F.max(
+        F.when(F.col("under"), 0).otherwise(F.col("cu"))
+    ).over(wrun)
+    streaks = cumu.select(
+        "symbol", "under", (F.col("cu") - anchor).alias("streak")
+    )
+    return streaks.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.count(F.when(F.col("under"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_underwater_days"),
+        F.max("streak").cast("bigint").alias("longest_underwater_run"),
+    )

@@ -341,3 +341,28 @@ def test_peak_concurrency_no_global_sort_on_deltas(spark):
     plan = _plan(spark, "peak_concurrency_daily")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tca_single_tick_rule_window(spark):
+    # one symbol-keyed window classifies ticks; the VWAP table is a
+    # (symbol, day) aggregate joined back — never a second tick scan
+    # shuffle beyond the agg + window exchanges
+    plan = _plan(spark, "vwap_slippage_tca")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_underwater_streaks_single_symbol_exchange(spark):
+    # daily agg, peak window, island window, run agg and the final agg
+    # all reuse the symbol partitioning: at most 2 hash exchanges
+    plan = _plan(spark, "underwater_streaks")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_calibration_pairs_broadcast_into_shingle_join(spark):
+    # the fingerprint-bounded candidate list broadcasts; exact Jaccard
+    # work is bounded by candidate shingle rows, not corpus pairs
+    plan = _plan(spark, "neardup_calibration")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -106,6 +106,9 @@ QUERIES = [
     "loo_target_encoding",
     "peak_concurrency_daily",
     "key_skew_gini",
+    "vwap_slippage_tca",
+    "underwater_streaks",
+    "neardup_calibration",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
