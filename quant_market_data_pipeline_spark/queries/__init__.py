@@ -123,6 +123,17 @@ _PRIORITY = [
     #  room after the never-checked set; this round the 50 slots are all
     #  new/changed queries — every headliner already carries a cumulative
     #  green driver verdict from r1-r3, so dropping out is safe)
+    #
+    # ROUND-5 ROTATION NOTE: the 16 round-4c queries registered after
+    # this window was frozen (drift.py: ks_source_drift psi_price_drift
+    # hhi_supplier_concentration mad_outlier_ticks
+    # event_markov_transitions key_skew_gini; graph.py:
+    # copurchase_triangles; textprep.py: hybrid_rrf_fusion
+    # shingle_novelty feature_hashing_long; pipeline_ops.py:
+    # loo_target_encoding peak_concurrency_daily; quant.py:
+    # overnight_intraday_split vwap_slippage_tca underwater_streaks;
+    # llm.py: neardup_calibration) are locally strict-green at both SFs
+    # (CORRECTNESS_LOCAL_*.json) and should head the r5 window.
 ]
 
 
