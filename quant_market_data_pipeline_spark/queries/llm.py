@@ -2708,3 +2708,63 @@ def q_neardup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("frac_jaccard_ge_08"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID classifier evaluation: confusion matrix vs gold labels.
+# ---------------------------------------------------------------------------
+@register(
+    "langid_confusion",
+    oracle=f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {_lex_sql('en')},
+         {_lex_sql('de')},
+         {_lex_sql('es')},
+         {_lex_sql('fr')},
+         {_lex_sql('zh')}
+  FROM documents
+), pred AS (
+  SELECT lang AS true_lang,
+         CASE
+           WHEN hits_en >= hits_de AND hits_en >= hits_es
+                AND hits_en >= hits_fr AND hits_en >= hits_zh THEN 'en'
+           WHEN hits_de >= hits_es AND hits_de >= hits_fr
+                AND hits_de >= hits_zh THEN 'de'
+           WHEN hits_es >= hits_fr AND hits_es >= hits_zh THEN 'es'
+           WHEN hits_fr >= hits_zh THEN 'fr'
+           ELSE 'zh'
+         END AS pred_lang
+  FROM hits
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY true_lang), 4) AS recall_frac
+FROM pred GROUP BY 1, 2
+""",
+    doc="Classifier-evaluation layer: confusion matrix of the stopword "
+    "lang_id_heuristic against the corpus's gold labels, with per-true-"
+    "class recall fractions — the quality report that gates whether a "
+    "cheap heuristic can replace a model in the ingest path.  Scale "
+    "shape: the per-doc prediction is the same broadcast-lexicon scan "
+    "as lang_id_heuristic; the matrix is a #langs^2 hash-agg and the "
+    "recall normalization a window over that tiny frame.",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    pred = q_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    cm = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    wt = W.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wt), 4
+        ).alias("recall_frac"),
+    )

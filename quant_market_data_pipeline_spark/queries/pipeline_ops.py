@@ -850,3 +850,89 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_sessions_started"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: most common 3-step event paths.
+# ---------------------------------------------------------------------------
+@register(
+    "session_path_topk",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM ordered
+), seqs AS (
+  SELECT user_id, session_id,
+         array_agg(event_type ORDER BY ts, event_id) AS steps
+  FROM sess GROUP BY 1, 2
+), paths AS (
+  SELECT unnest([array_to_string(steps[i:i+2], '>')
+                 for i in generate_series(1, len(steps) - 2)]) AS path
+  FROM seqs
+), counts AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths GROUP BY 1
+)
+SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rank
+FROM (SELECT * FROM counts ORDER BY n DESC, path LIMIT 20)
+""",
+    doc="Behavioral path mining: the 20 most common 3-step event-type "
+    "paths across 30-minute sessions — what UX/growth teams pull to "
+    "see how users actually traverse the product.  Scale shape: "
+    "sessionization + the per-session step array reuse ONE user_id "
+    "exchange; 3-gram path extraction is the in-row shingle transform "
+    "(word_shingles' guarded sequence form); the path rollup shuffles "
+    "#distinct-paths rows and top-20 plans as TakeOrderedAndProject — "
+    "no global sort; the rank window runs on the 20-row result.",
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum(is_new).over(run).alias("session_id"),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("steps")
+    )
+    n = F.size("steps")
+    grams = F.when(
+        n - 2 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(">", F.slice("steps", i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        seqs.select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "path").limit(20)
+    wr = Window.orderBy(F.col("n").desc(), "path")
+    return top.withColumn("rank", F.row_number().over(wr))

@@ -1559,3 +1559,64 @@ def q_underwater_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_underwater_days"),
         F.max("streak").cast("bigint").alias("longest_underwater_run"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs seasonal-naive MAPE per symbol.
+# ---------------------------------------------------------------------------
+@register(
+    "forecast_backtest_mape",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), f AS (
+  SELECT symbol, close,
+         lag(close, 1) OVER w AS naive,
+         lag(close, 5) OVER w AS snaive
+  FROM daily WINDOW w AS (PARTITION BY symbol ORDER BY day)
+)
+SELECT symbol,
+       CAST(count(naive) AS BIGINT) AS n_naive,
+       round(avg(abs(close - naive) / close), 6) AS mape_naive,
+       CAST(count(snaive) AS BIGINT) AS n_snaive,
+       round(avg(abs(close - snaive) / close), 6) AS mape_snaive,
+       round(avg(abs(close - naive) / close), 6)
+         <= round(avg(abs(close - snaive) / close), 6) AS naive_wins
+FROM f GROUP BY 1
+""",
+    doc="Forecast-evaluation layer: walk-forward backtest of the two "
+    "standard baselines every forecasting project must beat — naive "
+    "(yesterday's close) and seasonal-naive (5 trading days back) — "
+    "reporting per-symbol MAPE and which baseline wins (MAPEs rounded "
+    "6dp BEFORE the comparison, filter-stage rule).  The lag forecasts "
+    "are leakage-free by construction.  Scale shape: one (symbol, day) "
+    "hash-agg reduces the ticks, both LAG columns share one symbol "
+    "window exchange, and the final agg reuses its partitioning.",
+)
+def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ticks = _events(spark, sf_dir).filter(F.col("value") > 0)
+    daily = ticks.groupBy(
+        F.col("event_type").alias("symbol"), F.to_date("ts").alias("day")
+    ).agg(F.max_by("value", "ts").alias("close"))
+    w = Window.partitionBy("symbol").orderBy("day")
+    f = daily.select(
+        "symbol",
+        "close",
+        F.lag("close", 1).over(w).alias("naive"),
+        F.lag("close", 5).over(w).alias("snaive"),
+    )
+    mape_n = F.round(
+        F.avg(F.abs(F.col("close") - F.col("naive")) / F.col("close")), 6
+    )
+    mape_s = F.round(
+        F.avg(F.abs(F.col("close") - F.col("snaive")) / F.col("close")), 6
+    )
+    return f.groupBy("symbol").agg(
+        F.count("naive").cast("bigint").alias("n_naive"),
+        mape_n.alias("mape_naive"),
+        F.count("snaive").cast("bigint").alias("n_snaive"),
+        mape_s.alias("mape_snaive"),
+        (mape_n <= mape_s).alias("naive_wins"),
+    )

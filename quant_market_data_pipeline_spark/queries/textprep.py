@@ -672,3 +672,86 @@ def q_feature_hashing_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed.groupBy("doc_id", "bucket").agg(
         F.sum("signed_cnt").cast("bigint").alias("weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization feasibility report.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_quant_report",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         (SELECT max(abs(x)) FROM unnest(embedding::DOUBLE[]) AS t(x))
+           AS maxabs
+  FROM embeddings
+), quant AS (
+  SELECT vec_id, label, v, maxabs,
+         list_transform(v, x -> floor(x / maxabs * 127 + 0.5)
+                               * maxabs / 127) AS vq
+  FROM vecs WHERE maxabs > 0
+), err AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(
+                 list_zip(v, vq), p -> (p[1] - p[2]) * (p[1] - p[2]))))
+               / nullif(sqrt(list_sum(list_transform(v, x -> x * x))),
+                        0.0), 6) AS rel_l2,
+         round(list_dot_product(v, vq)
+               / nullif(sqrt(list_dot_product(v, v))
+                        * sqrt(list_dot_product(vq, vq)), 0.0), 6)
+           AS cos_pres
+  FROM quant
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(rel_l2), 4) AS mean_rel_l2,
+       round(avg(cos_pres), 4) AS mean_cos,
+       round(min(cos_pres), 6) AS min_cos
+FROM err GROUP BY label
+""",
+    doc="Vector-compression feasibility report: symmetric per-vector int8 "
+    "quantization (scale = maxabs/127, round-half-up via floor(x+0.5) "
+    "so both engines tie-break identically — never the engines' "
+    "native round, which is HALF_UP in Spark and half-even in DuckDB), "
+    "then the relative L2 reconstruction error and cosine preservation "
+    "per label — the go/no-go audit before an ANN index drops to int8 "
+    "(4x memory cut).  Scale shape: everything is in-row array math "
+    "until the #labels-row aggregate; zero joins, zero extra shuffles.",
+)
+def q_embedding_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embeddings(spark, sf_dir).select(
+        "label", as_double(F.col("embedding")).alias("v")
+    )
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    vecs = emb.select("label", "v", maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    vq = F.transform(
+        F.col("v"),
+        lambda x: F.floor(x / F.col("maxabs") * 127 + 0.5)
+        * F.col("maxabs")
+        / 127,
+    )
+    quant = vecs.select("label", "v", vq.alias("vq"))
+    sq_err = F.aggregate(
+        F.zip_with(F.col("v"), F.col("vq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sq_v = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    err = quant.select(
+        "label",
+        F.round(
+            F.sqrt(sq_err) / F.nullif(F.sqrt(sq_v), F.lit(0.0)), 6
+        ).alias("rel_l2"),
+        F.round(cosine(F.col("v"), F.col("vq")), 6).alias("cos_pres"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("rel_l2"), 4).alias("mean_rel_l2"),
+        F.round(F.avg("cos_pres"), 4).alias("mean_cos"),
+        F.round(F.min("cos_pres"), 6).alias("min_cos"),
+    )

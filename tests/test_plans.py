@@ -366,3 +366,25 @@ def test_calibration_pairs_broadcast_into_shingle_join(spark):
     plan = _plan(spark, "neardup_calibration")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_one_user_exchange_then_topk(spark):
+    # sessionization + step arrays reuse one user exchange; top-20 is
+    # TakeOrderedAndProject, never a global sort of all paths
+    plan = _plan(spark, "session_path_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quant_report_no_joins_in_row_math(spark):
+    # quantization + error math is all in-row array arithmetic: the only
+    # shuffle is the #labels-row aggregate
+    plan = _plan(spark, "embedding_quant_report")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_forecast_backtest_single_symbol_exchange(spark):
+    plan = _plan(spark, "forecast_backtest_mape")
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2

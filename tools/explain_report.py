@@ -109,6 +109,10 @@ QUERIES = [
     "vwap_slippage_tca",
     "underwater_streaks",
     "neardup_calibration",
+    "langid_confusion",
+    "forecast_backtest_mape",
+    "embedding_quant_report",
+    "session_path_topk",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
