@@ -286,3 +286,50 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lake schema evolution, end to end: old readers' files + new columns.
+# ---------------------------------------------------------------------------
+_EVO_SCRATCH = Path(__file__).resolve().parents[2] / ".schema_evo"
+
+
+@register(
+    "schema_evolution_scan_e2e",
+    oracle="""
+SELECT CASE WHEN event_id % 2 = 1 THEN 'v2' END AS source_feed,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events GROUP BY 1
+""",
+    doc="Driver gate for lake schema evolution: half the events land as "
+    "v1 files (event_id, ts, value), the other half as v2 files with "
+    "an added source_feed column; one mergeSchema read reconciles the "
+    "directory — v1 rows surface with NULL source_feed, no rewrite of "
+    "old files, which is the only affordable evolution policy at "
+    "100 TB (a backfill rewrite of petabytes per added column is not). "
+    " The oracle derives the same split from event parity on the flat "
+    "table.  Footer-schema merging costs one metadata pass at plan "
+    "time; row data is read once.",
+)
+def q_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "value"
+    )
+    base = _EVO_SCRATCH / Path(sf_dir.rstrip("/")).name
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "events_lake")
+    v1 = ev.filter(F.col("event_id") % 2 == 0)
+    v2 = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "source_feed", F.lit("v2")
+    )
+    v1.write.mode("append").parquet(lake)
+    v2.write.mode("append").parquet(lake)
+    merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    return merged.groupBy("source_feed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )

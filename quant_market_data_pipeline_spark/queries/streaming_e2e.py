@@ -290,3 +290,104 @@ def q_stream_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_value", 6).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming rolling z-score, end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_zscore_e2e",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT symbol, bar_ts, close,
+         avg(close) OVER win AS m,
+         stddev_samp(close) OVER win AS sd,
+         count(*) OVER win AS n
+  FROM bars
+  WINDOW win AS (PARTITION BY symbol ORDER BY bar_ts
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, close,
+       round(CASE WHEN n >= 30 AND sd > 0
+                  THEN (close - m) / sd END, 6) AS z_score
+FROM w
+""",
+    doc="Driver gate for the stateful streaming z-score "
+    "(streaming/stateful.py rolling_zscore_stream): the materialized "
+    "5-min close series streams through the applyInPandasWithState "
+    "ring-buffer operator (trailing 60 bars, min-periods 30, ddof=1) "
+    "under availableNow and the emitted series hash-checks against the "
+    "batch trailing-window SQL — the flagship W1-W5 semantics, "
+    "produced by O(window) state per key instead of a window exchange. "
+    " The drain is a single micro-batch (no file cap), so per-key "
+    "event-time order — which the trailing window depends on — is "
+    "guaranteed by the operator's in-batch sort; multi-batch state "
+    "carry-over is pinned separately in tests/test_stateful_streaming.",
+)
+def q_stream_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        rolling_zscore_stream,
+    )
+
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir)
+    bars = build_bars(
+        ticks,
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="5 minutes",
+        tiebreak="event_id",
+    ).select(
+        F.col("event_type").alias("symbol"), "bar_ts", "close"
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_zscore")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    bars.repartition(4).write.parquet(landing)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("bar_ts", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+        ]
+    )
+    stream = read_tick_stream(spark, landing, schema=schema, fmt="parquet")
+    z = rolling_zscore_stream(
+        stream,
+        window_bars=60,
+        min_periods=30,
+        key="symbol",
+        ts="bar_ts",
+        value="close",
+    )
+    query = (
+        z.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        F.col("pair_name").alias("symbol"),
+        F.col("timestamp").alias("bar_ts"),
+        F.col("spread").alias("close"),
+        F.round("z_score", 6).alias("z_score"),
+    )
