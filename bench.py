@@ -63,6 +63,10 @@ DOCSCALE = [
     "ann_lsh_topk",
     "ann_lsh_mt_topk",
     "ann_ivf_topk",
+    # round-4c doc ops with linear scale paths — probed at x16 so their
+    # cost moves with corpus volume, not fixture overhead
+    "shingle_novelty",
+    "feature_hashing_long",
 ]
 
 

@@ -560,20 +560,22 @@ _attach_rrf_oracle()
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
 ), sh AS (
-  SELECT DISTINCT doc_id, sh FROM (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5('nov|' || sh), 1, 15))::BIGINT AS h
+  FROM (
     SELECT doc_id,
            unnest([array_to_string(tokens[i:i+2], ' ')
                    for i in generate_series(1, len(tokens) - 2)]) AS sh
     FROM toks)
 ), first_seen AS (
-  SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh
+  SELECT h, min(doc_id) AS first_doc FROM sh GROUP BY h
 )
 SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(count(CASE WHEN s.doc_id = f.first_doc THEN 1 END) AS BIGINT)
          AS n_novel,
        round(CAST(count(CASE WHEN s.doc_id = f.first_doc THEN 1 END)
                   AS DOUBLE) / count(*), 6) AS novelty_rate
-FROM sh s JOIN first_seen f ON s.sh = f.sh
+FROM sh s JOIN first_seen f ON s.h = f.h
 GROUP BY s.doc_id
 """,
     doc="Per-document novelty score: the fraction of a doc's distinct "
@@ -589,15 +591,26 @@ GROUP BY s.doc_id
 def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.dedup import doc_shingles
 
+    from quant_market_data_pipeline_spark.llm.hashing import seeded_md5_long
+
     d = _docs_wide(spark, sf_dir)
-    sh = doc_shingles(d, n=3, distinct=True)
+    # hash each shingle to its 60-bit seeded-md5 long BEFORE the shuffles:
+    # the checkpointed frame, both shuffle keys and the join comparison
+    # carry 8-byte longs instead of ~30-byte strings (measured: the
+    # string form's executor-store pressure made x16 wall swing 6-30 s;
+    # the hashed form is stable).  md5 is bit-identical in the oracle,
+    # so any (astronomically rare) collision merges the same shingles
+    # on both engines — the comparison cannot diverge.
+    sh = doc_shingles(d, n=3, distinct=True).select(
+        "doc_id", seeded_md5_long("nov", F.col("sh")).alias("h")
+    )
     sh = sh.localCheckpoint(eager=False)  # first-seen agg + join-back side
-    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = F.count(
         F.when(F.col("doc_id") == F.col("first_doc"), F.lit(1))
     )
     return (
-        sh.join(first, "sh")
+        sh.join(first, "h")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),

@@ -113,6 +113,8 @@ QUERIES = [
     "forecast_backtest_mape",
     "embedding_quant_report",
     "session_path_topk",
+    "schema_evolution_scan_e2e",
+    "stream_zscore_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
