@@ -25,6 +25,7 @@ from quant_market_data_pipeline_spark.llm.hashing import (
     band_hash,
     minhash_base,
     minhash_mixed_agg_exprs,
+    seeded_md5_long,
     simhash_bit_sums,
     simhash_from_sums,
     word_shingles,
@@ -193,6 +194,17 @@ def jaccard_pairs(
     exact for every surviving pair, slightly under-counted only by the
     dropped shingles' intersections.
     """
+    # Hash each shingle to its 60-bit seeded-md5 long up front: the
+    # materialized index, the DF-cut aggregate and both self-join sides
+    # then carry 8-byte longs instead of ~30-byte strings (same stability
+    # /shuffle-width win as shingle_novelty; the md5 family is oracle-
+    # reproducible, and at fixture scale the strict gate proves the
+    # hashed intersections equal the string intersections — collisions
+    # are ~|vocab|^2/2^61).
+    cols = [F.col(id_col), seeded_md5_long("jac", F.col("sh")).alias("sh")]
+    if block_col:
+        cols.insert(1, F.col(block_col))
+    shingled = shingled.select(*cols)
     # Materialize the shingle set once: it feeds the size aggregate, the
     # optional DF cut, and BOTH sides of the inverted-index self-join —
     # without this the tokenize+shingle+distinct pipeline runs up to four

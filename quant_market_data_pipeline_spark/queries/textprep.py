@@ -173,7 +173,13 @@ WHERE round(n_shared / least(sa.sz, sb.sz), 6) >= 0.6
     "the case containment catches and Jaccard misses.",
 )
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _planted_shingled(spark, sf_dir)
+    from quant_market_data_pipeline_spark.llm.hashing import seeded_md5_long
+
+    # 60-bit hashed shingle keys (jaccard_pairs' convention): the
+    # checkpointed index and both join sides carry longs, not strings
+    sh = _planted_shingled(spark, sf_dir).select(
+        "doc_id", "source", seeded_md5_long("cont", F.col("sh")).alias("sh")
+    )
     sh = sh.localCheckpoint(eager=False)  # both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(
