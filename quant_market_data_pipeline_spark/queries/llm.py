@@ -1857,11 +1857,16 @@ GROUP BY 1
 )
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # hashed shingle keys (jaccard_pairs' convention): the distinct and
+    # the semi join shuffle 8-byte longs, not 3-gram strings
     sh = (
         d.select(
             "doc_id",
             "source",
-            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+            F.explode(word_shingles(word_tokens("text"))).alias("__s"),
+        )
+        .select(
+            "doc_id", "source", seeded_md5_long("dec", F.col("__s")).alias("sh")
         )
         .distinct()
     )
@@ -1922,11 +1927,13 @@ JOIN sizes sb ON sb.source = source_b
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # hashed shingle keys: distinct + self-join shuffle longs, not strings
     sh = (
         d.select(
             "source",
-            F.explode(word_shingles(word_tokens("text"))).alias("sh"),
+            F.explode(word_shingles(word_tokens("text"))).alias("__s"),
         )
+        .select("source", seeded_md5_long("ovl", F.col("__s")).alias("sh"))
         .distinct()
         # index-build convention (PLANS.md): both self-join sides and the
         # size aggregate reference this tokenize+distinct build
