@@ -333,3 +333,85 @@ def q_schema_evolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("bigint").alias("min_id"),
         F.max("event_id").cast("bigint").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction, end to end: data is byte-identical, files shrink.
+# ---------------------------------------------------------------------------
+_COMPACT_SCRATCH = Path(__file__).resolve().parents[2] / ".compact_e2e"
+
+
+@register(
+    "compaction_e2e",
+    oracle="""
+SELECT CAST(ts AS DATE) AS trading_date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id,
+       TRUE AS files_reduced
+FROM events GROUP BY 1
+""",
+    doc="Driver gate for lake-maintenance compaction "
+    "(sources/sink.py:compact_partitions): the tick lake lands "
+    "deliberately fragmented (16 shuffled files per day partition — the "
+    "shape streaming sinks accrete), compaction rewrites each day to "
+    "ONE file via the same dynamic partition overwrite the writers use, "
+    "and the gate checks BOTH properties: per-day data is unchanged "
+    "(count/min/max vs the flat-table oracle) and every partition's "
+    "file count actually dropped (files_reduced, asserted per day from "
+    "the directory listing).  Small-file debt is the silent scan tax "
+    "at 100 TB — per-file open/footer costs dominate once partitions "
+    "fragment into thousands of files.",
+)
+def q_compaction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from quant_market_data_pipeline_spark.sources.sink import (
+        compact_partitions,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", F.to_date("ts").alias("trading_date")
+    )
+    base = _COMPACT_SCRATCH / Path(sf_dir.rstrip("/")).name
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "ticks")
+    ev.repartition(16).write.partitionBy("trading_date").parquet(lake)
+
+    def _files_per_day() -> dict[str, int]:
+        out = {}
+        for d in os.listdir(lake):
+            if d.startswith("trading_date="):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(os.path.join(lake, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = _files_per_day()
+    compact_partitions(
+        spark, lake, partition_col="trading_date", files_per_partition=1
+    )
+    after = _files_per_day()
+    reduced = {
+        d.split("=", 1)[1]: after[d] < before[d] for d in before
+    }
+    reduced_df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(reduced.items())],
+        "trading_date string, files_reduced boolean",
+    ).select(
+        F.col("trading_date").cast("date").alias("trading_date"),
+        "files_reduced",
+    )
+    return (
+        spark.read.parquet(lake)
+        .groupBy("trading_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("event_id").cast("bigint").alias("min_id"),
+            F.max("event_id").cast("bigint").alias("max_id"),
+        )
+        .join(F.broadcast(reduced_df), "trading_date")
+    )
