@@ -115,6 +115,7 @@ QUERIES = [
     "session_path_topk",
     "schema_evolution_scan_e2e",
     "stream_zscore_e2e",
+    "compaction_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
