@@ -48,6 +48,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ts_cols:
+        if c not in df.columns:  # column-subset fixtures are legitimate
+            continue
         dtype = df.schema[c].dataType
         if isinstance(dtype, T.LongType):
             # INT64 TIMESTAMP(NANOS) read raw: truncate to micros.

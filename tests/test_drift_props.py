@@ -1,0 +1,184 @@
+"""Property pins for the round-4c drift/graph/dedup additions.
+
+Each test builds a tiny synthetic fixture dir (same parquet layout as
+the driver testdata) where the statistic's value is known in closed
+form, then runs the REGISTERED query against it — exercising the real
+plan, not a reimplementation.  The class-collapse test additionally
+pins that banded pair generation over distinct fingerprints equals the
+exhaustive all-pairs answer (losslessness + collapse correctness in
+one assertion).
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries import load_all
+
+_SCRATCH = Path(__file__).resolve().parent / ".drift_props"
+
+
+def _fixture_dir(spark, name: str, tables: dict) -> str:
+    """Write {table: (rows, schema)} as <scratch>/<name>/<table>.parquet."""
+    base = _SCRATCH / name
+    shutil.rmtree(base, ignore_errors=True)
+    for table, (rows, schema) in tables.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(base / f"{table}.parquet")
+        )
+    return str(base)
+
+
+def test_ks_zero_on_identical_sources(spark):
+    # two sources with IDENTICAL length multisets: D must be exactly 0
+    rows = []
+    for i, n in enumerate([100, 200, 200, 300, 550]):
+        rows.append((i, "x", "en", "sa", n))
+        rows.append((100 + i, "x", "en", "sb", n))
+    d = _fixture_dir(
+        spark,
+        "ks0",
+        {"documents": (rows, "doc_id long, text string, lang string, source string, n_chars long")},
+    )
+    out = load_all()["ks_source_drift"].spark(spark, d).collect()
+    assert len(out) == 1
+    assert out[0]["ks_stat"] == 0.0
+    assert out[0]["drifted"] is False
+
+
+def test_psi_zero_on_identical_periods(spark):
+    # identical price multisets in both halves of the date span -> PSI 0
+    import datetime as dt
+
+    prices = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0, 100.0]
+    rows = []
+    for i, p in enumerate(prices):
+        rows.append((i, p, dt.datetime(2024, 1, 1)))
+        rows.append((100 + i, p, dt.datetime(2024, 1, 11)))
+    d = _fixture_dir(
+        spark,
+        "psi0",
+        {"orders": (rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp")},
+    )
+    out = load_all()["psi_price_drift"].spark(spark, d).collect()
+    assert all(r["psi_term"] == 0.0 for r in out)
+    assert all(r["psi_total"] == 0.0 for r in out)
+
+
+def test_gini_zero_on_uniform_keys(spark):
+    rows = [(k,) for k in range(10) for _ in range(5)]
+    d = _fixture_dir(
+        spark, "gini0", {"lineitem": (rows, "l_partkey long")}
+    )
+    out = load_all()["key_skew_gini"].spark(spark, d).collect()[0]
+    assert out["gini"] == 0.0
+    assert out["top1_share"] == 0.1
+    assert out["top10_share"] == 1.0
+
+
+def test_underwater_streak_known_series(spark):
+    import datetime as dt
+
+    closes = [10.0, 9.0, 8.0, 11.0, 10.0, 12.0]
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i, 12), "SYM", c)
+        for i, c in enumerate(closes)
+    ]
+    d = _fixture_dir(
+        spark,
+        "streaks",
+        {"events": (rows, "event_id long, ts timestamp, event_type string, value double")},
+    )
+    out = load_all()["underwater_streaks"].spark(spark, d).collect()[0]
+    # peaks [10,10,10,11,11,12] -> under [F,T,T,F,T,F]
+    assert out["n_days"] == 6
+    assert out["n_underwater_days"] == 3
+    assert out["longest_underwater_run"] == 2
+
+
+def test_peak_concurrency_midnight_carryover(spark):
+    import datetime as dt
+
+    # user 7's session spans midnight: its +1 lands on day 1 and its -1
+    # on day 2, so day 2's correct peak NEEDS the cross-day offset
+    rows = [
+        # day-1 sessions: A 10:00-10:05, B 10:02-10:06 -> peak 2... but C
+        # opens 23:50, so day-1 peak is 2 (A+B overlap; C alone later)
+        (1, dt.datetime(2024, 1, 1, 10, 0), 1, 1.0),
+        (2, dt.datetime(2024, 1, 1, 10, 5), 1, 1.0),
+        (3, dt.datetime(2024, 1, 1, 10, 2), 2, 1.0),
+        (4, dt.datetime(2024, 1, 1, 10, 6), 2, 1.0),
+        # C: 23:50 -> 00:10 next day (10-min gaps keep one session)
+        (5, dt.datetime(2024, 1, 1, 23, 50), 7, 1.0),
+        (6, dt.datetime(2024, 1, 2, 0, 10), 7, 1.0),
+        # D: 00:05-00:07 on day 2, overlapping C's tail -> day-2 peak 2
+        (7, dt.datetime(2024, 1, 2, 0, 5), 8, 1.0),
+        (8, dt.datetime(2024, 1, 2, 0, 7), 8, 1.0),
+    ]
+    d = _fixture_dir(
+        spark,
+        "conc",
+        {"events": (rows, "event_id long, ts timestamp, user_id long, value double")},
+    )
+    out = {
+        str(r["day"]): r
+        for r in load_all()["peak_concurrency_daily"].spark(spark, d).collect()
+    }
+    assert out["2024-01-01"]["peak_concurrency"] == 2
+    assert out["2024-01-01"]["n_sessions_started"] == 3
+    # C is still open when D starts: without the day-offset broadcast the
+    # day-2 running sum would start at 0 and report peak 1
+    assert out["2024-01-02"]["peak_concurrency"] == 2
+    assert out["2024-01-02"]["n_sessions_started"] == 1
+
+
+def test_simhash60_class_collapse_equals_exhaustive(spark):
+    """Banding over distinct fingerprints == exhaustive all-pairs at
+    hamming <= 3 (losslessness by pigeonhole + collapse correctness),
+    on a replica-heavy corpus."""
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        simhash60_fingerprints,
+        simhash60_neardup_pairs,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight nine ten",
+        "completely different content with other words entirely here now",
+    ]
+    rows = []
+    i = 0
+    for t in texts:
+        for _ in range(4):  # 4 exact replicas each
+            rows.append((i, t))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = simhash60_fingerprints(docs)
+    got = {
+        (r["doc_lo"], r["doc_hi"], r["hamming"])
+        for r in simhash60_neardup_pairs(fp, max_hamming=3).collect()
+    }
+    fps = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want
+    assert len(want) >= len(texts) * 6  # every replica clique survives
+
+
+def test_markov_rows_are_distributions(spark):
+    out = (
+        load_all()["event_markov_transitions"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .groupBy("prev_type")
+        .agg(F.sum("prob").alias("s"))
+        .collect()
+    )
+    assert out and all(abs(r["s"] - 1.0) < 1e-4 for r in out)
