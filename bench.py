@@ -45,6 +45,12 @@ HEADLINE = [
     # its 16-bit blocking is lossy AND loose (301k candidates vs 2.4k
     # at sf0.1; PLANS.md) — and is deliberately NOT benched.
     "simhash60_neardup_pairs",
+    # round-4c additions whose cost scales with the fact tables: the
+    # pairwise-ECDF drift audit, the sweep-line concurrency rollup and
+    # the tick-rule TCA report (two tick scans + dimension joins)
+    "ks_source_drift",
+    "peak_concurrency_daily",
+    "vwap_slippage_tca",
 ]
 
 # Document/embedding fixtures are <1 MiB even at sf0.1, so headline doc

@@ -217,6 +217,21 @@ Jaccard's set representation (per-doc set == row-local dedup), and
 MinHash consumers — indifferent to multiplicity (min over set == min
 over multiset) — now hash each distinct shingle once per doc.
 
+## Hashed shingle keys (round 4c)
+
+Every shingle-keyed shuffle now projects the shingle string to its
+60-bit seeded-md5 long FIRST: shingle_novelty, the Jaccard
+inverted-index family (jaccard_pairs + containment), decontamination's
+semi join and the source-overlap self-join.  The materialized index,
+the distinct/DF-cut aggregates and the join comparisons then carry
+8-byte longs instead of ~30-byte strings — measured on shingle_novelty
+at the x16 replica probe, the string form's executor-store pressure
+made wall time swing 6-30 s run to run; the hashed form is stable ~6 s.
+md5 is bit-identical in DuckDB, so the strict gates prove the hashed
+intersections equal the string intersections at fixture scale
+(collisions are ~|vocab|^2/2^61 and would merge the same shingles on
+both engines).
+
 ## Class collapse before banding (round 4c)
 
 `lsh_candidate_pairs` and `simhash60_neardup_pairs` now band the
