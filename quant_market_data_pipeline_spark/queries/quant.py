@@ -1620,3 +1620,84 @@ def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         mape_s.alias("mape_snaive"),
         (mape_n <= mape_s).alias("naive_wins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Position keeping + mark-to-market PnL from tick-rule-signed fills.
+# ---------------------------------------------------------------------------
+@register(
+    "position_pnl_daily",
+    oracle="""
+WITH fills AS (
+  SELECT event_type AS symbol, ts, event_id, value,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+         lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS pv
+  FROM events WHERE value > 0
+), signed AS (
+  SELECT symbol, ts, event_id, value,
+         CASE WHEN pv IS NULL OR value = pv THEN 0
+              WHEN value > pv THEN k ELSE -k END AS signed_qty
+  FROM fills
+), book AS (
+  SELECT symbol, ts, event_id, value,
+         CAST(sum(signed_qty) OVER w AS BIGINT) AS pos,
+         sum(-signed_qty * value) OVER w AS cash
+  FROM signed
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT symbol, CAST(ts AS DATE) AS trading_day,
+       CAST(pos AS BIGINT) AS eod_position,
+       round(pos * value + cash, 4) AS eod_pnl
+FROM book
+QUALIFY row_number() OVER (PARTITION BY symbol, CAST(ts AS DATE)
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    doc="Position keeping from the tick stream: each tick is a fill whose "
+    "side comes from the tick rule and whose size from the props "
+    "payload; the running position and cash are ONE cumulative window "
+    "per symbol, and mark-to-market PnL = pos * last_price + cash rolls "
+    "to end-of-day rows — the book a desk reconciles nightly.  "
+    "Determinism: cumulative double sums follow the window's row order "
+    "on both engines (same addition sequence, bit-identical), and the "
+    "EOD pick is arg_max by (ts, event_id).  Scale shape: the tick-rule "
+    "lag, both running sums and the daily rollup all reuse ONE "
+    "symbol-keyed exchange.",
+)
+def q_position_pnl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fills = ev.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    ).withColumn("pv", F.lag("value").over(w))
+    signed_qty = (
+        F.when(F.col("pv").isNull() | (F.col("value") == F.col("pv")), 0)
+        .when(F.col("value") > F.col("pv"), F.col("k"))
+        .otherwise(-F.col("k"))
+    )
+    signed = fills.select(
+        "symbol", "ts", "event_id", "value", signed_qty.alias("signed_qty")
+    )
+    book = signed.select(
+        "symbol",
+        "ts",
+        "event_id",
+        "value",
+        F.sum("signed_qty").over(wrun).alias("pos"),
+        F.sum(-F.col("signed_qty") * F.col("value")).over(wrun).alias("cash"),
+    )
+    key = F.struct("ts", "event_id")
+    return book.groupBy(
+        "symbol", F.to_date("ts").alias("trading_day")
+    ).agg(
+        F.max_by("pos", key).cast("bigint").alias("eod_position"),
+        F.round(
+            F.max_by(F.col("pos") * F.col("value") + F.col("cash"), key), 4
+        ).alias("eod_pnl"),
+    )

@@ -388,3 +388,11 @@ def test_forecast_backtest_single_symbol_exchange(spark):
     plan = _plan(spark, "forecast_backtest_mape")
     assert plan.count("Window") == 1
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_position_pnl_single_symbol_exchange(spark):
+    # tick-rule lag, both running sums and the daily rollup share ONE
+    # symbol-keyed exchange; no joins anywhere
+    plan = _plan(spark, "position_pnl_daily")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan

@@ -116,6 +116,7 @@ QUERIES = [
     "schema_evolution_scan_e2e",
     "stream_zscore_e2e",
     "compaction_e2e",
+    "position_pnl_daily",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
