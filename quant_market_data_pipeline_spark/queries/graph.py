@@ -415,3 +415,51 @@ def q_compaction_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(reduced_df), "trading_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-file media landing scan, end to end.
+# ---------------------------------------------------------------------------
+_MEDIA_SCRATCH = Path(__file__).resolve().parents[2] / ".media_e2e"
+
+
+@register(
+    "binaryfile_media_scan_e2e",
+    oracle="""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, md5(text) AS h
+FROM documents WHERE doc_id < 50
+""",
+    doc="Driver gate for the binary media-ingest source: 50 landing blobs "
+    "(one per document, content = the doc's UTF-8 bytes — a stand-in "
+    "for image/audio payloads) are read back through Spark's "
+    "``binaryFile`` format, ids parsed from filenames, and per-blob "
+    "byte length + md5 checked against the documents table.  This is "
+    "the ingest seam the multimodal queries (media_features / "
+    "media_frame_sample) consume downstream: at 100 TB the binaryFile "
+    "source lists and reads blobs distributively, metadata "
+    "(path/length/modtime) comes from the listing without touching "
+    "content, and the content column feeds Arrow-batched decoders.",
+)
+def q_binaryfile_media_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    base = _MEDIA_SCRATCH / Path(sf_dir.rstrip("/")).name
+    shutil.rmtree(base, ignore_errors=True)
+    media = base / "media"
+    media.mkdir(parents=True)
+    for row in docs.collect():  # 50 tiny blobs: landing setup, not a plan
+        (media / f"{row['doc_id']:06d}.bin").write_bytes(
+            row["text"].encode("utf-8")
+        )
+    blobs = spark.read.format("binaryFile").load(str(media))
+    return blobs.select(
+        F.regexp_extract(
+            F.col("path"), r"(\d+)\.bin$", 1
+        ).cast("bigint").alias("doc_id"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("h"),
+    )
