@@ -117,6 +117,7 @@ QUERIES = [
     "stream_zscore_e2e",
     "compaction_e2e",
     "position_pnl_daily",
+    "binaryfile_media_scan_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
