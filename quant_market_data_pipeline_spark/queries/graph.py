@@ -463,3 +463,95 @@ def q_binaryfile_media_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR user erasure + retention expiry, end to end.
+# ---------------------------------------------------------------------------
+_GOV_SCRATCH = Path(__file__).resolve().parents[2] / ".governance_e2e"
+
+
+@register(
+    "user_erasure_e2e",
+    oracle="""
+SELECT CAST(ts AS DATE) AS trading_date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE user_id % 100 != 0
+GROUP BY 1
+""",
+    doc="Driver gate for right-to-be-forgotten deletes "
+    "(sources/sink.py:delete_rows): the tick lake lands partitioned by "
+    "day, every user with user_id %% 100 == 0 is erased, and the "
+    "surviving lake is checked per day against the flat-table oracle.  "
+    "The delete rewrites ONLY partitions that contain matching rows "
+    "(touched-partition dynamic overwrite — the surgical-delete bound "
+    "that makes per-user erasure affordable on a petabyte lake), with "
+    "the same 10k-partition sanity cap as upsert_rows.",
+)
+def q_user_erasure_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.sources.sink import delete_rows
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", F.to_date("ts").alias("trading_date")
+    )
+    base = _GOV_SCRATCH / (Path(sf_dir.rstrip("/")).name + "_erase")
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "events")
+    ev.write.partitionBy("trading_date").parquet(lake)
+
+    delete_rows(
+        spark, lake, F.col("user_id") % 100 == 0, partition_col="trading_date"
+    )
+    return (
+        spark.read.parquet(lake)
+        .groupBy("trading_date")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "retention_expiry_e2e",
+    oracle="""
+WITH span AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+SELECT CAST(ts AS DATE) AS trading_date,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM events CROSS JOIN span
+WHERE CAST(ts AS DATE) >= d0 + INTERVAL 7 DAY
+GROUP BY 1
+""",
+    doc="Driver gate for scheduled retention "
+    "(sources/sink.py:expire_partitions): the day-partitioned tick lake "
+    "drops every partition older than min_day + 7 via directory-level "
+    "removal — O(#partitions) metadata work, zero row IO, the only "
+    "retention mechanism that stays affordable as the lake grows — and "
+    "the surviving lake hash-checks against the date-filtered oracle.",
+)
+def q_retention_expiry_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from quant_market_data_pipeline_spark.sources.sink import (
+        expire_partitions,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", F.to_date("ts").alias("trading_date")
+    )
+    base = _GOV_SCRATCH / (Path(sf_dir.rstrip("/")).name + "_retain")
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "events")
+    ev.write.partitionBy("trading_date").parquet(lake)
+
+    d0 = ev.agg(F.min("trading_date")).collect()[0][0]
+    cutoff = d0 + dt.timedelta(days=7)
+    expire_partitions(spark, lake, cutoff, partition_col="trading_date")
+    return (
+        spark.read.parquet(lake)
+        .groupBy("trading_date")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )

@@ -239,3 +239,79 @@ def upsert_rows(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str = "trading_date",
+) -> list:
+    """Row-level DELETE from a partitioned parquet lake (GDPR erasure).
+
+    Same touched-partition bound as ``upsert_rows``: only partitions that
+    actually contain matching rows are rewritten (dynamic partition
+    overwrite); untouched partitions keep their files byte-identical.
+    ``predicate`` is a Column selecting the rows to REMOVE.  Returns the
+    list of rewritten partition values (bounded by the same 10k sanity
+    cap — an erasure touching more partitions than that is a bulk
+    rewrite job, not a surgical delete).
+    """
+    current = spark.read.parquet(path)
+    max_touched = 10_000
+    touched = [
+        r[0]
+        for r in current.filter(predicate)
+        .select(partition_col)
+        .distinct()
+        .limit(max_touched + 1)
+        .collect()
+    ]
+    if len(touched) > max_touched:
+        raise ValueError(
+            f"delete touches more than {max_touched} {partition_col!r} "
+            "partitions; run a bulk rewrite instead"
+        )
+    if not touched:
+        return []
+    kept = current.filter(F.col(partition_col).isin(touched)).filter(
+        ~predicate
+    )
+    (
+        kept.repartition(1, F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return touched
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    cutoff,
+    partition_col: str = "trading_date",
+) -> list[str]:
+    """Retention expiry: drop whole partitions strictly older than
+    ``cutoff`` (a value whose string form compares against the
+    partition-directory values — ISO dates do).
+
+    Partition-level deletes never touch row data — the directory listing
+    identifies expired partitions and removes their directories, which
+    is the O(#partitions) retention mechanism every time-partitioned
+    lake runs on a schedule.  Returns the removed partition values.
+    """
+    import shutil as _shutil
+    from pathlib import Path as _Path
+
+    removed: list[str] = []
+    root = _Path(path)
+    prefix = f"{partition_col}="
+    for child in sorted(root.iterdir()):
+        if not child.is_dir() or not child.name.startswith(prefix):
+            continue
+        value = child.name[len(prefix):]
+        if value < str(cutoff):
+            _shutil.rmtree(child)
+            removed.append(value)
+    return removed

@@ -182,3 +182,71 @@ def test_markov_rows_are_distributions(spark):
         .collect()
     )
     assert out and all(abs(r["s"] - 1.0) < 1e-4 for r in out)
+
+
+def test_delete_rows_untouched_partitions_keep_files(spark):
+    """Erasure rewrites only partitions containing matching rows; a
+    partition with no matches keeps its files byte-identical."""
+    import datetime as dt
+    import os
+
+    from quant_market_data_pipeline_spark.sources.sink import delete_rows
+
+    base = _SCRATCH / "erase_unit"
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "lake")
+    rows = [
+        (1, dt.date(2024, 1, 1), 100),   # day1: victim present
+        (2, dt.date(2024, 1, 1), 7),
+        (3, dt.date(2024, 1, 2), 8),     # day2: no victims
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, trading_date date, user_id long"
+    ).coalesce(1).write.partitionBy("trading_date").parquet(lake)
+
+    day2 = os.path.join(lake, "trading_date=2024-01-02")
+    before = {
+        f: os.path.getmtime(os.path.join(day2, f))
+        for f in os.listdir(day2)
+        if f.endswith(".parquet")
+    }
+    touched = delete_rows(spark, lake, F.col("user_id") == 100)
+    assert [str(t) for t in touched] == ["2024-01-01"]
+    after = {
+        f: os.path.getmtime(os.path.join(day2, f))
+        for f in os.listdir(day2)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # same files, untouched mtimes
+    left = spark.read.parquet(lake).select("event_id").collect()
+    assert sorted(r[0] for r in left) == [2, 3]
+    # no-match delete is a no-op
+    assert delete_rows(spark, lake, F.col("user_id") == 999) == []
+
+
+def test_expire_partitions_boundary(spark):
+    import datetime as dt
+    import os
+
+    from quant_market_data_pipeline_spark.sources.sink import (
+        expire_partitions,
+    )
+
+    base = _SCRATCH / "expire_unit"
+    shutil.rmtree(base, ignore_errors=True)
+    lake = str(base / "lake")
+    rows = [
+        (1, dt.date(2024, 1, 1)),
+        (2, dt.date(2024, 1, 5)),
+        (3, dt.date(2024, 1, 9)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, trading_date date"
+    ).coalesce(1).write.partitionBy("trading_date").parquet(lake)
+
+    removed = expire_partitions(spark, lake, dt.date(2024, 1, 5))
+    assert removed == ["2024-01-01"]  # strictly-older only: day 5 stays
+    dirs = {d for d in os.listdir(lake) if d.startswith("trading_date=")}
+    assert dirs == {"trading_date=2024-01-05", "trading_date=2024-01-09"}
+    # idempotent: nothing left to expire at the same cutoff
+    assert expire_partitions(spark, lake, dt.date(2024, 1, 5)) == []

@@ -118,6 +118,8 @@ QUERIES = [
     "compaction_e2e",
     "position_pnl_daily",
     "binaryfile_media_scan_e2e",
+    "user_erasure_e2e",
+    "retention_expiry_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
