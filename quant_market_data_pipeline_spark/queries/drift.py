@@ -523,3 +523,166 @@ def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("top10_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-contract audits: freshness, referential integrity, key uniqueness.
+# ---------------------------------------------------------------------------
+@register(
+    "freshness_staleness_audit",
+    oracle="""
+WITH heads AS (
+  SELECT event_type AS symbol, max(ts) AS last_tick,
+         CAST(count(*) AS BIGINT) AS n_ticks
+  FROM events GROUP BY 1
+), ref AS (SELECT max(last_tick) AS wm FROM heads)
+SELECT symbol, last_tick, n_ticks,
+       (epoch_us(wm) - epoch_us(last_tick)) // 60000000 AS staleness_min,
+       (epoch_us(wm) - epoch_us(last_tick)) // 60000000 > 120 AS stale
+FROM heads CROSS JOIN ref
+""",
+    doc="Feed-freshness audit: per symbol, minutes since its last tick "
+    "relative to the freshest symbol's watermark (data-derived, so the "
+    "check is deterministic and replayable — wall-clock 'now' is not), "
+    "flagged past a 2-hour SLA.  This is the first page of every "
+    "market-data runbook: a symbol whose feed silently died shows up "
+    "as monotonically growing staleness.  One |symbols|-row hash-agg "
+    "plus a 1-row broadcast; integer minute arithmetic on both engines.",
+)
+def q_freshness_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, "events", sf_dir)
+    heads = e.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.max("ts").alias("last_tick"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+    )
+    ref = heads.agg(F.max("last_tick").alias("wm"))
+    # elapsed FULL minutes from exact integer microseconds on both
+    # engines (date_diff counts boundary crossings — off by one vs this)
+    stale_min = F.floor(
+        (F.unix_micros("wm") - F.unix_micros("last_tick")) / 60000000
+    ).cast("bigint")
+    return heads.crossJoin(F.broadcast(ref)).select(
+        "symbol",
+        "last_tick",
+        "n_ticks",
+        stale_min.alias("staleness_min"),
+        (stale_min > 120).alias("stale"),
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child_rows,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+""",
+    doc="Referential-integrity audit across the star schema's three "
+    "foreign keys: orphaned child rows surface as anti-join counts — "
+    "the contract check a lake runs per ingest batch because parquet "
+    "enforces nothing (the reference relied on Postgres DDL for this; "
+    "a lake must assert it analytically).  Each FK costs one anti join "
+    "— dimension sides broadcast, the lineitem->orders join shuffles "
+    "on the uniform orderkey.",
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, "lineitem", sf_dir)
+    o = _t(spark, "orders", sf_dir)
+    c = _t(spark, "customer", sf_dir)
+    p = _t(spark, "part", sf_dir)
+
+    def _audit(name, child, key, parent, pkey):
+        orphans = child.select(key).join(
+            parent.select(F.col(pkey).alias(key)), key, "left_anti"
+        )
+        return child.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_rows"),
+        ).crossJoin(
+            F.broadcast(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+                )
+            )
+        )
+
+    return (
+        _audit("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(_audit("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(_audit("lineitem->part", li, "l_partkey", p, "p_partkey"))
+    )
+
+
+@register(
+    "primary_key_audit",
+    oracle="""
+SELECT 'events.event_id' AS pk,
+       CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
+       CAST((SELECT count(DISTINCT event_id) FROM events) AS BIGINT)
+         AS n_keys,
+       CAST((SELECT count(*) FROM (
+          SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1))
+            AS BIGINT) AS n_dup_keys
+UNION ALL
+SELECT 'orders.o_orderkey',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+            AS BIGINT)
+UNION ALL
+SELECT 'documents.doc_id',
+       CAST((SELECT count(*) FROM documents) AS BIGINT),
+       CAST((SELECT count(DISTINCT doc_id) FROM documents) AS BIGINT),
+       CAST((SELECT count(*) FROM (
+          SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1))
+            AS BIGINT)
+""",
+    doc="Primary-key uniqueness audit (the UNIQUE constraint the "
+    "reference declared in Postgres DDL, asserted analytically on the "
+    "lake): per declared key, total rows, distinct keys and the number "
+    "of violated key values.  One hash-agg per table on its uniform "
+    "key; a violation count > 0 is the replay/double-ingest alarm.",
+)
+def q_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _audit(name, df, key):
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(name).alias("pk"),
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.count(F.when(F.col("c") > 1, F.lit(1)))
+            .cast("bigint")
+            .alias("n_dup_keys"),
+        )
+
+    return (
+        _audit("events.event_id", _t(spark, "events", sf_dir), "event_id")
+        .unionByName(
+            _audit(
+                "orders.o_orderkey", _t(spark, "orders", sf_dir), "o_orderkey"
+            )
+        )
+        .unionByName(
+            _audit(
+                "documents.doc_id", _t(spark, "documents", sf_dir), "doc_id"
+            )
+        )
+    )

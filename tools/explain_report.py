@@ -120,6 +120,9 @@ QUERIES = [
     "binaryfile_media_scan_e2e",
     "user_erasure_e2e",
     "retention_expiry_e2e",
+    "freshness_staleness_audit",
+    "referential_integrity_audit",
+    "primary_key_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
