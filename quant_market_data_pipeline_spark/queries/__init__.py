@@ -124,7 +124,7 @@ _PRIORITY = [
     #  new/changed queries — every headliner already carries a cumulative
     #  green driver verdict from r1-r3, so dropping out is safe)
     #
-    # ROUND-5 ROTATION NOTE: the 30 round-4c/4d queries registered after
+    # ROUND-5 ROTATION NOTE: the 33 round-4c/4d queries registered after
     # this window was frozen (drift.py: ks_source_drift psi_price_drift
     # hhi_supplier_concentration mad_outlier_ticks
     # event_markov_transitions key_skew_gini; graph.py:
@@ -137,7 +137,8 @@ _PRIORITY = [
     # schema_evolution_scan_e2e stream_zscore_e2e compaction_e2e
     # position_pnl_daily binaryfile_media_scan_e2e user_erasure_e2e
     # retention_expiry_e2e freshness_staleness_audit
-    # referential_integrity_audit primary_key_audit)
+    # referential_integrity_audit primary_key_audit weighted_sample_docs
+    # in_session_funnel tick_size_conformance)
     # are locally strict-green at both SFs
     # (CORRECTNESS_LOCAL_*.json) and should head the r5 window.
 ]

@@ -686,3 +686,43 @@ def q_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tick-size conformance: are prices on the venue's 0.01 grid?
+# ---------------------------------------------------------------------------
+@register(
+    "tick_size_conformance",
+    oracle="""
+SELECT event_type AS symbol,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       CAST(count(CASE WHEN round(value * 100) != round(value * 100, 6)
+                       THEN 1 END) AS BIGINT) AS n_off_grid,
+       round(CAST(count(CASE WHEN round(value * 100)
+                                  != round(value * 100, 6) THEN 1 END)
+                  AS DOUBLE) / count(*), 6) AS off_grid_rate
+FROM events WHERE value > 0
+GROUP BY 1
+""",
+    doc="Market-data QA: fraction of prices per symbol that are NOT on "
+    "the 0.01 tick grid (value*100 deviates from an integer beyond "
+    "double noise) — a nonzero rate means a feed is delivering "
+    "mid-point/synthetic prints or a decimal bug upstream.  The "
+    "comparison rounds value*100 to 6dp before testing integrality so "
+    "binary-representation dust (29.99 * 100 = 2998.9999...) does not "
+    "false-positive; both engines evaluate the identical expression.  "
+    "One hash-agg on symbol.",
+)
+def q_tick_size_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, "events", sf_dir).filter(F.col("value") > 0)
+    off = F.round(F.col("value") * 100, 0) != F.round(
+        F.col("value") * 100, 6
+    )
+    n_off = F.count(F.when(off, F.lit(1)))
+    return e.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        n_off.cast("bigint").alias("n_off_grid"),
+        F.round(n_off.cast("double") / F.count(F.lit(1)), 6).alias(
+            "off_grid_rate"
+        ),
+    )

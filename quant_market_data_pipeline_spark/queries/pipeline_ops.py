@@ -936,3 +936,82 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "path").limit(20)
     wr = Window.orderBy(F.col("n").desc(), "path")
     return top.withColumn("rank", F.row_number().over(wr))
+
+
+# ---------------------------------------------------------------------------
+# In-session funnel: conversion only counts inside one session.
+# ---------------------------------------------------------------------------
+@register(
+    "in_session_funnel",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM ordered
+), flags AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(saw) AS BIGINT) AS n_with_view,
+       CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       round(CAST(sum(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / nullif(sum(saw), 0), 6)
+         AS session_conversion
+FROM flags
+""",
+    doc="Session-scoped funnel: a view converts only if a purchase "
+    "happens in the SAME 30-minute session — the product-analytics "
+    "metric that separates intent from coincidence (the unsessionized "
+    "funnel_conversion credits purchases days later).  Composes the "
+    "engine's sessionization with conditional flags: the lag window, "
+    "running-sum session ids and the per-session flag aggregate all "
+    "reuse ONE user exchange; the final fold is a 1-row reduce.",
+)
+def q_in_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(is_new).over(run).alias("session_id"),
+    )
+    flags = sess.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("saw"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    conv = F.sum(
+        F.when((F.col("saw") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("saw").cast("bigint").alias("n_with_view"),
+        conv.cast("bigint").alias("n_converted"),
+        F.round(
+            conv.cast("double") / F.nullif(F.sum("saw"), F.lit(0)), 6
+        ).alias("session_conversion"),
+    )

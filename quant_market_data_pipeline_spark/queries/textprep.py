@@ -774,3 +774,50 @@ def q_embedding_quant_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cos_pres"), 4).alias("mean_cos"),
         F.round(F.min("cos_pres"), 6).alias("min_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis-Spirakis, md5 randomness).
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_docs",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(CAST(('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))
+                 ::BIGINT AS DOUBLE) / 1152921504606846976.0)
+           / n_chars AS es_key
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+       row_number() OVER (ORDER BY es_key DESC, doc_id) AS draw_rank
+FROM (SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50)
+""",
+    doc="Distributed weighted sampling without replacement "
+    "(Efraimidis-Spirakis): each doc draws u = md5-uniform in (0,1) and "
+    "keys on ln(u)/weight; the top-k keys ARE a weight-proportional "
+    "sample — the standard way to sample 'proportional to length/"
+    "quality' across a sharded corpus in ONE pass with NO coordination "
+    "(every executor computes keys independently, TakeOrderedAndProject "
+    "merges).  Randomness is the engine's seeded-md5 family: "
+    "deterministic, replayable, oracle-checkable — a reshuffled rerun "
+    "draws the SAME sample, which is exactly what a reproducible "
+    "training-data pipeline needs.",
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import seeded_md5_long
+
+    d = _docs_wide(spark, sf_dir).filter(F.col("n_chars") > 0)
+    u = seeded_md5_long("ws", F.col("doc_id").cast("string")).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    top = keyed.orderBy(F.col("es_key").desc(), "doc_id").limit(50)
+    wr = Window.orderBy(F.col("es_key").desc(), "doc_id")
+    return top.withColumn("draw_rank", F.row_number().over(wr)).select(
+        "doc_id", "weight", "draw_rank"
+    )

@@ -123,6 +123,9 @@ QUERIES = [
     "freshness_staleness_audit",
     "referential_integrity_audit",
     "primary_key_audit",
+    "weighted_sample_docs",
+    "in_session_funnel",
+    "tick_size_conformance",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
