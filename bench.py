@@ -75,6 +75,23 @@ DOCSCALE = [
     "feature_hashing_long",
 ]
 
+# Tick-side twin of the doc probe (round-4 judge directive): events is
+# 2 MiB at sf0.1, so the tick headliners are fixed-overhead-dominated
+# and a quadratic would be invisible.  Replicate events x16 (new
+# event_ids; user_ids offset per replica so sessions MULTIPLY instead of
+# lengthening — the realistic way load grows) and re-time the tick
+# headliners.  A linear operator shows ~16x the data-bound cost; a
+# superlinear one (e.g. an accidental single-partition window in the
+# sweep line) blows past it.
+TICKSCALE_FACTOR = 16
+TICKSCALE = [
+    "bars_5min_ohlcv",
+    "missing_buckets_audit",
+    "peak_concurrency_daily",
+    "vwap_slippage_tca",
+    "bars_rollup_1h",
+]
+
 
 def _build_docscale_dir(spark, sf_dir: str) -> str:
     """Derive <repo>/.bench_scale/<sf>x{F}: documents/embeddings replicated
@@ -122,12 +139,63 @@ def _build_docscale_dir(spark, sf_dir: str) -> str:
     return root
 
 
-def _previous_bench() -> dict[str, float]:
-    """Per-query seconds from the latest BENCH_r{N}.json, if any."""
+def _build_tickscale_dir(spark, sf_dir: str) -> str:
+    """Derive <repo>/.bench_scale/<sf>_ticks_x{F}: events replicated
+    TICKSCALE_FACTOR times (collision-free event_ids, per-replica
+    user_id offset, timestamps unchanged), every other table symlinked.
+    Cached across runs."""
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scale",
+        os.path.basename(sf_dir.rstrip("/")) + f"_ticks_x{TICKSCALE_FACTOR}",
+    )
+    stamp = os.path.join(root, "_BUILT")
+    if os.path.exists(stamp):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for fname in os.listdir(sf_dir):
+        if fname.endswith(".parquet") and not fname.startswith("events"):
+            dst = os.path.join(root, fname)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(sf_dir, fname), dst)
+    rep = F.explode(
+        F.sequence(F.lit(0), F.lit(TICKSCALE_FACTOR - 1))
+    ).alias("__r")
+    src = load_table(spark, "events", sf_dir)
+    off = src.groupBy().agg(
+        (F.max("event_id") + F.lit(1)).alias("__eoff"),
+        (F.max("user_id") + F.lit(1)).alias("__uoff"),
+    )
+    scaled = (
+        src.crossJoin(F.broadcast(off))
+        .select("*", rep)
+        .withColumn("event_id", F.col("event_id") + F.col("__r") * F.col("__eoff"))
+        .withColumn("user_id", F.col("user_id") + F.col("__r") * F.col("__uoff"))
+        .drop("__r", "__eoff", "__uoff")
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(
+        os.path.join(root, "events.parquet")
+    )
+    with open(stamp, "w") as f:
+        f.write(str(TICKSCALE_FACTOR))
+    return root
+
+
+def _previous_bench() -> tuple[dict[str, float], dict[str, float]]:
+    """(steady, cold) per-query seconds from the latest BENCH_r{N}.json.
+
+    Rounds before r4 published cold-equivalent walls in `queries` only;
+    for those the cold dict falls back to `queries` so the cold-to-cold
+    continuity anchor never mixes methodologies silently.
+    """
     import glob
     import re
 
-    best: tuple[int, dict] | None = None
+    best: tuple[int, dict, dict] | None = None
     for path in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -137,10 +205,24 @@ def _previous_bench() -> dict[str, float]:
                 doc = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        parsed = doc.get("parsed") or doc
+        queries = parsed.get("queries")
+        if not queries and "tail" in doc:
+            # driver-recorded benches wrap the JSON line in a `tail` blob
+            try:
+                tail = doc["tail"]
+                queries_doc = json.loads(tail[tail.index('{"metric"'):])
+                parsed = queries_doc
+                queries = parsed.get("queries")
+            except (ValueError, json.JSONDecodeError):
+                queries = None
         if queries and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), queries)
-    return best[1] if best else {}
+            best = (
+                int(m.group(1)),
+                queries,
+                parsed.get("queries_cold") or queries,
+            )
+    return (best[1], best[2]) if best else ({}, {})
 
 
 def main() -> None:
@@ -213,9 +295,26 @@ def main() -> None:
             docscale[name] = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # probe must never sink the headline bench
         docscale = {"error": str(exc)[:200]}
+    # tickscale probe: tick headliners against the x16 events fixture
+    tickscale: dict[str, float] = {}
+    try:
+        tick_dir = _build_tickscale_dir(spark, sf_dir)
+        load_table(spark, "events", tick_dir).count()  # warm
+        for name in TICKSCALE:
+            spec = registry.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            spec.spark(spark, tick_dir).count()
+            tickscale[name] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # probe must never sink the headline bench
+        tickscale = {"error": str(exc)[:200]}
+
     # Regression harness: deltas vs the previous round's recorded bench
-    # (>20% slower on a query that took >=0.5s flags a regression).
-    prev = _previous_bench()
+    # (>20% slower on a query that took >=0.5s flags a regression), plus
+    # the cold-to-cold shared-set anchor (round-4 judge directive: one
+    # methodology-stable round-over-round number).
+    prev, prev_cold = _previous_bench()
     deltas = {
         name: round(t - prev[name], 3) for name, t in timings.items() if name in prev
     }
@@ -224,6 +323,9 @@ def main() -> None:
         for name, t in timings.items()
         if name in prev and prev[name] >= 0.5 and t > 1.2 * prev[name]
     ]
+    shared = sorted(set(timings_cold) & set(prev_cold))
+    shared_cold_total = round(sum(timings_cold[n] for n in shared), 3)
+    prev_shared_cold_total = round(sum(prev_cold[n] for n in shared), 3)
     print(
         json.dumps(
             {
@@ -236,10 +338,18 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "delta_vs_prev": deltas,
                 "regressions_over_20pct": regressions,
+                "shared_cold_total": shared_cold_total,
+                "prev_shared_cold_total": prev_shared_cold_total,
+                "shared_cold_n": len(shared),
                 "docscale_factor": DOCSCALE_FACTOR,
                 "docscale_queries": docscale,
                 "docscale_total": round(
                     sum(v for v in docscale.values() if isinstance(v, float)), 3
+                ),
+                "tickscale_factor": TICKSCALE_FACTOR,
+                "tickscale_queries": tickscale,
+                "tickscale_total": round(
+                    sum(v for v in tickscale.values() if isinstance(v, float)), 3
                 ),
             }
         )

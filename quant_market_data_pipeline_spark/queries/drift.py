@@ -65,7 +65,8 @@ WITH counts AS (
 SELECT source_a, source_b, CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b, ks_stat,
        ks_stat > round(1.36 * sqrt(CAST(n_a + n_b AS DOUBLE)
-                                   / (n_a * n_b)), 6) AS drifted
+                                   / (CAST(n_a AS DOUBLE)
+                                      * CAST(n_b AS DOUBLE))), 6) AS drifted
 FROM pairs
 """,
     doc="Pairwise two-sample Kolmogorov-Smirnov drift over the doc-length "
@@ -127,11 +128,13 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+    # doubles in the denominator: at 100 TB per-source counts a BIGINT
+    # n_a*n_b product overflows (~3e9 rows each) and flips the flag
     threshold = F.round(
         1.36
         * F.sqrt(
             (F.col("n_a") + F.col("n_b")).cast("double")
-            / (F.col("n_a") * F.col("n_b"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
         ),
         6,
     )

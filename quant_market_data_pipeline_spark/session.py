@@ -35,11 +35,6 @@ _STATIC_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for toPandas / pandas_udf boundaries (multimodal + serving edge).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Delta-style dynamic partition overwrite: INSERT OVERWRITE only touches
-    # partitions present in the incoming frame (idempotent daily reloads,
-    # replacing the reference's destructive full-table JDBC overwrite at
-    # /root/reference/project/transform_data.py:199-209).
-    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 _RUNTIME_CONF: dict[str, str] = {
@@ -55,6 +50,16 @@ _RUNTIME_CONF: dict[str, str] = {
     # NULLIF-guarded expressions; the engine still guards divisions
     # explicitly so this is defense, not a crutch.
     "spark.sql.ansi.enabled": "false",
+    # Delta-style dynamic partition overwrite: INSERT OVERWRITE only touches
+    # partitions present in the incoming frame (idempotent daily reloads,
+    # replacing the reference's destructive full-table JDBC overwrite at
+    # /root/reference/project/transform_data.py:199-209).  This is a
+    # runtime-mutable SQL conf and MUST live here, not in _STATIC_CONF:
+    # `configure_runtime` is the only hook that runs on a session the
+    # engine did not create (e.g. the correctness driver's), and in
+    # STATIC mode the partition-overwrite sinks would silently wipe
+    # every untouched partition.  The sinks also guard-assert on this.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 

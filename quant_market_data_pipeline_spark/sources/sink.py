@@ -23,6 +23,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _require_dynamic_overwrite(spark: SparkSession) -> None:
+    """Refuse to partition-overwrite in STATIC mode.
+
+    In static mode ``mode("overwrite").partitionBy(...)`` wipes EVERY
+    partition of the target, not just the ones present in the frame —
+    the exact data-loss mode dynamic overwrite exists to prevent.  The
+    session factory sets the conf, but a session created elsewhere (a
+    notebook, the correctness driver) may not have run through it; this
+    assert turns silent data loss into an actionable error.
+    """
+    mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    if str(mode).lower() != "dynamic":
+        raise RuntimeError(
+            "partition-overwrite sink requires "
+            "spark.sql.sources.partitionOverwriteMode=dynamic "
+            f"(got {mode!r}); call "
+            "quant_market_data_pipeline_spark.session.configure_runtime("
+            "spark) first — static mode would wipe untouched partitions"
+        )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API.
+
+    Storage-agnostic: resolves file:/, hdfs://, s3a://, ... from the
+    path URI + the session's Hadoop configuration, so partition-level
+    metadata operations (listing, directory deletes) run wherever the
+    lake actually lives.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -38,6 +75,7 @@ def write_partitioned(
     Requires ``partitionOverwriteMode=dynamic`` (session factory default):
     ``mode("overwrite")`` then only replaces partitions present in ``df``.
     """
+    _require_dynamic_overwrite(df.sparkSession)
     out = df
     if partition_col not in df.columns:
         if ts_col is None or ts_col not in df.columns:
@@ -174,6 +212,7 @@ def compact_partitions(
     crash mid-compaction loses nothing (overwrite is per-partition
     atomic-ish via the commit protocol).
     """
+    _require_dynamic_overwrite(spark)
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.filter(F.col(partition_col).isin(partitions))
@@ -204,6 +243,7 @@ def upsert_rows(
     for an append-mostly time-partitioned lake.  For heavy random-update
     workloads, use a real table format instead.
     """
+    _require_dynamic_overwrite(spark)
     up = updates
     if partition_col not in up.columns:
         if ts_col is None or ts_col not in up.columns:
@@ -256,12 +296,27 @@ def delete_rows(
     list of rewritten partition values (bounded by the same 10k sanity
     cap — an erasure touching more partitions than that is a bulk
     rewrite job, not a surgical delete).
+
+    SQL DELETE semantics: a row is removed only where the predicate is
+    TRUE — NULL-valued predicates (e.g. NULL user_id under
+    ``user_id % 100 == 0``) keep the row, consistently in rewritten and
+    untouched partitions alike.
+
+    Fully-matching partitions (every row deleted) produce ZERO output
+    rows, and dynamic overwrite only replaces partitions that receive
+    output — so their old files would silently survive.  Those
+    partition directories are removed explicitly through the Hadoop
+    FileSystem API after the write.
     """
+    _require_dynamic_overwrite(spark)
     current = spark.read.parquet(path)
+    # null-safe on both sides of the split: delete where TRUE, keep
+    # where FALSE or NULL (SQL DELETE semantics).
+    hit = F.coalesce(predicate, F.lit(False))
     max_touched = 10_000
     touched = [
         r[0]
-        for r in current.filter(predicate)
+        for r in current.filter(hit)
         .select(partition_col)
         .distinct()
         .limit(max_touched + 1)
@@ -274,15 +329,27 @@ def delete_rows(
         )
     if not touched:
         return []
-    kept = current.filter(F.col(partition_col).isin(touched)).filter(
-        ~predicate
-    )
-    (
-        kept.repartition(1, F.col(partition_col))
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    kept = current.filter(F.col(partition_col).isin(touched)).filter(~hit)
+    # Partitions whose every row matches yield no kept rows; list them
+    # BEFORE the write (both collects are bounded by len(touched)).
+    kept_parts = {
+        r[0] for r in kept.select(partition_col).distinct().collect()
+    }
+    emptied = [v for v in touched if v not in kept_parts]
+    if kept_parts:
+        (
+            kept.repartition(1, F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    if emptied:
+        fs, root = _hadoop_fs(spark, path)
+        jpath = spark._jvm.org.apache.hadoop.fs.Path
+        for value in emptied:
+            child = jpath(root, f"{partition_col}={value}")
+            if fs.exists(child):
+                fs.delete(child, True)
     return touched
 
 
@@ -300,18 +367,23 @@ def expire_partitions(
     identifies expired partitions and removes their directories, which
     is the O(#partitions) retention mechanism every time-partitioned
     lake runs on a schedule.  Returns the removed partition values.
-    """
-    import shutil as _shutil
-    from pathlib import Path as _Path
 
-    removed: list[str] = []
-    root = _Path(path)
+    Storage-agnostic: lists and deletes through the JVM Hadoop
+    ``FileSystem`` API, so the same code runs against file:/, hdfs://
+    and s3a:// lakes (on S3 a "directory" delete is the bulk object
+    delete the committer left under that prefix).
+    """
+    fs, root = _hadoop_fs(spark, path)
     prefix = f"{partition_col}="
-    for child in sorted(root.iterdir()):
-        if not child.is_dir() or not child.name.startswith(prefix):
+    removed: list[str] = []
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
             continue
-        value = child.name[len(prefix):]
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
         if value < str(cutoff):
-            _shutil.rmtree(child)
+            fs.delete(status.getPath(), True)
             removed.append(value)
-    return removed
+    return sorted(removed)

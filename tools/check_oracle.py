@@ -188,10 +188,24 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from quant_market_data_pipeline_spark.queries import load_all
-    from quant_market_data_pipeline_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(master="local[16]")
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.session import configure_runtime
+
+    # Driver-shaped session: a BARE builder (no engine _STATIC_CONF) the
+    # way the correctness driver creates its own, then configure_runtime —
+    # the only engine hook that runs there.  The round-4 red row lived
+    # exactly in the gap between get_spark() sessions and this one
+    # (partitionOverwriteMode was applied by get_spark only).  Driver
+    # memory stays: a capacity knob for the local harness, not an engine
+    # semantic the driver would set.
+    spark = configure_runtime(
+        SparkSession.builder.appName("check_oracle")
+        .master("local[16]")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_con(sf_dir)
 
