@@ -39,7 +39,12 @@ def asof_join(
       ``ASOF JOIN ... ON r.ts <= l.ts``);
     - ``forward``: earliest right with ``right.ts >= left.ts`` — same
       plan traversed in descending order (the extra cost is one local
-      re-sort, not a new shuffle).
+      re-sort, not a new shuffle);
+    - ``nearest``: whichever of the two is closer in absolute time
+      (backward wins exact ties).  Both candidate matches come from the
+      SAME keyed exchange — the physical plan is one shuffle feeding two
+      window sorts (asc + desc), so nearest costs one extra local sort,
+      not a second join.
 
     All right-side payload columns come from ONE matched right row (they
     are carried as a single struct, exactly pandas ``merge_asof``
@@ -50,8 +55,10 @@ def asof_join(
 
     ``tolerance_seconds``: matches farther than the tolerance are nulled.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts)]
 
     lhs = left.withColumn("__side", F.lit(1))
@@ -102,17 +109,67 @@ def asof_join(
     # The payload struct is the deterministic tiebreak between right rows
     # sharing a timestamp (its first field is ts, so the tie breaks on
     # the payload values themselves; the greatest struct wins).
-    order = (
-        [F.col(ts).asc(), F.col("__side").asc(), F.col("__r_payload").asc()]
-        if direction == "backward"
-        else [F.col(ts).desc(), F.col("__side").asc(), F.col("__r_payload").asc()]
+    order_asc = [F.col(ts).asc(), F.col("__side").asc(), F.col("__r_payload").asc()]
+    order_desc = [F.col(ts).desc(), F.col("__side").asc(), F.col("__r_payload").asc()]
+
+    def _running_match(order):
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__r_payload", ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # Two running matches over ONE keyed exchange (same partitionBy,
+        # different orderBy -> Catalyst plans one shuffle + two sorts),
+        # then pick the closer candidate per row; backward wins ties.
+        with_both = unioned.withColumn(
+            "__mb", _running_match(order_asc)
+        ).withColumn("__mf", _running_match(order_desc))
+        gap_b = F.unix_micros(F.col(ts)) - F.unix_micros(
+            F.col("__mb")["__matched_ts"]
+        )
+        gap_f = F.unix_micros(F.col("__mf")["__matched_ts"]) - F.unix_micros(
+            F.col(ts)
+        )
+        chosen = (
+            F.when(F.col("__mb").isNull(), F.col("__mf"))
+            .when(F.col("__mf").isNull(), F.col("__mb"))
+            .when(gap_f < gap_b, F.col("__mf"))
+            .otherwise(F.col("__mb"))
+        )
+        out = (
+            with_both.withColumn("__m", chosen)
+            .filter(F.col("__side") == 1)
+            .select(
+                "*",
+                *[F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols],
+                F.col("__m")["__matched_ts"].alias(f"{ts}{suffix}"),
+            )
+            .drop("__mb", "__mf")
+        )
+        if tolerance_seconds is not None:
+            gap_us = F.abs(
+                F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{ts}{suffix}"))
+            )
+            in_tol = F.col(f"{ts}{suffix}").isNotNull() & (
+                gap_us <= tolerance_seconds * 1_000_000
+            )
+            for c in right_cols:
+                out = out.withColumn(
+                    f"{c}{suffix}", F.when(in_tol, F.col(f"{c}{suffix}"))
+                )
+            out = out.withColumn(
+                f"{ts}{suffix}", F.when(in_tol, F.col(f"{ts}{suffix}"))
+            )
+        return out.drop(
+            "__side", "__m", "__r_payload", *[f"__r_{c}" for c in right_cols]
+        )
+
+    matched = _running_match(
+        order_asc if direction == "backward" else order_desc
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("__r_payload", ignorenulls=True).over(w)
 
     out = (
         unioned.withColumn("__m", matched)

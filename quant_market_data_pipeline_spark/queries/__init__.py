@@ -103,7 +103,16 @@ _PRIORITY = [
     #     reachability twin) after the r4 window froze — needs its first
     #     hash-checked driver verdict
     "dedup_components",
-    # (f) new round-5 queries append here as they land
+    # (f) new round-5 queries: microstructure spread estimators, tail
+    #     risk, drift complements, training-data mixing, nearest as-of
+    "roll_spread_estimator",
+    "corwin_schultz_spread",
+    "realized_vol_signature",
+    "var_historical_es",
+    "sampling_temperature_mix",
+    "js_divergence_sources",
+    "cusum_count_drift",
+    "asof_join_nearest",
 ]
 
 

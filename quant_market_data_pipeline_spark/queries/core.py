@@ -1577,3 +1577,67 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-direction as-of join (tolerance-gated).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join_nearest",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+), cand AS (
+  SELECT p.event_id,
+         c.ts AS ts_click, c.value AS value_click,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY abs(epoch_us(p.ts) - epoch_us(c.ts)),
+                    CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+                    c.value DESC) AS rn
+  FROM purchases p JOIN clicks c
+    ON p.user_id = c.user_id
+   AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800 * 1000000
+)
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts_click, c.value_click
+FROM purchases p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+  ON p.event_id = c.event_id
+""",
+    doc="Nearest-direction as-of join: each purchase matched to the "
+    "closest click by absolute time within a 30-minute tolerance "
+    "(backward wins exact ties; no match -> NULLs).  The engine plan is "
+    "the union + two running matches over ONE keyed exchange (asc + "
+    "desc window sorts share the shuffle, operators/asof.py) — nearest "
+    "costs one extra local sort over backward, never a pair join.  The "
+    "oracle is the O(candidates-within-tolerance) argmin formulation "
+    "DuckDB can afford at oracle scale.",
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        right_cols=["value"],
+        direction="nearest",
+        tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_right").alias("ts_click"),
+        F.col("value_right").alias("value_click"),
+    )

@@ -20,6 +20,8 @@ Common scale rules:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -728,4 +730,180 @@ def q_tick_size_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_off.cast("double") / F.count(F.lit(1)), 6).alias(
             "off_grid_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise Jensen-Shannon divergence between source length distributions.
+# ---------------------------------------------------------------------------
+@register(
+    "js_divergence_sources",
+    oracle="""
+WITH binned AS (
+  SELECT source, CAST(n_chars // 100 AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, b.bin
+  FROM (SELECT DISTINCT source FROM binned) s
+  CROSS JOIN (SELECT DISTINCT bin FROM binned) b
+), dist AS (
+  SELECT g.source, g.bin,
+         CAST(coalesce(c.cnt, 0) AS DOUBLE)
+           / sum(coalesce(c.cnt, 0)) OVER (PARTITION BY g.source) AS p
+  FROM grid g LEFT JOIN binned c
+    ON c.source = g.source AND c.bin = g.bin
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.bin,
+         a.p AS pa, b.p AS pb
+  FROM dist a JOIN dist b
+    ON a.bin = b.bin AND a.source < b.source
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       round(sum(
+         CASE WHEN pa > 0
+              THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+         + CASE WHEN pb > 0
+                THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END), 6)
+         AS js_div,
+       round(sum(
+         CASE WHEN pa > 0
+              THEN 0.5 * pa * ln(2 * pa / (pa + pb)) ELSE 0 END
+         + CASE WHEN pb > 0
+                THEN 0.5 * pb * ln(2 * pb / (pa + pb)) ELSE 0 END)
+         / ln(2), 6) AS js_norm
+FROM pairs GROUP BY 1, 2
+""",
+    doc="Pairwise Jensen-Shannon divergence over 100-char length-bin "
+    "distributions of every source pair: JS = KL(P||M)/2 + KL(Q||M)/2 "
+    "with M the midpoint — the bounded, symmetric complement to "
+    "ks_source_drift (KS sees the worst single point, JS the whole "
+    "distribution; 0 = identical, ln2 = disjoint).  Same scale shape as "
+    "KS: the corpus reduces ONCE to (source, bin) counts, distributions "
+    "normalize on the |sources| x |bins| grid, and the pair join runs "
+    "on that dimension-sized frame.  js_norm rescales to [0, 1].",
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, "documents", sf_dir)
+    binned = d.groupBy(
+        "source", (F.col("n_chars") / 100).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sources = binned.select("source").distinct()
+    bins = binned.select("bin").distinct()
+    grid = bins.crossJoin(F.broadcast(sources))
+    wtot = Window.partitionBy("source")
+    dist = (
+        grid.join(binned, ["source", "bin"], "left")
+        .select(
+            "source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
+        )
+        .withColumn(
+            "p", F.col("cnt").cast("double") / F.sum("cnt").over(wtot)
+        )
+    )
+    a = dist.select(
+        F.col("source").alias("source_a"), "bin", F.col("p").alias("pa")
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"), "bin", F.col("p").alias("pb")
+    )
+    half = F.lit(0.5)
+    term_a = F.when(
+        F.col("pa") > 0,
+        half * F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("pb") > 0,
+        half * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "bin")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.round(F.sum(term_a + term_b), 6).alias("js_div"),
+            F.round(
+                F.sum(term_a + term_b) / F.lit(math.log(2.0)), 6
+            ).alias("js_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brownian-bridge (CUSUM-around-trend) breakpoint statistic on daily counts.
+# ---------------------------------------------------------------------------
+@register(
+    "cusum_count_drift",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS trading_day,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), indexed AS (
+  SELECT event_type, trading_day, cnt,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY trading_day) AS t,
+         sum(cnt) OVER (
+           PARTITION BY event_type ORDER BY trading_day) AS cum,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM daily
+), devs AS (
+  SELECT event_type, n_days, total,
+         abs(CAST(cum AS DOUBLE) / total - CAST(t AS DOUBLE) / n_days)
+           AS dev
+  FROM indexed
+)
+SELECT event_type,
+       CAST(max(n_days) AS BIGINT) AS n_days,
+       CAST(max(total) AS BIGINT) AS total_events,
+       round(max(dev), 6) AS max_dev,
+       max(dev) > round(1.36 / sqrt(CAST(max(n_days) AS DOUBLE)), 6)
+         AS shifted
+FROM devs GROUP BY 1
+""",
+    doc="Rate-shift detection per event type: the cumulative event share "
+    "is compared against the uniform-time trend line and the maximum "
+    "absolute bridge deviation max_t |cum_t/total - t/n| is the "
+    "non-recursive CUSUM-around-trend statistic (the recursive CUSUM "
+    "S_t = max(0, S_{t-1}+x) cannot be expressed as a distributable "
+    "window; the bridge form detects the same level shifts and is one "
+    "cumsum window).  Flagged against the Kolmogorov-style 1.36/sqrt(n) "
+    "heuristic critical value (rounded before comparison, filter-stage "
+    "rule).  Plan: one fact hash-agg to (type, day), then windows on "
+    "the dimension-sized daily frame.",
+)
+def q_cusum_count_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("trading_day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wcum = Window.partitionBy("event_type").orderBy("trading_day")
+    wtot = Window.partitionBy("event_type")
+    indexed = daily.select(
+        "event_type",
+        F.row_number().over(wcum).alias("t"),
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.count(F.lit(1)).over(wtot).alias("n_days"),
+        F.sum("cnt").over(wtot).alias("total"),
+    )
+    devs = indexed.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.abs(
+            F.col("cum").cast("double") / F.col("total")
+            - F.col("t").cast("double") / F.col("n_days")
+        ).alias("dev"),
+    )
+    return devs.groupBy("event_type").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.max("total").cast("bigint").alias("total_events"),
+        F.round(F.max("dev"), 6).alias("max_dev"),
+        (
+            F.max("dev")
+            > F.round(1.36 / F.sqrt(F.max("n_days").cast("double")), 6)
+        ).alias("shifted"),
     )

@@ -1701,3 +1701,212 @@ def q_position_pnl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(F.col("pos") * F.col("value") + F.col("cash"), key), 4
         ).alias("eod_pnl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Roll (1984) implied spread from serial covariance of price changes.
+# ---------------------------------------------------------------------------
+@register(
+    "roll_spread_estimator",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), dp AS (
+  SELECT symbol, CAST(bar_ts AS DATE) AS trading_day, bar_ts,
+         close - lag(close) OVER (
+           PARTITION BY symbol, CAST(bar_ts AS DATE) ORDER BY bar_ts) AS d
+  FROM bars
+), lagged AS (
+  SELECT symbol, trading_day, d,
+         lag(d) OVER (
+           PARTITION BY symbol, trading_day ORDER BY bar_ts) AS d_prev
+  FROM dp
+)
+SELECT symbol, trading_day,
+       CAST(count(CASE WHEN d IS NOT NULL AND d_prev IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_pairs,
+       round(covar_samp(d, d_prev), 6) AS autocov,
+       round(2 * sqrt(greatest(0.0, -covar_samp(d, d_prev))), 6)
+         AS roll_spread
+FROM lagged GROUP BY 1, 2
+""",
+    doc="Roll (1984) effective-spread estimator per (symbol, day): bid-ask "
+    "bounce makes consecutive price changes negatively autocorrelated, "
+    "and s = 2*sqrt(-cov(dp_t, dp_{t-1})) recovers the spread from trade "
+    "prices alone (no quote data).  Negative-cov days clamp to 0 via "
+    "GREATEST.  Scale shape: ticks reduce ONCE to 5-min bars (hash-agg), "
+    "then one window exchange on (symbol) covers both lags and the "
+    "(symbol, day) covariance agg rides the same partitioning — cost is "
+    "the bar build, exactly like every other derived-series query.",
+)
+def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_close(spark, sf_dir, positive_ticks=True).withColumn(
+        "trading_day", F.to_date("bar_ts")
+    )
+    w = Window.partitionBy("symbol", "trading_day").orderBy("bar_ts")
+    dp = bars.withColumn("d", F.col("close") - F.lag("close").over(w))
+    lagged = dp.withColumn("d_prev", F.lag("d").over(w))
+    return lagged.groupBy("symbol", "trading_day").agg(
+        F.count(
+            F.when(
+                F.col("d").isNotNull() & F.col("d_prev").isNotNull(), 1
+            )
+        )
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.round(F.covar_samp("d", "d_prev"), 6).alias("autocov"),
+        F.round(
+            2
+            * F.sqrt(
+                F.greatest(F.lit(0.0), -F.covar_samp("d", "d_prev"))
+            ),
+            6,
+        ).alias("roll_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corwin-Schultz (2012) high-low spread estimator over day pairs.
+# ---------------------------------------------------------------------------
+@register(
+    "corwin_schultz_spread",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_day,
+         max(value) AS hi, min(value) AS lo
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), pairs AS (
+  SELECT symbol, trading_day, hi, lo,
+         lead(hi) OVER (PARTITION BY symbol ORDER BY trading_day) AS hi2,
+         lead(lo) OVER (PARTITION BY symbol ORDER BY trading_day) AS lo2
+  FROM daily
+), terms AS (
+  SELECT symbol, trading_day,
+         ln(hi / lo) * ln(hi / lo) + ln(hi2 / lo2) * ln(hi2 / lo2) AS beta,
+         ln(greatest(hi, hi2) / least(lo, lo2))
+           * ln(greatest(hi, hi2) / least(lo, lo2)) AS gamma
+  FROM pairs WHERE hi2 IS NOT NULL
+), alpha AS (
+  SELECT symbol, trading_day, beta, gamma,
+         (sqrt(2 * beta) - sqrt(beta)) / (3 - 2 * sqrt(2))
+           - sqrt(gamma / (3 - 2 * sqrt(2))) AS a
+  FROM terms
+)
+SELECT symbol, trading_day,
+       round(beta, 6) AS beta, round(gamma, 6) AS gamma,
+       round(2 * (exp(a) - 1) / (1 + exp(a)), 6) AS cs_spread
+FROM alpha
+""",
+    doc="Corwin-Schultz (2012) high-low spread estimator: consecutive-day "
+    "(hi, lo) pairs -> beta (sum of squared single-day log ranges), gamma "
+    "(squared two-day log range), alpha, and S = 2(e^a - 1)/(1 + e^a).  "
+    "Daily ranges are one fact hash-agg; the day-pairing LEAD and the "
+    "closed-form spread run on the days-x-symbols frame (dimension-"
+    "sized).  Negative estimates are conventionally clamped by consumers; "
+    "the raw estimator value is reported so the clamp stays a policy.",
+)
+def q_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("trading_day"),
+    ).agg(F.max("value").alias("hi"), F.min("value").alias("lo"))
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    pairs = daily.withColumn("hi2", F.lead("hi").over(w)).withColumn(
+        "lo2", F.lead("lo").over(w)
+    ).filter(F.col("hi2").isNotNull())
+    lr1 = F.log(F.col("hi") / F.col("lo"))
+    lr2 = F.log(F.col("hi2") / F.col("lo2"))
+    lr12 = F.log(
+        F.greatest("hi", "hi2") / F.least("lo", "lo2")
+    )
+    denom = F.lit(3.0) - F.lit(2.0) * F.sqrt(F.lit(2.0))
+    terms = pairs.select(
+        "symbol",
+        "trading_day",
+        (lr1 * lr1 + lr2 * lr2).alias("beta"),
+        (lr12 * lr12).alias("gamma"),
+    )
+    a = (
+        (F.sqrt(2 * F.col("beta")) - F.sqrt("beta")) / denom
+        - F.sqrt(F.col("gamma") / denom)
+    )
+    alpha = terms.withColumn("a", a)
+    return alpha.select(
+        "symbol",
+        "trading_day",
+        F.round("beta", 6).alias("beta"),
+        F.round("gamma", 6).alias("gamma"),
+        F.round(
+            2 * (F.exp("a") - 1) / (1 + F.exp("a")), 6
+        ).alias("cs_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Volatility signature: realized variance vs sampling interval.
+# ---------------------------------------------------------------------------
+@register(
+    "realized_vol_signature",
+    oracle="""
+WITH widths AS (SELECT * FROM (VALUES (5), (15), (30)) AS t(width_min)),
+closes AS (
+  SELECT w.width_min, e.event_type AS symbol,
+         to_timestamp(floor(epoch(e.ts) / (60 * w.width_min))
+                      * (60 * w.width_min)) AS bucket_ts,
+         arg_max(e.value, e.ts) AS close
+  FROM events e CROSS JOIN widths w
+  WHERE e.value > 0
+  GROUP BY 1, 2, 3
+), rets AS (
+  SELECT width_min, symbol,
+         ln(close) - ln(lag(close) OVER (
+           PARTITION BY width_min, symbol ORDER BY bucket_ts)) AS r
+  FROM closes
+)
+SELECT symbol, width_min,
+       CAST(count(r) AS BIGINT) AS n_ret,
+       round(sum(r * r), 6) AS realized_var,
+       round(avg(abs(r)), 6) AS mean_abs_ret
+FROM rets GROUP BY 1, 2
+""",
+    doc="Volatility signature plot: realized variance of log returns "
+    "sampled at 5/15/30-minute intervals per symbol.  Microstructure "
+    "noise inflates RV at fine sampling; the signature's level-off "
+    "locates the noise floor (Andersen et al.).  Plan: ONE tick scan "
+    "explodes to the 3 sampling widths (array explode, map-side), one "
+    "hash-agg on (width, symbol, bucket) builds all close series "
+    "together, one window exchange on (width, symbol) computes returns "
+    "— 3 widths cost one scan + one shuffle, not 3 pipeline runs.",
+)
+def q_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    widths = F.explode(F.array(F.lit(5), F.lit(15), F.lit(30))).alias(
+        "width_min"
+    )
+    sec = F.col("width_min") * 60
+    bucketed = ev.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value", widths
+    ).withColumn(
+        "bucket_ts",
+        F.timestamp_seconds(
+            F.floor(F.unix_timestamp("ts") / sec) * sec
+        ),
+    )
+    closes = bucketed.groupBy("width_min", "symbol", "bucket_ts").agg(
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("close")
+    )
+    w = Window.partitionBy("width_min", "symbol").orderBy("bucket_ts")
+    rets = closes.withColumn(
+        "r", F.log("close") - F.log(F.lag("close").over(w))
+    )
+    return rets.groupBy("symbol", "width_min").agg(
+        F.count("r").cast("bigint").alias("n_ret"),
+        F.round(F.sum(F.col("r") * F.col("r")), 6).alias("realized_var"),
+        F.round(F.avg(F.abs("r")), 6).alias("mean_abs_ret"),
+    )

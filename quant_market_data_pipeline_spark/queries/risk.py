@@ -613,3 +613,71 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("kyle_lambda"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR + expected shortfall from daily log returns.
+# ---------------------------------------------------------------------------
+@register(
+    "var_historical_es",
+    oracle="""
+WITH daily AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_day,
+         arg_max(value, ts) AS close
+  FROM events WHERE value > 0 GROUP BY 1, 2
+), rets AS (
+  SELECT symbol,
+         ln(close) - ln(lag(close) OVER (
+           PARTITION BY symbol ORDER BY trading_day)) AS r
+  FROM daily
+), q AS (
+  SELECT symbol, round(quantile_cont(r, 0.05), 6) AS var_95
+  FROM rets WHERE r IS NOT NULL GROUP BY 1
+)
+SELECT r.symbol, CAST(count(*) AS BIGINT) AS n_days,
+       max(q.var_95) AS var_95,
+       round(avg(CASE WHEN r.r <= q.var_95 THEN r.r END), 6) AS es_95
+FROM rets r JOIN q ON r.symbol = q.symbol
+WHERE r.r IS NOT NULL
+GROUP BY 1
+""",
+    doc="Historical 95% value-at-risk and expected shortfall per symbol "
+    "from daily log returns: VaR = the 5th percentile (linear-"
+    "interpolated), ES = mean return at or below it.  The per-symbol "
+    "quantile frame is symbol-cardinality-sized and BROADCAST back onto "
+    "the return series (no second shuffle); the quantile is rounded to "
+    "6dp on both engines BEFORE the tail filter (filter-stage rule) so "
+    "the ES row set is engine-identical.  Exact interpolated percentile "
+    "is a sort-based agg per symbol — at 100 TB of DAILY returns the "
+    "series per symbol is years-bounded (~10^4 rows), so exactness is "
+    "affordable where it matters and approx_percentile stays the tick-"
+    "level tool (approx_percentile_prices).",
+)
+def q_var_historical_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    daily = t.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("trading_day"),
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("close"))
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    rets = (
+        daily.withColumn(
+            "r", F.log("close") - F.log(F.lag("close").over(w))
+        )
+        .filter(F.col("r").isNotNull())
+        .select("symbol", "r")
+    )
+    q = rets.groupBy("symbol").agg(
+        F.round(F.percentile("r", F.lit(0.05)), 6).alias("var_95")
+    )
+    return (
+        rets.join(F.broadcast(q), "symbol")
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("var_95").alias("var_95"),
+            F.round(
+                F.avg(F.when(F.col("r") <= F.col("var_95"), F.col("r"))), 6
+            ).alias("es_95"),
+        )
+    )

@@ -821,3 +821,67 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("draw_rank", F.row_number().over(wr)).select(
         "doc_id", "weight", "draw_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights (training-data sampling plan).
+# ---------------------------------------------------------------------------
+@register(
+    "sampling_temperature_mix",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), raw AS (
+  SELECT source, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS p_raw,
+         sum(n_docs) OVER () AS n_total
+  FROM counts
+), scaled AS (
+  SELECT source, n_docs, p_raw, n_total,
+         pow(p_raw, 0.7) / sum(pow(p_raw, 0.7)) OVER () AS p_sampled
+  FROM raw
+)
+SELECT source, n_docs,
+       round(p_raw, 6) AS p_raw,
+       round(p_sampled, 6) AS p_sampled,
+       round(p_sampled / p_raw, 4) AS boost,
+       CAST(round(p_sampled * n_total, 0) AS BIGINT) AS epoch_docs
+FROM scaled
+""",
+    doc="Temperature-scaled sampling mix over corpus sources (the "
+    "multilingual-LM rebalancing rule, tau=0.7: q_s proportional to "
+    "p_s^tau): per-source raw share, resampled share, boost factor and "
+    "the per-epoch document budget that mix implies.  One corpus "
+    "hash-agg reduces to the |sources| frame; every window below runs "
+    "on that dimension-sized frame, so the 100 TB cost is the count "
+    "scan.  Low-resource sources get boost > 1, dominant ones < 1 — "
+    "the knob that trades corpus fidelity against source diversity.",
+)
+def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    counts = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # totals via a broadcast cross join, not an over-() window: the frame
+    # is |sources| rows, but the pattern stays single-partition-free
+    tot = counts.groupBy().agg(F.sum("n_docs").alias("n_total"))
+    probs = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_raw", F.col("n_docs").cast("double") / F.col("n_total")
+    )
+    ztot = probs.groupBy().agg(
+        F.sum(F.pow("p_raw", F.lit(0.7))).alias("z")
+    )
+    mixed = probs.crossJoin(F.broadcast(ztot)).withColumn(
+        "p_sampled", F.pow("p_raw", F.lit(0.7)) / F.col("z")
+    )
+    return mixed.select(
+        "source",
+        "n_docs",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round("p_sampled", 6).alias("p_sampled"),
+        F.round(F.col("p_sampled") / F.col("p_raw"), 4).alias("boost"),
+        F.round(F.col("p_sampled") * F.col("n_total"), 0)
+        .cast("bigint")
+        .alias("epoch_docs"),
+    )

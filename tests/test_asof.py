@@ -183,3 +183,71 @@ def test_asof_tolerance_gates_matched_row_only(spark):
     # matched row now out of tolerance -> everything nulled, no leak of 7.0
     assert out2["rv_right"].isna().all()
     assert out2["ts_right"].isna().all()
+
+
+def test_asof_nearest_matches_pandas(spark):
+    left, right = _frames()
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            ts="ts",
+            right_cols=["rv"],
+            direction="nearest",
+        )
+        .toPandas()
+        .sort_values(["ts", "k", "lv"], kind="stable")
+        .reset_index(drop=True)
+    )
+    golden = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right,
+        on="ts",
+        by="k",
+        direction="nearest",
+        suffixes=("", "_right"),
+    ).sort_values(["ts", "k", "lv"], kind="stable").reset_index(drop=True)
+    # pandas nearest resolves exact-distance ties backward too
+    assert np.allclose(
+        out["rv_right"].to_numpy(dtype=float),
+        golden["rv"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+def test_asof_nearest_tolerance_and_ties(spark):
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime([100, 200, 1000], unit="s"),
+            "lv": [1.0, 2.0, 3.0],
+        }
+    )
+    # 90 is 10s before the first left row; 110 is 10s after -> tie, the
+    # backward match (90) must win.  1000-350=650s > tolerance -> NULL.
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime([90, 110, 350], unit="s"),
+            "rv": [9.0, 11.0, 35.0],
+        }
+    )
+    out = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            ts="ts",
+            right_cols=["rv"],
+            direction="nearest",
+            tolerance_seconds=600,
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "rv_right"] == 9.0  # tie (10s both ways) -> backward
+    # 200s row: backward 110 (90s gap) beats forward 350 (150s gap)
+    assert out.loc[1, "rv_right"] == 11.0
+    assert pd.isna(out.loc[2, "rv_right"])  # 650s gap > 600s tolerance
