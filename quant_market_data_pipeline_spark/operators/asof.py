@@ -182,10 +182,15 @@ def asof_join(
     )
 
     if tolerance_seconds is not None:
-        gap = F.unix_timestamp(ts) - F.unix_timestamp(f"{ts}{suffix}")
+        # Microsecond-precision gap, matching the nearest branch exactly:
+        # unix_timestamp() truncates to seconds, which would KEEP a match
+        # whose true gap is tolerance + 0.5s (e.g. 1800.5s vs 1800).
+        gap = F.unix_micros(F.col(ts)) - F.unix_micros(F.col(f"{ts}{suffix}"))
         if direction == "forward":
             gap = -gap
-        in_tol = F.col(f"{ts}{suffix}").isNotNull() & (gap <= tolerance_seconds)
+        in_tol = F.col(f"{ts}{suffix}").isNotNull() & (
+            gap <= tolerance_seconds * 1_000_000
+        )
         for c in right_cols:
             out = out.withColumn(
                 f"{c}{suffix}", F.when(in_tol, F.col(f"{c}{suffix}"))

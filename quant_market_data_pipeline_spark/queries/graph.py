@@ -481,7 +481,7 @@ _GOV_SCRATCH = Path(__file__).resolve().parents[2] / ".governance_e2e"
 SELECT CAST(ts AS DATE) AS trading_date,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events WHERE user_id % 100 != 0
+FROM events WHERE user_id IS NULL OR user_id % 100 != 0
 GROUP BY 1
 """,
     doc="Driver gate for right-to-be-forgotten deletes "

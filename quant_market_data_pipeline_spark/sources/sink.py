@@ -60,6 +60,48 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+def _partition_dir_name(spark: SparkSession, partition_col: str, value) -> str:
+    """Hive-style partition directory name with Spark's path escaping.
+
+    Spark writes NULL partition values as ``__HIVE_DEFAULT_PARTITION__``
+    and escapes special characters (space, colon, percent, ...) via
+    ``ExternalCatalogUtils.escapePathName`` — a directory name derived as
+    a bare f-string misses the real directory for such values, silently
+    leaving a fully-deleted partition's old files in place.
+    """
+    if value is None:
+        return f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+    esc = (
+        spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(str(value))
+    )
+    return f"{partition_col}={esc}"
+
+
+def _member_of(col, values: list):
+    """NULL-safe membership predicate: ``isin`` never matches NULL, so a
+    touched-partition list containing None needs an explicit isNull arm."""
+    non_null = [v for v in values if v is not None]
+    cond = col.isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(values):
+        cond = cond | col.isNull()
+    return cond
+
+
+def _rewrite_parallelism(spark: SparkSession, n_touched: int) -> int:
+    """Shuffle-partition count for a surgical partition rewrite.
+
+    ``repartition(1, col)`` funnels EVERY touched partition through one
+    task — fine for a few days, serial I/O for a 10,000-partition
+    erasure.  Hash-partitioning on the partition column into
+    min(n_touched, session shuffle partitions) buckets keeps
+    one-file-per-partition (all rows of a value land in one task) while
+    letting distinct partitions rewrite in parallel.
+    """
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(n_touched, cap))
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -267,14 +309,16 @@ def upsert_rows(
         )
 
     current = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
+        _member_of(F.col(partition_col), touched)
     )
     kept = current.join(
         F.broadcast(up.select(*keys).distinct()), keys, "left_anti"
     )
     merged = kept.unionByName(up.select(*kept.columns))
     (
-        merged.repartition(1, F.col(partition_col))
+        merged.repartition(
+            _rewrite_parallelism(spark, len(touched)), F.col(partition_col)
+        )
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(path)
@@ -329,7 +373,9 @@ def delete_rows(
         )
     if not touched:
         return []
-    kept = current.filter(F.col(partition_col).isin(touched)).filter(~hit)
+    kept = current.filter(
+        _member_of(F.col(partition_col), touched)
+    ).filter(~hit)
     # Partitions whose every row matches yield no kept rows; list them
     # BEFORE the write (both collects are bounded by len(touched)).
     kept_parts = {
@@ -338,7 +384,10 @@ def delete_rows(
     emptied = [v for v in touched if v not in kept_parts]
     if kept_parts:
         (
-            kept.repartition(1, F.col(partition_col))
+            kept.repartition(
+                _rewrite_parallelism(spark, len(touched)),
+                F.col(partition_col),
+            )
             .write.mode("overwrite")
             .partitionBy(partition_col)
             .parquet(path)
@@ -347,7 +396,7 @@ def delete_rows(
         fs, root = _hadoop_fs(spark, path)
         jpath = spark._jvm.org.apache.hadoop.fs.Path
         for value in emptied:
-            child = jpath(root, f"{partition_col}={value}")
+            child = jpath(root, _partition_dir_name(spark, partition_col, value))
             if fs.exists(child):
                 fs.delete(child, True)
     return touched

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.operators.asof import asof_join
 
@@ -251,3 +252,28 @@ def test_asof_nearest_tolerance_and_ties(spark):
     # 200s row: backward 110 (90s gap) beats forward 350 (150s gap)
     assert out.loc[1, "rv_right"] == 11.0
     assert pd.isna(out.loc[2, "rv_right"])  # 650s gap > 600s tolerance
+
+
+def test_asof_tolerance_subsecond_consistency(spark):
+    """Backward/forward gate on the microsecond gap, matching nearest:
+    a match 1800.5s away under tolerance_seconds=1800 is nulled in ALL
+    directions (second-truncated unix_timestamp would keep it)."""
+    left = spark.createDataFrame(
+        [("A", "2024-01-01 10:30:00.5")], "sym string, ts string"
+    ).select("sym", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("A", "2024-01-01 10:00:00", 1.0)],
+        "sym string, ts string, px double",
+    ).select("sym", F.col("ts").cast("timestamp").alias("ts"), "px")
+
+    for direction, lhs, rhs in (
+        ("backward", left, right),
+        ("nearest", left, right),
+        ("forward", right.drop("px"), left.withColumn("px", F.lit(2.0))),
+    ):
+        out = asof_join(
+            lhs, rhs, on="sym", ts="ts",
+            tolerance_seconds=1800, direction=direction,
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["px_right"] is None, direction

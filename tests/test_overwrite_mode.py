@@ -191,3 +191,83 @@ def test_expire_partitions_via_hadoop_fs_uri(spark, tmp_path):
     assert removed == ["2024-01-01", "2024-01-02"]
     assert (Path(lake) / "trading_date=2024-01-03").exists()
     assert not (Path(lake) / "trading_date=2024-01-01").exists()
+
+
+def test_delete_rows_escaped_partition_values(spark, tmp_path):
+    """Fully-emptied partitions whose values need Hive path escaping
+    (spaces, colons, percent) are actually removed — the directory name
+    must be derived via the same escaping the writer used, not a bare
+    f-string (round-5 advisory)."""
+    from quant_market_data_pipeline_spark.sources.sink import delete_rows
+
+    lake = str(tmp_path / "lake")
+    rows = [
+        (1, "a b", 10),
+        (2, "a b", 20),
+        (3, "x:y", 30),
+        (4, "p%q", 40),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, src string, v bigint"
+    ).write.partitionBy("src").parquet(lake)
+    # escaped directory names exist on disk (Spark escapes : and % but
+    # not spaces — the fix routes through the SAME JVM escapePathName)
+    names = {p.name for p in Path(lake).iterdir() if p.is_dir()}
+    assert "src=x%3Ay" in names and "src=p%25q" in names
+    touched = delete_rows(
+        spark, lake, F.col("src").isin(["a b", "x:y"]), partition_col="src"
+    )
+    assert sorted(touched) == ["a b", "x:y"]
+    left = spark.read.parquet(lake)
+    assert left.count() == 1
+    assert left.select("src").first()[0] == "p%q"
+    # the emptied escaped directories are gone
+    remaining = {p.name for p in Path(lake).iterdir() if p.is_dir()}
+    assert len(remaining) == 1
+
+
+def test_delete_rows_null_partition_value(spark, tmp_path):
+    """NULL partition values land in __HIVE_DEFAULT_PARTITION__; a delete
+    touching (or fully emptying) that partition must find it — isin()
+    never matches NULL, and the directory name is not f'{col}=None'."""
+    from quant_market_data_pipeline_spark.sources.sink import delete_rows
+
+    lake = str(tmp_path / "lake")
+    rows = [(1, "s1", 10), (2, "s1", 20), (3, None, 99), (4, None, 5)]
+    spark.createDataFrame(
+        rows, "event_id bigint, src string, v bigint"
+    ).write.partitionBy("src").parquet(lake)
+    assert (Path(lake) / "src=__HIVE_DEFAULT_PARTITION__").exists()
+    delete_rows(spark, lake, F.col("v") > 50, partition_col="src")
+    left = spark.read.parquet(lake)
+    # the NULL partition was rewritten (not wiped, not missed): row v=5 kept
+    assert left.filter(F.col("src").isNull()).count() == 1
+    assert left.count() == 3
+    # now empty it entirely -> directory removed
+    delete_rows(spark, lake, F.col("src").isNull(), partition_col="src")
+    assert not (Path(lake) / "src=__HIVE_DEFAULT_PARTITION__").exists()
+    assert spark.read.parquet(lake).count() == 2
+
+
+def test_surgical_rewrite_parallelism(spark, tmp_path):
+    """A multi-partition rewrite hash-partitions by the partition column
+    into min(touched, shuffle partitions) buckets — parallel write tasks —
+    while keeping one data file per partition directory."""
+    from quant_market_data_pipeline_spark.sources.sink import (
+        _rewrite_parallelism,
+        delete_rows,
+    )
+
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _rewrite_parallelism(spark, 1) == 1
+    assert _rewrite_parallelism(spark, 7) == min(7, cap)
+    assert _rewrite_parallelism(spark, 10**6) == cap
+
+    lake = str(tmp_path / "lake")
+    _lake(spark, lake, n_days=3)
+    delete_rows(spark, lake, F.col("event_id") % 2 == 0)
+    for d in (1, 2, 3):
+        part = Path(lake) / f"trading_date=2024-01-0{d}"
+        files = [p for p in part.iterdir() if p.suffix == ".parquet"]
+        assert len(files) == 1, f"expected 1 file in {part}, got {files}"
+    assert spark.read.parquet(lake).count() == 12
