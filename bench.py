@@ -1,17 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the very last stdout line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-``value`` is the summed wall-clock of the headline queries (each executed
-to completion with a count-collapsing action).  Per-query seconds let the
-judge compare operator families against BASELINE.md.
+and writes the FULL result document (per-run samples, probe per-query
+timings, deltas vs the previous round) to ``BENCH_FULL_LATEST.json`` at
+the repo root.  The split exists because the driver records a bounded
+stdout tail: round 5's single fat line was clipped mid-key (``parsed:
+null``), losing the headline number.  The compact line carries everything
+the round-over-round compare needs (warm medians, cold firsts, regression
+flags, probe totals); per-query probe detail lives in the file.
+
+``value`` is the summed wall-clock of the headline queries, each executed
+to completion with a count-collapsing action; per-query warm seconds are
+the MEDIAN OF 3 steady-state runs (single-run timing flagged a +29%
+"regression" on untouched code in r5 — one GC pause is enough), letting
+the judge compare operator families against BASELINE.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -257,16 +268,20 @@ def main() -> None:
         _warm(F.col("id").cast("double"))
     ).count()
 
-    # Steady-state timing: each query executes twice; the FIRST run
+    # Steady-state timing: each query executes 4 times.  The FIRST run
     # absorbs one-time session costs its plan shape triggers (whole-stage
     # codegen compile, JIT, Arrow/cogroup worker handshakes — all
-    # amortized to zero on a long-lived cluster), the SECOND run is the
-    # recorded operator cost.  Nothing data-level is cached across runs:
-    # each invocation builds a fresh DataFrame, re-scans parquet,
-    # re-shuffles and re-computes (localCheckpoints are per-DataFrame).
-    # Cold (first-run) seconds are reported alongside for transparency.
+    # amortized to zero on a long-lived cluster) and is reported as the
+    # cold number; the recorded operator cost is the MEDIAN of the next
+    # 3 runs, so a single GC pause or OS hiccup can't flag a phantom
+    # regression (r5: ann_ivf_topk +29% on untouched code, single-run).
+    # Nothing data-level is cached across runs: each invocation builds a
+    # fresh DataFrame, re-scans parquet, re-shuffles and re-computes
+    # (localCheckpoints are per-DataFrame).
+    warm_runs = 3
     timings: dict[str, float] = {}
     timings_cold: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
@@ -274,9 +289,13 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.spark(spark, sf_dir).count()
         timings_cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(warm_runs):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -326,34 +345,48 @@ def main() -> None:
     shared = sorted(set(timings_cold) & set(prev_cold))
     shared_cold_total = round(sum(timings_cold[n] for n in shared), 3)
     prev_shared_cold_total = round(sum(prev_cold[n] for n in shared), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": timings_cold,
-                "timing": "steady_state_2nd_run",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "delta_vs_prev": deltas,
-                "regressions_over_20pct": regressions,
-                "shared_cold_total": shared_cold_total,
-                "prev_shared_cold_total": prev_shared_cold_total,
-                "shared_cold_n": len(shared),
-                "docscale_factor": DOCSCALE_FACTOR,
-                "docscale_queries": docscale,
-                "docscale_total": round(
-                    sum(v for v in docscale.values() if isinstance(v, float)), 3
-                ),
-                "tickscale_factor": TICKSCALE_FACTOR,
-                "tickscale_queries": tickscale,
-                "tickscale_total": round(
-                    sum(v for v in tickscale.values() if isinstance(v, float)), 3
-                ),
-            }
-        )
+
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": timings_cold,
+        "timing": f"median_of_{warm_runs}_steady_state",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "regressions_over_20pct": regressions,
+        "shared_cold_total": shared_cold_total,
+        "prev_shared_cold_total": prev_shared_cold_total,
+        "shared_cold_n": len(shared),
+        "docscale_factor": DOCSCALE_FACTOR,
+        "docscale_total": round(
+            sum(v for v in docscale.values() if isinstance(v, float)), 3
+        ),
+        "tickscale_factor": TICKSCALE_FACTOR,
+        "tickscale_total": round(
+            sum(v for v in tickscale.values() if isinstance(v, float)), 3
+        ),
+        "detail": "BENCH_FULL_LATEST.json",
+    }
+    full = dict(compact)
+    full.update(
+        {
+            "samples": samples,
+            "delta_vs_prev": deltas,
+            "docscale_queries": docscale,
+            "tickscale_queries": tickscale,
+        }
     )
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL_LATEST.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
+    # the compact summary is the very LAST stdout line (and small enough
+    # that a bounded tail capture can't truncate it mid-key)
+    sys.stdout.flush()
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
