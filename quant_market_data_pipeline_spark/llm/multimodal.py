@@ -21,6 +21,7 @@ partitioning (no shuffle).
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,15 +43,90 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def real_decode_stub(payload: bytes, kind: str) -> tuple[int, int, int]:
-    """Placeholder for a real codec (PIL/pyav); not available here.
+    """Placeholder for a full codec stack (PIL/pyav); not available here.
 
     Raises NotImplementedError by design — the container ships no media
-    libraries.  Deployments override ``decode_fn`` in
-    ``extract_media_features``.
+    libraries.  NOTE: plain BMP and WAV containers DO decode in-container
+    via ``stdlib_decode`` (the default); this stub is only the seam for
+    compressed formats (JPEG/PNG/MP4/...).
     """
     raise NotImplementedError(
-        "real media decoding requires PIL/pyav; inject decode_fn"
+        "compressed media decoding requires PIL/pyav; inject decode_fn"
     )
+
+
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """A real, valid 24-bpp BMP file (BITMAPFILEHEADER + BITMAPINFOHEADER
+    + bottom-up pixel rows padded to 4 bytes), deterministic in ``seed``.
+
+    Used to synthesize a decodable test corpus; any standard image viewer
+    opens the output.  Intended for small test dims (pixel generation is
+    a Python loop)."""
+    row = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = row * height
+    header = b"BM" + struct.pack("<IHHI", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes,
+        2835, 2835, 0, 0,
+    )
+    px = bytes((seed * 31 + i) % 256 for i in range(pixel_bytes))
+    return header + info + px
+
+
+def encode_wav(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """A real, valid RIFF/WAVE file: canonical 44-byte header + 16-bit
+    PCM mono samples, deterministic in ``seed``."""
+    data = struct.pack(
+        f"<{n_samples}h",
+        *[((seed * 7 + i * 13) % 2048) - 1024 for i in range(n_samples)],
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+        )
+        + b"data" + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def stdlib_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
+    """Pure-stdlib container decoder — the DEFAULT codec, so the decode
+    branch genuinely executes in-container (no media libraries needed):
+
+    - BMP (``BM`` magic + file-size field matching the payload):
+      (width, height, 1) parsed from the BITMAPINFOHEADER;
+    - WAV (``RIFF..WAVE``): the audio analogue
+      (sample_rate, n_channels, n_samples) via a proper chunk walk
+      (handles extra chunks + odd-size padding, not just canonical
+      44-byte files);
+    - anything else falls back to :func:`fake_decode`, keeping the
+      text-payload fixtures and their oracles byte-stable.
+
+    Compressed formats (JPEG/MP4) still require injecting a real codec
+    via ``decode_fn`` (see :func:`real_decode_stub`).
+    """
+    b = bytes(payload)
+    if (
+        len(b) >= 54
+        and b[:2] == b"BM"
+        and struct.unpack_from("<I", b, 2)[0] == len(b)
+    ):
+        width, height = struct.unpack_from("<ii", b, 18)
+        return int(width), abs(int(height)), 1
+    if len(b) >= 44 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, rate, channels, bits, n_samples = 12, 0, 0, 0, 0
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            csz = struct.unpack_from("<I", b, pos + 4)[0]
+            if cid == b"fmt " and pos + 24 <= len(b):
+                _, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
+                bits = struct.unpack_from("<H", b, pos + 22)[0]
+            elif cid == b"data" and channels and bits:
+                n_samples = csz // (channels * (bits // 8))
+            pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+        return int(rate), int(channels), int(n_samples)
+    return fake_decode(b, kind)
 
 
 def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
@@ -65,7 +141,40 @@ def fake_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
     return 64 + ord(h[0]), 64 + ord(h[1]), (len(payload) % 7) + 1
 
 
-def extract_media_features(media: DataFrame, decode_fn=fake_decode) -> DataFrame:
+def synthetic_codec_media(docs: DataFrame) -> DataFrame:
+    """A decodable media table generated DISTRIBUTIVELY from doc ids:
+    even ids become real BMP images (dims = f(id)), odd ids real WAV
+    audio (rate/samples = f(id)).  mapInPandas — blob generation scales
+    out with the id table, no driver-side materialization."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, payloads = [], []
+            for raw in pdf["doc_id"]:
+                i = int(raw)
+                if i % 2 == 0:
+                    kinds.append("image")
+                    payloads.append(encode_bmp(1 + i % 64, 1 + i % 48, i))
+                else:
+                    kinds.append("audio")
+                    payloads.append(
+                        encode_wav(100 + i % 50, 8000 + (i % 8) * 1000, i)
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "kind": kinds, "payload": payloads}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema)
+
+
+def extract_media_features(media: DataFrame, decode_fn=stdlib_decode) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
     ``mapInPandas``: each input record batch arrives as a pandas DataFrame;
@@ -116,7 +225,7 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(
-    media: DataFrame, every_n: int = 2, decode_fn=fake_decode
+    media: DataFrame, every_n: int = 2, decode_fn=stdlib_decode
 ) -> DataFrame:
     """Frame sampling: one output row per kept frame (idx 0, every_n, ...).
 

@@ -46,3 +46,66 @@ def test_real_decoder_is_explicit_stub():
 
 def test_fake_decode_deterministic():
     assert fake_decode(b"abc", "image") == fake_decode(b"abc", "image")
+
+
+def test_stdlib_codec_bmp_roundtrip():
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        encode_bmp,
+        stdlib_decode,
+    )
+
+    blob = encode_bmp(17, 9, seed=42)
+    # real BMP: magic, declared size == actual size, 4-byte-padded rows
+    assert blob[:2] == b"BM"
+    assert len(blob) == 54 + ((17 * 3 + 3) // 4) * 4 * 9
+    assert stdlib_decode(blob, "image") == (17, 9, 1)
+
+
+def test_stdlib_codec_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        encode_wav,
+        stdlib_decode,
+    )
+
+    blob = encode_wav(123, 16000, seed=7)
+    assert len(blob) == 44 + 2 * 123
+    assert stdlib_decode(blob, "audio") == (16000, 1, 123)
+    # non-canonical file: a LIST chunk (odd size -> pad byte) before data
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    shuffled = blob[:12] + extra + blob[12:]
+    shuffled = (
+        shuffled[:4]
+        + struct.pack("<I", len(shuffled) - 8)
+        + shuffled[8:]
+    )
+    assert stdlib_decode(shuffled, "audio") == (16000, 1, 123)
+
+
+def test_stdlib_codec_falls_back_to_fake_for_text():
+    from quant_market_data_pipeline_spark.llm.multimodal import (
+        fake_decode,
+        stdlib_decode,
+    )
+
+    payload = "BMarley was here".encode()  # 'BM' prefix but not a BMP
+    assert stdlib_decode(payload, "image") == fake_decode(payload, "image")
+
+
+def test_media_codec_roundtrip_query(spark):
+    from quant_market_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    out = (
+        reg["media_codec_roundtrip"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(out) > 0
+    by_id = {r["media_id"]: r for r in out}
+    even = by_id[min(i for i in by_id if i % 2 == 0)]
+    odd = by_id[min(i for i in by_id if i % 2 == 1)]
+    assert even["kind"] == "image" and even["n_frames"] == 1
+    assert odd["kind"] == "audio" and odd["height"] == 1
+    assert odd["n_bytes"] == 44 + 2 * odd["n_frames"]
