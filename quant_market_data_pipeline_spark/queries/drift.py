@@ -86,10 +86,14 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    sources = d.select("source").distinct()
-    lens = d.select("n_chars").distinct()
+    # the corpus reduces ONCE to (source, n_chars) counts; checkpoint so
+    # the grid sides and both pair-join legs re-derive from the in-memory
+    # dimension frame instead of re-running the corpus scan (6x before)
+    counts = counts.localCheckpoint()
+    sources = counts.select("source").distinct()
+    lens = counts.select("n_chars").distinct()
     grid = lens.crossJoin(F.broadcast(sources))
-    joined = grid.join(counts, ["source", "n_chars"], "left").select(
+    joined = grid.join(F.broadcast(counts), ["source", "n_chars"], "left").select(
         "source", "n_chars", F.coalesce("cnt", F.lit(0)).alias("cnt")
     )
     wcum = Window.partitionBy("source").orderBy("n_chars")
@@ -113,7 +117,9 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("tot_b"),
     )
     pairs = (
-        a.join(b, "n_chars")
+        # both legs are the |sources| x |lens| ECDF grid — broadcast,
+        # never sort-merge the dimension frame
+        F.broadcast(a).join(b, "n_chars")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(
@@ -781,20 +787,25 @@ FROM pairs GROUP BY 1, 2
     "ks_source_drift (KS sees the worst single point, JS the whole "
     "distribution; 0 = identical, ln2 = disjoint).  Same scale shape as "
     "KS: the corpus reduces ONCE to (source, bin) counts, distributions "
-    "normalize on the |sources| x |bins| grid, and the pair join runs "
-    "on that dimension-sized frame.  js_norm rescales to [0, 1].",
+    "normalize on the |sources| x |bins| grid, and the pair join "
+    "BROADCASTS that dimension-sized frame (no sort-merge join "
+    "anywhere in the plan).  js_norm rescales to [0, 1].",
 )
 def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, "documents", sf_dir)
     binned = d.groupBy(
         "source", (F.col("n_chars") / 100).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # the corpus reduces ONCE: everything below (grid, both pair-join
+    # sides) re-derives from this dimension-sized frame, so checkpoint it
+    # — otherwise each consumer re-runs the full corpus scan (6 scans)
+    binned = binned.localCheckpoint()
     sources = binned.select("source").distinct()
     bins = binned.select("bin").distinct()
     grid = bins.crossJoin(F.broadcast(sources))
     wtot = Window.partitionBy("source")
     dist = (
-        grid.join(binned, ["source", "bin"], "left")
+        grid.join(F.broadcast(binned), ["source", "bin"], "left")
         .select(
             "source", "bin", F.coalesce("cnt", F.lit(0)).alias("cnt")
         )
@@ -818,7 +829,9 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         half * F.col("pb") * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb"))),
     ).otherwise(F.lit(0.0))
     return (
-        a.join(b, "bin")
+        # both sides are the |sources| x |bins| dimension frame — the
+        # pair join must broadcast, never sort-merge the grid
+        F.broadcast(a).join(b, "bin")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(

@@ -667,6 +667,9 @@ def q_var_historical_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r").isNotNull())
         .select("symbol", "r")
     )
+    # two consumers (quantile cut + ES join-back) — checkpoint the
+    # (symbol, day)-sized return frame so the tick scan runs once
+    rets = rets.localCheckpoint()
     q = rets.groupBy("symbol").agg(
         F.round(F.percentile("r", F.lit(0.05)), 6).alias("var_95")
     )

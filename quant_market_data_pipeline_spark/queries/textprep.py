@@ -863,6 +863,10 @@ def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+    # the corpus reduces ONCE to the |sources| frame; checkpoint it so
+    # the two normalizer aggs + the final projection don't each re-run
+    # the corpus scan (4 scans otherwise)
+    counts = counts.localCheckpoint()
     # totals via a broadcast cross join, not an over-() window: the frame
     # is |sources| rows, but the pattern stays single-partition-free
     tot = counts.groupBy().agg(F.sum("n_docs").alias("n_total"))

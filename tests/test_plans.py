@@ -265,15 +265,13 @@ def test_backtest_single_symbol_exchange(spark):
 
 
 def test_ks_drift_single_fact_agg(spark):
-    # the corpus reduces once: one hash-agg pair on (source, n_chars);
-    # the ECDF grid and pair join run on the reduced dimension frame
+    # the corpus reduces ONCE: a checkpointed (source, n_chars) count
+    # frame; the ECDF grid and the pair join run broadcast on that
+    # dimension frame — no parquet re-scan, no sort-merge join
     plan = _plan(spark, "ks_source_drift")
     assert "CartesianProduct" not in plan
-    # every documents scan prunes to the two referenced columns
-    cols = set()
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols |= {c.split(":")[0] for c in m.group(1).split(",") if c}
-    assert cols == {"source", "n_chars"}
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 0
 
 
 def test_psi_boundaries_broadcast_not_recomputed(spark):
@@ -395,4 +393,88 @@ def test_position_pnl_single_symbol_exchange(spark):
     # symbol-keyed exchange; no joins anywhere
     plan = _plan(spark, "position_pnl_daily")
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+# --- round-5/6 additions: spreads, tail risk, drift complements, mixing,
+#     nearest as-of, stdlib codec ---------------------------------------
+
+
+def test_asof_nearest_one_exchange_two_sorts(spark):
+    """nearest = backward + forward candidates over ONE keyed exchange:
+    the plan must show a single hashpartitioning shuffle feeding two
+    window sorts (asc + desc) — never a second join or shuffle."""
+    plan = _plan(spark, "asof_join_nearest")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_vol_signature_one_scan_two_exchanges(spark):
+    """3 sampling widths from ONE tick scan (map-side array explode):
+    one agg exchange on (width, symbol, bucket) + one window exchange on
+    (width, symbol) — widths multiply rows map-side, not pipeline runs."""
+    plan = _plan(spark, "realized_vol_signature")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_roll_and_cs_spreads_single_symbol_pipeline(spark):
+    """Both spread estimators reduce ticks to bars once, then window on
+    the symbol key: two exchanges (bar agg + window), no joins."""
+    for name in ("roll_spread_estimator", "corwin_schultz_spread"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 2, name
+        assert "Join" not in plan, name
+
+
+def test_var_quantile_frame_broadcasts(spark):
+    """Historical VaR/ES: the per-symbol quantile cut joins back to the
+    returns as a BROADCAST (the quantile frame is |symbols| rows) — the
+    fact side is never sort-merge-shuffled against it."""
+    plan = _plan(spark, "var_historical_es")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_js_divergence_dimension_joins_broadcast(spark):
+    """JS divergence reduces the corpus ONCE to (source, bin) counts;
+    the grid fill and the pair join both run broadcast on that
+    dimension-sized frame — no sort-merge join anywhere."""
+    plan = _plan(spark, "js_divergence_sources")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the corpus scan happens ONCE (checkpointed (source,bin) reduction);
+    # the final plan reads only the in-memory dimension frame
+    assert plan.count("Scan parquet") == 0
+
+
+def test_cusum_single_fact_reduction(spark):
+    """CUSUM drift: the fact reduces once to (type, day) counts; the
+    cumulative bridge runs on that dimension frame (two exchanges: agg
+    + window), no joins back to the fact."""
+    plan = _plan(spark, "cusum_count_drift")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_temperature_mix_bounded_global_aggs(spark):
+    """Temperature mixing: one corpus hash-agg to the |sources| frame;
+    the 2 global normalizers + broadcast cross joins run on that frame
+    (SinglePartition exchanges are dimension-sized by construction)."""
+    plan = _plan(spark, "sampling_temperature_mix")
+    # corpus scanned once (checkpointed |sources| reduction); the final
+    # plan reads only the in-memory dimension frame
+    assert plan.count("Scan parquet") == 0
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_media_codec_narrow_pipeline(spark):
+    """Codec round-trip is generate -> decode, both Arrow-batched narrow
+    stages: NO shuffle of any kind in the plan."""
+    plan = _plan(spark, "media_codec_roundtrip")
+    assert "Exchange" not in plan
     assert "Join" not in plan

@@ -126,10 +126,49 @@ QUERIES = [
     "weighted_sample_docs",
     "in_session_funnel",
     "tick_size_conformance",
+    # round 5: spread estimators, tail risk, drift complements, mixing,
+    # nearest as-of
+    "roll_spread_estimator",
+    "corwin_schultz_spread",
+    "realized_vol_signature",
+    "var_historical_es",
+    "sampling_temperature_mix",
+    "js_divergence_sources",
+    "cusum_count_drift",
+    "asof_join_nearest",
+    # round 6: executable stdlib codec round-trip
+    "media_codec_roundtrip",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
 NOTES = """
+## Dimension-frame reuse: checkpoint the single fact reduction (round 6)
+
+The pairwise drift/mixing queries reduce the corpus ONCE to a
+dimension-sized frame ((source, bin)/(source, n_chars)/|sources|), then
+consume it from several branches (grid fill, both pair-join legs, global
+normalizers).  Lazy evaluation re-ran the full corpus scan per consumer —
+`ks_source_drift` planned SIX parquet scans + a SortMergeJoin of the
+grid.  Round 6: the reduction is localCheckpoint'ed (same pattern as the
+LSH index builds) and every dimension-frame join is explicitly broadcast.
+ks_source_drift 6 scans -> 1, SMJ -> 0; js_divergence_sources 6 -> 1;
+sampling_temperature_mix 4 -> 1; var_historical_es tick scan 2 -> 1.
+tests/test_plans.py pins `Scan parquet == 0` on the post-checkpoint plans.
+
+## Bench timing is median-of-3 steady state (round 6)
+
+r5 flagged ann_ivf_topk +29% warm with no code change.  Root cause:
+single-run timing — within ONE session ann_ivf warm samples spread
+0.86-1.00 s (~16%), so a single GC pause crosses the 20% flag line.
+bench.py now records the median of 3 warm runs per query (cold first-run
+reported alongside) and computes regression flags on medians; r6 shows
+ann_ivf flat (0.898 s vs r4's 0.787 s single-run) with zero flags.  The
+full result doc (per-run samples, probe per-query walls) goes to
+BENCH_FULL_LATEST.json; stdout ends with a compact summary line the
+driver's tail capture cannot clip.
+"""  # noqa: E501
+
+_LEGACY_NOTES = """
 ## simhash32 is ablation-only (round 3)
 
 `simhash32_neardup_pairs`'s 16-bit prefix blocking over a 32-bit
@@ -379,6 +418,7 @@ def main() -> None:
         out.append("\n```\n" + plan[:4000] + ("\n… (truncated)" if len(plan) > 4000 else "") + "\n```\n")
 
     out.append(NOTES)
+    out.append(_LEGACY_NOTES)
     out.append(_ROUND2_NOTES)
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("".join(out))
