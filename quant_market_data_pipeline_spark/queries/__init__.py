@@ -44,75 +44,65 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 
 # Registry iteration order doubles as the correctness-gate priority: a
 # driver that verifies a prefix of the registry must see (a) queries whose
-# oracle entries are new or recently fixed, (b) every bench headliner,
-# before queries that already carry a green verdict from a prior round.
+# oracle entries are new or recently fixed, (b) every query whose module
+# was touched this round, before queries that already carry a green
+# verdict from a prior round.
+#
+# ROTATION POLICY (steady state, every query driver-green cumulatively):
+# each round's window = (a) queries NEW this round, (b) queries whose
+# implementation, shared operator, or oracle was TOUCHED this round, and
+# (c) a seeded random 20-query re-confirmation sample over the untouched
+# remainder (sort by md5("r{N}:" + name), take 20) — the sample guards
+# against silent oracle drift that a touched-only window would miss.
 _PRIORITY = [
-    # --- round-5 window.  Everything checked in r1-r4 left the window
-    #     (coverage is cumulative across rounds).  This window closes the
-    #     driver-coverage gap: the 33 round-4c/4d queries registered
-    #     after the r4 window froze, the round-4 red row (fixed), and
-    #     queries whose oracle/output changed this round.
-    # (a) the three BENCH headliners that shipped without a driver
-    #     verdict (round-4 judge directive: they lead the window)
-    "ks_source_drift",  # + oracle fix: double-cast n_a*n_b (overflow)
-    "peak_concurrency_daily",
-    "vwap_slippage_tca",
-    # (b) the round-4 red row: partitionOverwriteMode=dynamic moved to
-    #     _RUNTIME_CONF so the driver's external session runs the
-    #     partition-overwrite sinks in dynamic mode (session.py), with
-    #     static-mode guard asserts in every sink (sources/sink.py)
-    "incremental_bar_refresh_e2e",
-    # (c) lake-maintenance / governance e2e gates — same sinks as (b),
-    #     so they are its regression net; user_erasure additionally
-    #     covers the delete_rows fixes (fully-matched partition removal
-    #     + SQL NULL-predicate DELETE semantics), retention_expiry the
-    #     Hadoop-FileSystem expiry path, compaction + binaryfile their
-    #     round-4 advisory oracle fixes
+    # --- round-6 window ---------------------------------------------
+    # (a) new this round: the executable stdlib-codec gate (real BMP/WAV
+    #     encode -> binary header-parse decode, format-arithmetic oracle)
+    "media_codec_roundtrip",
+    # (b) touched this round:
+    #     - default codec changed to stdlib_decode (text payloads fall
+    #       back to the fake — outputs must be byte-identical)
+    "media_features",
+    "media_frame_sample",
+    "binaryfile_media_scan_e2e",
+    #     - sink.py surgical-rewrite fixes (escaped partition paths,
+    #       NULL partitions, parallel rewrite) + user_erasure oracle now
+    #       mirrors SQL DELETE NULL semantics
     "user_erasure_e2e",
     "retention_expiry_e2e",
     "compaction_e2e",
-    "schema_evolution_scan_e2e",
-    "binaryfile_media_scan_e2e",
-    # (d) remaining never-driver-checked round-4c/4d queries
-    "psi_price_drift",
-    "hhi_supplier_concentration",
-    "mad_outlier_ticks",
-    "event_markov_transitions",
-    "key_skew_gini",
-    "copurchase_triangles",
-    "hybrid_rrf_fusion",
-    "shingle_novelty",
-    "feature_hashing_long",
-    "loo_target_encoding",
-    "overnight_intraday_split",
-    "underwater_streaks",
-    "neardup_calibration",
-    "langid_confusion",
-    "forecast_backtest_mape",
-    "embedding_quant_report",
-    "session_path_topk",
-    "stream_zscore_e2e",
-    "position_pnl_daily",
-    "freshness_staleness_audit",
-    "referential_integrity_audit",
-    "primary_key_audit",
-    "weighted_sample_docs",
-    "in_session_funnel",
-    "tick_size_conformance",
-    # (e) oracle upgraded rows-only -> hash-checked (WITH RECURSIVE
-    #     reachability twin) after the r4 window froze — needs its first
-    #     hash-checked driver verdict
-    "dedup_components",
-    # (f) new round-5 queries: microstructure spread estimators, tail
-    #     risk, drift complements, training-data mixing, nearest as-of
-    "roll_spread_estimator",
-    "corwin_schultz_spread",
-    "realized_vol_signature",
-    "var_historical_es",
-    "sampling_temperature_mix",
-    "js_divergence_sources",
-    "cusum_count_drift",
+    "incremental_bar_refresh_e2e",
+    #     - asof.py tolerance now micros-precise in ALL directions
     "asof_join_nearest",
+    "asof_join_backward",
+    "asof_join_forward",
+    #     - drift/mixing/risk single-scan checkpoint + broadcast rework
+    "ks_source_drift",
+    "js_divergence_sources",
+    "sampling_temperature_mix",
+    "var_historical_es",
+    # (c) seeded re-confirmation sample (md5("r6:" + name), first 20 of
+    #     the untouched remainder)
+    "dedup_components",
+    "session_window_stats",
+    "anomaly_zscore_counts",
+    "brand_supplier_stats",
+    "gap_fill_ffill",
+    "unpivot_ohlc",
+    "intraday_seasonality",
+    "small_qty_avg_revenue",
+    "position_pnl_daily",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "cohort_retention",
+    "meanrev_backtest_5min",
+    "nation_trade_volume",
+    "realized_vol_signature",
+    "temporal_features",
+    "source_overlap_matrix",
+    "obv_daily",
+    "return_autocorr",
+    "regional_revenue",
 ]
 
 
