@@ -122,7 +122,10 @@ def stdlib_decode(payload: bytes, kind: str) -> tuple[int, int, int]:
             if cid == b"fmt " and pos + 24 <= len(b):
                 _, channels, rate = struct.unpack_from("<HHI", b, pos + 8)
                 bits = struct.unpack_from("<H", b, pos + 22)[0]
-            elif cid == b"data" and channels and bits:
+            elif cid == b"data" and channels and bits >= 8:
+                # bits >= 8 guards the divisor: sub-byte encodings
+                # (4-bit IMA ADPCM) would otherwise make it zero in the
+                # executor UDF; those report n_samples = 0 (unknown)
                 n_samples = csz // (channels * (bits // 8))
             pos += 8 + csz + (csz & 1)  # chunks are word-aligned
         return int(rate), int(channels), int(n_samples)
@@ -224,6 +227,9 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+_FRAME_FLUSH_ROWS = 1 << 16
+
+
 def sample_frames(
     media: DataFrame, every_n: int = 2, decode_fn=stdlib_decode
 ) -> DataFrame:
@@ -231,26 +237,44 @@ def sample_frames(
 
     mapInPandas is a flat-map over Arrow batches — the output cardinality
     is decoupled from the input (a 2-hour video expands to thousands of
-    rows without ever materializing all frames in one buffer).  The fake
-    'decoder' derives the frame count from the payload and each frame's
-    bytes as sha256(payload + b'#' + idx) — deterministic, oracle-matched.
+    rows without ever materializing all frames in one buffer).  Output
+    accumulates at most ``_FRAME_FLUSH_ROWS`` rows before yielding a
+    batch downstream: with ``stdlib_decode`` a real WAV's frame count is
+    its full sample count (44.1 kHz x minutes = millions of frames per
+    blob), so flushing per input batch instead of per N rows would hold
+    the whole expansion in Python lists.  The fake 'decoder' derives the
+    frame count from the payload and each frame's bytes as
+    sha256(payload + b'#' + idx) — deterministic, oracle-matched.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids: list = []
+        idxs: list = []
+        shas: list = []
         for pdf in batches:
-            ids, idxs, shas = [], [], []
             for mid, payload, kind in zip(
                 pdf["media_id"], pdf["payload"], pdf["kind"]
             ):
                 n_frames = decode_fn(payload, kind)[2]
+                pb = bytes(payload)
                 for i in range(0, n_frames, every_n):
                     ids.append(mid)
                     idxs.append(i)
                     shas.append(
                         hashlib.sha256(
-                            bytes(payload) + b"#" + str(i).encode()
+                            pb + b"#" + str(i).encode()
                         ).hexdigest()
                     )
+                    if len(ids) >= _FRAME_FLUSH_ROWS:
+                        yield pd.DataFrame(
+                            {
+                                "media_id": ids,
+                                "frame_idx": idxs,
+                                "frame_sha256": shas,
+                            }
+                        )
+                        ids, idxs, shas = [], [], []
+        if ids:
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame_sha256": shas}
             )

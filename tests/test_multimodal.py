@@ -109,3 +109,63 @@ def test_media_codec_roundtrip_query(spark):
     assert even["kind"] == "image" and even["n_frames"] == 1
     assert odd["kind"] == "audio" and odd["height"] == 1
     assert odd["n_bytes"] == 44 + 2 * odd["n_frames"]
+
+
+def test_stdlib_codec_sub_byte_wav_no_crash():
+    """4-bit (IMA ADPCM-style) WAV: bits < 8 must not divide by zero in
+    the executor UDF — n_samples reports 0 (unknown) instead."""
+    import struct
+
+    data = b"\x12\x34\x56\x78"
+    blob = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 17, 1, 8000, 4055, 256, 4)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    from quant_market_data_pipeline_spark.llm.multimodal import stdlib_decode
+
+    assert stdlib_decode(blob, "audio") == (8000, 1, 0)
+
+
+def test_sample_frames_chunked_flush(spark):
+    """A payload expanding past the flush threshold must stream out in
+    multiple output batches with identical rows/order to the naive path
+    (bounded-memory claim of sample_frames)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.llm import multimodal as mm
+
+    # 5 blobs x 40 frames each, flush threshold forced tiny so the
+    # chunking path actually executes (production threshold is 65536)
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    rows = [(i, "video", bytes([i]) * 10) for i in range(5)]
+    media = spark.createDataFrame(rows, schema)
+
+    def decode_40(payload, kind):
+        return (1, 1, 40)
+
+    old = mm._FRAME_FLUSH_ROWS
+    mm._FRAME_FLUSH_ROWS = 7
+    try:
+        chunked = (
+            mm.sample_frames(media.coalesce(1), every_n=1, decode_fn=decode_40)
+            .toPandas()
+        )
+    finally:
+        mm._FRAME_FLUSH_ROWS = old
+    plain = (
+        mm.sample_frames(media.coalesce(1), every_n=1, decode_fn=decode_40)
+        .toPandas()
+    )
+    assert len(chunked) == 5 * 40
+    pd.testing.assert_frame_equal(
+        chunked.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
+        plain.sort_values(["media_id", "frame_idx"]).reset_index(drop=True),
+    )
