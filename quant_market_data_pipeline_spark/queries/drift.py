@@ -26,7 +26,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_dim,
+)
 from quant_market_data_pipeline_spark.sources.tables import load_table
 
 
@@ -86,10 +89,11 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source", "n_chars").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    # the corpus reduces ONCE to (source, n_chars) counts; checkpoint so
+    # the corpus reduces ONCE to (source, n_chars) counts; materialize so
     # the grid sides and both pair-join legs re-derive from the in-memory
-    # dimension frame instead of re-running the corpus scan (6x before)
-    counts = counts.localCheckpoint()
+    # dimension frame instead of re-running the corpus scan (6x before).
+    # persist-with-lineage, not localCheckpoint: survives executor loss.
+    counts = materialize_dim(counts)
     sources = counts.select("source").distinct()
     lens = counts.select("n_chars").distinct()
     grid = lens.crossJoin(F.broadcast(sources))
@@ -797,9 +801,10 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", (F.col("n_chars") / 100).cast("bigint").alias("bin")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     # the corpus reduces ONCE: everything below (grid, both pair-join
-    # sides) re-derives from this dimension-sized frame, so checkpoint it
-    # — otherwise each consumer re-runs the full corpus scan (6 scans)
-    binned = binned.localCheckpoint()
+    # sides) re-derives from this dimension-sized frame, so materialize it
+    # — otherwise each consumer re-runs the full corpus scan (6 scans).
+    # persist-with-lineage, not localCheckpoint: survives executor loss.
+    binned = materialize_dim(binned)
     sources = binned.select("source").distinct()
     bins = binned.select("bin").distinct()
     grid = bins.crossJoin(F.broadcast(sources))

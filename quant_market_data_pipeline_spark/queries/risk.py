@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.operators.bars import build_bars
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_dim,
+)
 from quant_market_data_pipeline_spark.sources.tables import load_table
 
 
@@ -667,9 +670,10 @@ def q_var_historical_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r").isNotNull())
         .select("symbol", "r")
     )
-    # two consumers (quantile cut + ES join-back) — checkpoint the
-    # (symbol, day)-sized return frame so the tick scan runs once
-    rets = rets.localCheckpoint()
+    # two consumers (quantile cut + ES join-back) — materialize the
+    # (symbol, day)-sized return frame so the tick scan runs once.
+    # persist-with-lineage, not localCheckpoint: survives executor loss.
+    rets = materialize_dim(rets)
     q = rets.groupBy("symbol").agg(
         F.round(F.percentile("r", F.lit(0.05)), 6).alias("var_95")
     )

@@ -21,6 +21,7 @@ from quant_market_data_pipeline_spark.queries.llm import (
     _embeddings,
     _planted_shingled,
 )
+from quant_market_data_pipeline_spark.session import materialize_dim
 
 # ---------------------------------------------------------------------------
 # Quality-gate threshold sweep: one scan, the whole operating curve.
@@ -863,10 +864,11 @@ def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
-    # the corpus reduces ONCE to the |sources| frame; checkpoint it so
+    # the corpus reduces ONCE to the |sources| frame; materialize it so
     # the two normalizer aggs + the final projection don't each re-run
-    # the corpus scan (4 scans otherwise)
-    counts = counts.localCheckpoint()
+    # the corpus scan (4 scans otherwise).  persist-with-lineage, not
+    # localCheckpoint: survives executor loss.
+    counts = materialize_dim(counts)
     # totals via a broadcast cross join, not an over-() window: the frame
     # is |sources| rows, but the pattern stays single-partition-free
     tot = counts.groupBy().agg(F.sum("n_docs").alias("n_total"))

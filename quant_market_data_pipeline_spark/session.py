@@ -95,3 +95,43 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return configure_runtime(spark)
+
+
+# --- dimension-frame materialization ---------------------------------------
+# Bounded FIFO of frames materialize_dim has persisted: dimension frames
+# are tiny (|sources|, (source, bin) grids), but a long-lived session
+# (the correctness driver runs 200+ queries in one session) should not
+# accumulate cache entries forever.
+_DIM_CACHE: list = []
+_DIM_CACHE_MAX = 16
+
+
+def materialize_dim(df):
+    """Eagerly materialize a dimension-sized reduction for multi-consumer
+    reuse, keeping lineage intact.
+
+    The pairwise drift/mixing/risk queries reduce a fact table ONCE to a
+    dimension-sized frame and then consume it from several branches (grid
+    fill, both pair-join legs, global normalizers); without
+    materialization each consumer re-runs the fact scan.  The previous
+    implementation used ``localCheckpoint()``, which truncates lineage
+    into executor-local, non-replicated blocks: on a real cluster with
+    dynamic allocation, losing one executor makes the job FAIL instead of
+    recomputing (the Spark docs call this out explicitly).
+    ``persist(MEMORY_AND_DISK)`` + an eager count gives the same
+    single-fact-scan plan shape while keeping the lineage, so a lost
+    cache block is recomputed from source — the failure semantics a
+    100 TB job needs.
+
+    The persisted frames are registered in a bounded FIFO; beyond
+    ``_DIM_CACHE_MAX`` entries the oldest is unpersisted (safe: lineage
+    is intact, a late consumer just recomputes).
+    """
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # eager: materialize now so every consumer hits the cache
+    _DIM_CACHE.append(out)
+    while len(_DIM_CACHE) > _DIM_CACHE_MAX:
+        _DIM_CACHE.pop(0).unpersist(blocking=False)
+    return out

@@ -250,3 +250,34 @@ def test_expire_partitions_boundary(spark):
     assert dirs == {"trading_date=2024-01-05", "trading_date=2024-01-09"}
     # idempotent: nothing left to expire at the same cutoff
     assert expire_partitions(spark, lake, dt.date(2024, 1, 5)) == []
+
+
+def test_materialize_dim_keeps_lineage_and_bounds_cache(spark):
+    """materialize_dim must (a) serve consumers from cache, (b) keep the
+    lineage so a lost/evicted cache block recomputes instead of failing
+    (the localCheckpoint failure mode it replaces), (c) evict FIFO past
+    the bound."""
+    from quant_market_data_pipeline_spark import session as S
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    agg = df.groupBy("k").count()
+    out = S.materialize_dim(agg)
+    assert out.storageLevel.useMemory  # persisted
+    assert out.count() == 7
+    # lineage survives: unpersist (simulating block loss) and recompute
+    out.unpersist(blocking=True)
+    assert out.count() == 7
+    # FIFO bound: push > max entries through, oldest get unpersisted
+    old_max = S._DIM_CACHE_MAX
+    S._DIM_CACHE_MAX = 2
+    try:
+        frames = [
+            S.materialize_dim(spark.range(10 + i).groupBy().count())
+            for i in range(4)
+        ]
+        assert len(S._DIM_CACHE) == 2
+        # evicted frames still compute (lineage intact)
+        assert frames[0].count() == 1
+    finally:
+        S._DIM_CACHE_MAX = old_max
+        S._DIM_CACHE.clear()

@@ -23,7 +23,13 @@ def _plan(spark, name: str) -> str:
     spark.catalog.clearCache()
     reg = load_all()
     df = reg[name].spark(spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    # cached-plan descriptions under InMemoryRelation are how the cache
+    # was BUILT, not scans the plan executes — strip before counting
+    from quant_market_data_pipeline_spark.plans.inspect import (
+        executed_plan_str,
+    )
+
+    return executed_plan_str(df)
 
 
 def test_flagship_single_agg_shuffle_and_broadcast(spark):
@@ -272,6 +278,9 @@ def test_ks_drift_single_fact_agg(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 0
+    # the materialized (persist-with-lineage) dimension frame is what
+    # every branch reads
+    assert "InMemoryTableScan" in plan
 
 
 def test_psi_boundaries_broadcast_not_recomputed(spark):
@@ -445,9 +454,10 @@ def test_js_divergence_dimension_joins_broadcast(spark):
     plan = _plan(spark, "js_divergence_sources")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
-    # the corpus scan happens ONCE (checkpointed (source,bin) reduction);
+    # the corpus scan happens ONCE (materialized (source,bin) reduction);
     # the final plan reads only the in-memory dimension frame
     assert plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" in plan
 
 
 def test_cusum_single_fact_reduction(spark):
@@ -464,9 +474,10 @@ def test_temperature_mix_bounded_global_aggs(spark):
     the 2 global normalizers + broadcast cross joins run on that frame
     (SinglePartition exchanges are dimension-sized by construction)."""
     plan = _plan(spark, "sampling_temperature_mix")
-    # corpus scanned once (checkpointed |sources| reduction); the final
+    # corpus scanned once (materialized |sources| reduction); the final
     # plan reads only the in-memory dimension frame
     assert plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" in plan
     assert plan.count("Exchange SinglePartition") <= 3
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
