@@ -489,3 +489,21 @@ def test_media_codec_narrow_pipeline(spark):
     plan = _plan(spark, "media_codec_roundtrip")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bench_plan_fingerprint_stable_across_runs(spark):
+    """The bench regression gate relies on plan fingerprints to separate
+    AQE plan flaps from environment noise — a fingerprint that differs
+    between two executions of the SAME query would poison that evidence.
+    Pins the normalization (exprIds, lambda/CSE counters, stage ids)."""
+    from bench import _plan_fingerprint
+
+    reg = load_all()
+    for name in ("text_stats", "ks_source_drift"):
+        fps = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = reg[name].spark(spark, SF_DIR)
+            df.count()
+            fps.append(_plan_fingerprint(df))
+        assert fps[0] is not None and fps[0] == fps[1], (name, fps)
