@@ -391,3 +391,153 @@ def q_stream_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spread").alias("close"),
         F.round("z_score", 6).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crash-recovery: kill the stream mid-flight, restart from the checkpoint.
+# ---------------------------------------------------------------------------
+def _run_crash_recovery(spark: SparkSession, sf_dir: str):
+    """Run the live-bars chain in two phases with a mid-flight kill.
+
+    Phase 1 starts the CONTINUOUS stream (default trigger, 1 landing file
+    per micro-batch), waits until >= 2 data-carrying micro-batches have
+    committed, then ``stop()``s immediately — a genuine interrupt at a
+    nondeterministic point (a batch may be mid-write in the foreachBatch
+    sink).  Phase 2 restarts the identical chain from the SAME checkpoint
+    under ``availableNow`` and drains the remainder.  Exactly-once makes
+    the FINAL output independent of where the kill landed: an uncommitted
+    batch replays with the same batch_id and dynamically overwrites its
+    own partitions (``streaming/bars_stream.py:parquet_bar_sink``), and
+    dedup/window state reloads from the checkpoint.
+
+    The landing files are TIME-SLICED (slice i strictly precedes slice
+    i+1, written in mtime order so the file source processes them in
+    order): the watermark after slice i is max(ts_i) - 10 min, strictly
+    below every later slice's data, so no row is ever late-dropped and
+    the emitted window set equals the uninterrupted batch twin.
+
+    Returns (bars DataFrame filtered to the deterministic cutoff, stats).
+    """
+    import time
+
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "ts",
+        F.col("event_type").alias("symbol"),
+        F.col("value").alias("price"),
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_crash")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out = str(base / "bars")
+    ckpt = str(base / "ckpt")
+
+    # time-sliced landing: 8 approx-octile slices written sequentially
+    # (ascending mtime), each a single file
+    n_slices = 8
+    us = F.unix_micros(F.col("ts"))
+    bounds = [
+        int(b)
+        for b in ticks.select(
+            F.percentile_approx(
+                us, [i / n_slices for i in range(1, n_slices)], 10000
+            ).alias("b")
+        ).collect()[0]["b"]
+    ]
+    edges = [None, *bounds, None]
+    for i in range(n_slices):
+        sl = ticks
+        if edges[i] is not None:
+            sl = sl.filter(us >= F.lit(edges[i]))
+        if edges[i + 1] is not None:
+            sl = sl.filter(us < F.lit(edges[i + 1]))
+        sl.coalesce(1).write.mode("append").parquet(landing)
+
+    # phase 1: continuous stream, one file per micro-batch, killed after
+    # >= 2 data-carrying batches committed
+    q1 = run_live_bars(
+        spark,
+        landing_dir=landing,
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        schema=TICK_SCHEMA,
+        fmt="parquet",
+        width="5 minutes",
+        watermark_delay="10 minutes",
+        available_now=False,
+        max_files_per_trigger=1,
+    )
+    phase1_batches = 0
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        phase1_batches = sum(
+            1 for p in q1.recentProgress if p.get("numInputRows", 0) > 0
+        )
+        if phase1_batches >= 2:
+            break
+        time.sleep(0.03)
+    q1.stop()  # mid-flight kill: whatever batch is in progress is cut
+    q1.awaitTermination()
+
+    # phase 2: same chain, same checkpoint — replay + drain the rest
+    q2 = run_live_bars(
+        spark,
+        landing_dir=landing,
+        out_dir=out,
+        checkpoint_dir=ckpt,
+        schema=TICK_SCHEMA,
+        fmt="parquet",
+        width="5 minutes",
+        watermark_delay="10 minutes",
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination()
+    phase2_batches = sum(
+        1 for p in q2.recentProgress if p.get("numInputRows", 0) > 0
+    )
+
+    cutoff = ticks.agg(
+        (F.max("ts") - F.expr("INTERVAL 20 minutes")).alias("c")
+    ).collect()[0]["c"]
+    bars = (
+        spark.read.parquet(out)
+        .filter(F.col("bar_ts") <= F.lit(cutoff))
+        .select("symbol", "bar_ts", "open", "high", "low", "close", "volume")
+    )
+    return bars, {
+        "phase1_batches": phase1_batches,
+        "phase2_batches": phase2_batches,
+    }
+
+
+@register(
+    "stream_crash_recovery_e2e",
+    oracle="""
+SELECT event_type AS symbol,
+       time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS volume
+FROM events
+WHERE time_bucket(INTERVAL '5 minutes', ts)
+      <= (SELECT max(ts) - INTERVAL 20 minutes FROM events)
+GROUP BY 1, 2
+""",
+    doc="Crash-recovery gate (the claim streaming/stateful.py makes but "
+    "nothing previously exercised): the live bar stream is killed "
+    "mid-flight after >= 2 committed micro-batches, restarted from the "
+    "same checkpoint, and drained; the hash-checked result must equal "
+    "the uninterrupted batch twin EXACTLY — no duplicated bars from the "
+    "replayed batch (idempotent batch_id-scoped overwrite), no lost "
+    "bars (offsets + dedup/window state reload from the checkpoint).  "
+    "The kill point is deliberately nondeterministic; exactly-once is "
+    "precisely the property that makes the output deterministic anyway.",
+)
+def q_stream_crash_recovery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars, _stats = _run_crash_recovery(spark, sf_dir)
+    return bars
