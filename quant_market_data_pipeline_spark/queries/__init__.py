@@ -55,54 +55,46 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # remainder (sort by md5("r{N}:" + name), take 20) — the sample guards
 # against silent oracle drift that a touched-only window would miss.
 _PRIORITY = [
-    # --- round-6 window ---------------------------------------------
-    # (a) new this round: the executable stdlib-codec gate (real BMP/WAV
-    #     encode -> binary header-parse decode, format-arithmetic oracle)
-    "media_codec_roundtrip",
-    # (b) touched this round:
-    #     - default codec changed to stdlib_decode (text payloads fall
-    #       back to the fake — outputs must be byte-identical)
-    "media_features",
-    "media_frame_sample",
-    "binaryfile_media_scan_e2e",
-    #     - sink.py surgical-rewrite fixes (escaped partition paths,
-    #       NULL partitions, parallel rewrite) + user_erasure oracle now
-    #       mirrors SQL DELETE NULL semantics
-    "user_erasure_e2e",
-    "retention_expiry_e2e",
-    "compaction_e2e",
-    "incremental_bar_refresh_e2e",
-    #     - asof.py tolerance now micros-precise in ALL directions
-    "asof_join_nearest",
-    "asof_join_backward",
-    "asof_join_forward",
-    #     - drift/mixing/risk single-scan checkpoint + broadcast rework
+    # --- round-7 window ---------------------------------------------
+    # (a) new this round: the mid-flight-kill / checkpoint-replay gate
+    "stream_crash_recovery_e2e",
+    # (b) touched this round / targeted by the round-6 directives:
+    #     - ANN pair: exits `weak` via the dispersion-proof bench gate
+    #       (min-of-3 flags + plan fingerprints); re-confirm correctness
+    "ann_lsh_mt_topk",
+    "ann_ivf_topk",
+    #     - localCheckpoint -> materialize_dim (persist-with-lineage)
     "ks_source_drift",
     "js_divergence_sources",
     "sampling_temperature_mix",
     "var_historical_es",
-    # (c) seeded re-confirmation sample (md5("r6:" + name), first 20 of
+    #     - multimodal: sub-byte WAV guard + chunked frame sampling
+    "media_features",
+    "media_frame_sample",
+    "media_codec_roundtrip",
+    "binaryfile_media_scan_e2e",
+    # (c) seeded re-confirmation sample (md5("r7:" + name), first 20 of
     #     the untouched remainder)
-    "dedup_components",
-    "session_window_stats",
-    "anomaly_zscore_counts",
-    "brand_supplier_stats",
-    "gap_fill_ffill",
-    "unpivot_ohlc",
-    "intraday_seasonality",
-    "small_qty_avg_revenue",
-    "position_pnl_daily",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "cohort_retention",
-    "meanrev_backtest_5min",
-    "nation_trade_volume",
-    "realized_vol_signature",
-    "temporal_features",
-    "source_overlap_matrix",
-    "obv_daily",
-    "return_autocorr",
-    "regional_revenue",
+    "severity_classification",
+    "stream_bars_5min_e2e",
+    "topk_latest",
+    "macd_12_26_9",
+    "bracket_revenue",
+    "repetition_profile",
+    "incremental_bar_refresh_e2e",
+    "above_avg_orders",
+    "doc_lm_surprise",
+    "window_rank_topn",
+    "bar_returns_daily_vol",
+    "variant_props_metrics",
+    "bpe_merge_candidates",
+    "market_share_q8",
+    "dedup_first_per_bucket",
+    "max_drawdown",
+    "pandas_udf_quality_score",
+    "shingle_novelty",
+    "tfidf_top_terms",
+    "salted_hot_key_stats",
 ]
 
 
