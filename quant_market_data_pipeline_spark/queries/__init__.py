@@ -56,8 +56,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # against silent oracle drift that a touched-only window would miss.
 _PRIORITY = [
     # --- round-7 window ---------------------------------------------
-    # (a) new this round: the mid-flight-kill / checkpoint-replay gate
+    # (a) new this round: the mid-flight-kill / checkpoint-replay gates
+    # (bars chain + applyInPandasWithState ring-buffer state)
     "stream_crash_recovery_e2e",
+    "stream_zscore_crash_e2e",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

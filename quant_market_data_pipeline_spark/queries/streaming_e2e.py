@@ -396,6 +396,57 @@ def q_stream_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Crash-recovery: kill the stream mid-flight, restart from the checkpoint.
 # ---------------------------------------------------------------------------
+def _land_time_sliced(
+    df: DataFrame, ts_col: str, landing: str, n_slices: int
+) -> None:
+    """Write ``df`` as ``n_slices`` single-file parquet slices, slice i
+    strictly before slice i+1 in event time, in ascending-mtime order —
+    so a file-source stream with ``maxFilesPerTrigger=1`` processes the
+    data in event-time order across micro-batches (the per-key ordering
+    the stateful operators' ring buffers depend on), and the watermark
+    after slice i (max(ts_i) - delay) sits strictly below all later
+    slices' data (no late drops, deterministic emission)."""
+    us = F.unix_micros(F.col(ts_col))
+    bounds = [
+        int(b)
+        for b in df.select(
+            F.percentile_approx(
+                us, [i / n_slices for i in range(1, n_slices)], 10000
+            ).alias("b")
+        ).collect()[0]["b"]
+    ]
+    edges = [None, *bounds, None]
+    for i in range(n_slices):
+        sl = df
+        if edges[i] is not None:
+            sl = sl.filter(us >= F.lit(edges[i]))
+        if edges[i + 1] is not None:
+            sl = sl.filter(us < F.lit(edges[i + 1]))
+        sl.coalesce(1).write.mode("append").parquet(landing)
+
+
+def _kill_after_batches(query, min_batches: int = 2, deadline_s: int = 180) -> int:
+    """Poll a running continuous stream until >= ``min_batches``
+    data-carrying micro-batches have committed, then ``stop()`` it
+    immediately — a genuine mid-flight interrupt (whatever batch is in
+    progress is cut; its replay on restart is the recovery under test).
+    Returns the committed data-batch count at the kill."""
+    import time
+
+    batches = 0
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        batches = sum(
+            1 for p in query.recentProgress if p.get("numInputRows", 0) > 0
+        )
+        if batches >= min_batches:
+            break
+        time.sleep(0.03)
+    query.stop()
+    query.awaitTermination()
+    return batches
+
+
 def _run_crash_recovery(spark: SparkSession, sf_dir: str):
     """Run the live-bars chain in two phases with a mid-flight kill.
 
@@ -418,8 +469,6 @@ def _run_crash_recovery(spark: SparkSession, sf_dir: str):
 
     Returns (bars DataFrame filtered to the deterministic cutoff, stats).
     """
-    import time
-
     configure_runtime(spark)
     ticks = load_table(spark, "events", sf_dir).select(
         "event_id",
@@ -436,24 +485,7 @@ def _run_crash_recovery(spark: SparkSession, sf_dir: str):
 
     # time-sliced landing: 8 approx-octile slices written sequentially
     # (ascending mtime), each a single file
-    n_slices = 8
-    us = F.unix_micros(F.col("ts"))
-    bounds = [
-        int(b)
-        for b in ticks.select(
-            F.percentile_approx(
-                us, [i / n_slices for i in range(1, n_slices)], 10000
-            ).alias("b")
-        ).collect()[0]["b"]
-    ]
-    edges = [None, *bounds, None]
-    for i in range(n_slices):
-        sl = ticks
-        if edges[i] is not None:
-            sl = sl.filter(us >= F.lit(edges[i]))
-        if edges[i + 1] is not None:
-            sl = sl.filter(us < F.lit(edges[i + 1]))
-        sl.coalesce(1).write.mode("append").parquet(landing)
+    _land_time_sliced(ticks, "ts", landing, n_slices=8)
 
     # phase 1: continuous stream, one file per micro-batch, killed after
     # >= 2 data-carrying batches committed
@@ -469,17 +501,7 @@ def _run_crash_recovery(spark: SparkSession, sf_dir: str):
         available_now=False,
         max_files_per_trigger=1,
     )
-    phase1_batches = 0
-    deadline = time.time() + 180
-    while time.time() < deadline:
-        phase1_batches = sum(
-            1 for p in q1.recentProgress if p.get("numInputRows", 0) > 0
-        )
-        if phase1_batches >= 2:
-            break
-        time.sleep(0.03)
-    q1.stop()  # mid-flight kill: whatever batch is in progress is cut
-    q1.awaitTermination()
+    phase1_batches = _kill_after_batches(q1)
 
     # phase 2: same chain, same checkpoint — replay + drain the rest
     q2 = run_live_bars(
@@ -541,3 +563,137 @@ GROUP BY 1, 2
 def q_stream_crash_recovery_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars, _stats = _run_crash_recovery(spark, sf_dir)
     return bars
+
+
+# ---------------------------------------------------------------------------
+# Crash-recovery for the CUSTOM stateful operator (applyInPandasWithState).
+# ---------------------------------------------------------------------------
+def _run_zscore_crash_recovery(spark: SparkSession, sf_dir: str):
+    """Mid-flight kill + checkpoint restart of the stateful rolling
+    z-score (``streaming/stateful.py:rolling_zscore_stream``).
+
+    This is the gate for the claim the bars-chain crash test cannot
+    cover: the per-key RING BUFFER in the applyInPandasWithState state
+    store (trailing 60 (ts, spread) pairs) must reload exactly on
+    restart — a lost or doubled buffer element shifts every subsequent
+    mean/stddev, so the hash-check against the batch trailing-window
+    twin proves byte-exact state recovery, not just offset replay.
+
+    The landing is time-sliced (event-time order across micro-batches —
+    the ordering contract the operator documents); the sink is the
+    native streaming parquet sink, whose _spark_metadata commit log
+    makes a killed batch's orphan files invisible to readers until the
+    replay commits them (exactly-once).
+    """
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        rolling_zscore_stream,
+    )
+
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir)
+    bars = build_bars(
+        ticks,
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+
+    base = _SCRATCH / (Path(sf_dir).name + "_zcrash")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    _land_time_sliced(bars, "bar_ts", landing, n_slices=6)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("bar_ts", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+        ]
+    )
+
+    def start(available_now: bool):
+        stream = read_tick_stream(
+            spark, landing, schema=schema, fmt="parquet",
+            max_files_per_trigger=1,
+        )
+        z = rolling_zscore_stream(
+            stream,
+            window_bars=60,
+            min_periods=30,
+            key="symbol",
+            ts="bar_ts",
+            value="close",
+        )
+        writer = (
+            z.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    q1 = start(available_now=False)
+    phase1_batches = _kill_after_batches(q1)
+    q2 = start(available_now=True)
+    q2.awaitTermination()
+    phase2_batches = sum(
+        1 for p in q2.recentProgress if p.get("numInputRows", 0) > 0
+    )
+
+    result = spark.read.parquet(out).select(
+        F.col("pair_name").alias("symbol"),
+        F.col("timestamp").alias("bar_ts"),
+        F.col("spread").alias("close"),
+        F.round("z_score", 6).alias("z_score"),
+    )
+    return result, {
+        "phase1_batches": phase1_batches,
+        "phase2_batches": phase2_batches,
+    }
+
+
+@register(
+    "stream_zscore_crash_e2e",
+    oracle="""
+WITH bars AS (
+  SELECT event_type AS symbol,
+         time_bucket(INTERVAL '5 minutes', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT symbol, bar_ts, close,
+         avg(close) OVER win AS m,
+         stddev_samp(close) OVER win AS sd,
+         count(*) OVER win AS n
+  FROM bars
+  WINDOW win AS (PARTITION BY symbol ORDER BY bar_ts
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, bar_ts, close,
+       round(CASE WHEN n >= 30 AND sd > 0
+                  THEN (close - m) / sd END, 6) AS z_score
+FROM w
+""",
+    doc="Crash-recovery gate for the CUSTOM stateful operator: the "
+    "applyInPandasWithState rolling z-score is killed mid-flight after "
+    ">= 2 committed micro-batches and restarted from the same "
+    "checkpoint; the drained output must hash-match the batch "
+    "trailing-window twin.  The ring-buffer state (trailing 60 bars "
+    "per symbol) makes this strictly stronger than offset replay: any "
+    "state-store corruption on restart shifts every downstream "
+    "mean/stddev and fails the hash.",
+)
+def q_stream_zscore_crash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    result, _stats = _run_zscore_crash_recovery(spark, sf_dir)
+    return result

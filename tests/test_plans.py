@@ -507,3 +507,29 @@ def test_bench_plan_fingerprint_stable_across_runs(spark):
             df.count()
             fps.append(_plan_fingerprint(df))
         assert fps[0] is not None and fps[0] == fps[1], (name, fps)
+
+
+def test_plans_md_marker_table_covers_registry():
+    """PLANS.md must carry a plan-evidence row for EVERY registered query
+    (round-7 directive: ~half the registry previously had no greppable
+    pushdown/shuffle record, so a silent plan regression in an uncovered
+    query — e.g. a broadcast becoming sort-merge — left no diff).  The
+    marker table is regenerated by tools/explain_report.py; this test
+    fails when a query is added without regenerating."""
+    import os
+    import re as _re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md")
+    with open(path) as f:
+        text = f.read()
+    section = text.split("## Registry plan markers", 1)
+    assert len(section) == 2, "marker table section missing from PLANS.md"
+    rows = _re.findall(r"^\| (\w+) \| ", section[1], flags=_re.M)
+    table_names = set(rows) - {"query"}
+    reg_names = set(load_all())
+    missing = sorted(reg_names - table_names)
+    stale = sorted(table_names - reg_names)
+    assert not missing, f"queries without a marker row: {missing}"
+    assert not stale, f"marker rows for unregistered queries: {stale}"
+    # no row may have errored during generation
+    assert "| ERROR |" not in section[1]

@@ -264,3 +264,57 @@ def test_streaming_wilder_rsi_matches_pandas_recursion(spark, events):
                 assert abs(rsi - expect) < 1e-9
                 n_with_rsi += 1
     assert n_with_rsi > 100
+
+
+def test_zscore_crash_recovery_state_reloads(spark):
+    """Kill the applyInPandasWithState z-score stream mid-flight, restart
+    from the checkpoint, drain: output must equal the batch trailing-
+    window twin exactly.  The ring buffer spans the kill point, so any
+    state-store loss/duplication on restart shifts downstream means and
+    fails the comparison."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+    from quant_market_data_pipeline_spark.queries.streaming_e2e import (
+        _run_zscore_crash_recovery,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    got_df, stats = _run_zscore_crash_recovery(spark, sf_dir)
+    assert stats["phase1_batches"] >= 2, stats
+
+    bars = build_bars(
+        load_table(spark, "events", sf_dir),
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="5 minutes",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+    win = (
+        Window.partitionBy("symbol")
+        .orderBy("bar_ts")
+        .rowsBetween(-59, 0)
+    )
+    twin = bars.select(
+        "symbol",
+        "bar_ts",
+        "close",
+        F.round(
+            F.when(
+                (F.count(F.lit(1)).over(win) >= 30)
+                & (F.stddev_samp("close").over(win) > 0),
+                (F.col("close") - F.avg("close").over(win))
+                / F.stddev_samp("close").over(win),
+            ),
+            6,
+        ).alias("z_score"),
+    )
+    import pandas as pd
+
+    got = got_df.toPandas().sort_values(["symbol", "bar_ts"]).reset_index(drop=True)
+    want = twin.toPandas().sort_values(["symbol", "bar_ts"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0, (len(got), len(want), stats)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
