@@ -891,3 +891,91 @@ def q_sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("epoch_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction audit (planted PII, exact-count gate).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+
+@register(
+    "pii_scrub_audit",
+    oracle=f"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or u' || CAST(doc_id AS VARCHAR)
+                        || '@mail.net'
+              ELSE text END AS t
+  FROM documents
+), scrubbed AS (
+  SELECT source, t,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_pii,
+         regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS masked
+  FROM planted
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN n_pii > 0 THEN 1 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(sum(n_pii) AS BIGINT) AS total_matches,
+       CAST(sum(len(t) - len(masked)) AS BIGINT) AS chars_redacted,
+       CAST(sum(len(regexp_extract_all(masked, '{_PII_EMAIL}')) ) AS BIGINT)
+         AS residual_matches
+FROM scrubbed
+GROUP BY source
+""",
+    doc="PII redaction audit — the compliance pass every training-data "
+    "pipeline runs before a corpus ships: detect emails, mask them, and "
+    "prove the masked text is clean (residual_matches must be 0).  The "
+    "fixture corpus is synthetic word-salad, so deterministic PII is "
+    "PLANTED first (two addresses per doc_id%3==0 doc, derived from the "
+    "id) — the gate then checks EXACT detected/redacted counts per "
+    "source, not just plumbing.  Scale shape: regexp_count and "
+    "regexp_replace are in-row JVM expressions (no UDF); the query is "
+    "one narrow projection + one hash-agg on |sources| — the 100 TB "
+    "cost is the text scan itself, which a real scrub pass has to pay "
+    "anyway.  The regex sticks to a dialect-neutral subset (Java regex "
+    "on Spark, RE2 in the DuckDB twin).",
+)
+def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.queries.llm import _docs
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.net"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    scrubbed = planted.select(
+        "source",
+        "t",
+        F.regexp_count("t", F.lit(_PII_EMAIL)).alias("n_pii"),
+        F.regexp_replace("t", _PII_EMAIL, "[EMAIL]").alias("masked"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("n_pii") > 0, 1)).cast("bigint").alias(
+            "docs_with_pii"
+        ),
+        F.sum("n_pii").cast("bigint").alias("total_matches"),
+        F.sum(F.length("t") - F.length("masked"))
+        .cast("bigint")
+        .alias("chars_redacted"),
+        F.sum(F.regexp_count("masked", F.lit(_PII_EMAIL)))
+        .cast("bigint")
+        .alias("residual_matches"),
+    )
