@@ -60,8 +60,9 @@ _PRIORITY = [
     # (bars chain + applyInPandasWithState ring-buffer state)
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
-    #     plus the planted-PII redaction audit
+    #     plus the planted-PII redaction audit and the dedup ACTION stage
     "pii_scrub_audit",
+    "dedup_keeper_manifest",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

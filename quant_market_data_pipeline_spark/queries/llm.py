@@ -2822,3 +2822,89 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.sum("n_docs").over(wt), 4
         ).alias("recall_frac"),
     )
+
+
+@register(
+    "dedup_keeper_manifest",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text, source, lang FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 3), source, lang
+  FROM documents WHERE doc_id < 150
+),
+edges AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM corpus a
+  JOIN corpus b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 10
+),
+sym AS (
+  SELECT doc_lo AS a, doc_hi AS b FROM edges
+  UNION ALL
+  SELECT doc_hi, doc_lo FROM edges
+),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.comp FROM sym s JOIN reach r ON s.b = r.node
+),
+comps AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+assigned AS (
+  SELECT c.doc_id,
+         coalesce(k.component, c.doc_id) AS keeper_id
+  FROM corpus c LEFT JOIN comps k ON k.node = c.doc_id
+),
+sized AS (
+  SELECT keeper_id, CAST(count(*) AS BIGINT) AS component_size
+  FROM assigned GROUP BY keeper_id
+)
+SELECT a.doc_id, a.keeper_id,
+       CASE WHEN a.doc_id = a.keeper_id THEN 'keep' ELSE 'remove' END
+         AS action,
+       s.component_size
+FROM assigned a JOIN sized s USING (keeper_id)
+""",
+    doc="The ACTION stage of the dedup pipeline — detect (edit-distance "
+    "candidates) -> cluster (connected components) -> DECIDE: every doc "
+    "in the twinned subcorpus gets a keeper assignment (component min "
+    "id; singletons keep themselves), an explicit keep/remove action and "
+    "its cluster size — the manifest a removal job or a lake DELETE "
+    "(sources/sink.delete_rows) consumes directly.  Scale shape: the "
+    "component frame is output-sized; the corpus joins it on doc_id "
+    "(uniform key) once, and the size rollup runs on the keeper "
+    "dimension — at 100 TB the cost is the candidate/cluster stages, "
+    "which the banded/blocked queries bound; the manifest adds one "
+    "output-sized join.  Cites the reference's UNIQUE-constraint "
+    "dedup-on-load (/root/reference/project/schema.py:42) — this is its "
+    "corpus-scale generalization with an auditable decision record.",
+)
+def q_dedup_keeper_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        connected_components,
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    corpus_ids = d.select("doc_id").unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"))
+    )
+    edges = q_edit_distance(spark, sf_dir).select("doc_lo", "doc_hi")
+    comps = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper_id")
+    )
+    assigned = corpus_ids.join(comps, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("keeper_id", F.col("doc_id")).alias("keeper_id"),
+    )
+    sized = assigned.groupBy("keeper_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return assigned.join(F.broadcast(sized), "keeper_id").select(
+        "doc_id",
+        "keeper_id",
+        F.when(F.col("doc_id") == F.col("keeper_id"), F.lit("keep"))
+        .otherwise(F.lit("remove"))
+        .alias("action"),
+        "component_size",
+    )
