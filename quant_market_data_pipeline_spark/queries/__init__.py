@@ -60,6 +60,7 @@ _PRIORITY = [
     # (bars chain + applyInPandasWithState ring-buffer state)
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
+    "stream_rsi_e2e",
     #     plus the planted-PII redaction audit and the dedup ACTION stage
     "pii_scrub_audit",
     "dedup_keeper_manifest",

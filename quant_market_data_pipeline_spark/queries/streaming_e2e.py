@@ -697,3 +697,120 @@ FROM w
 def q_stream_zscore_crash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, _stats = _run_zscore_crash_recovery(spark, sf_dir)
     return result
+
+
+# ---------------------------------------------------------------------------
+# Wilder RSI stream, end to end: the recursive stateful operator gate.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_rsi_e2e",
+    oracle="""
+WITH RECURSIVE bars AS (
+  SELECT event_type AS symbol, time_bucket(INTERVAL '1 hour', ts) AS bar_ts,
+         arg_max(value, ts) AS close
+  FROM events
+  WHERE value > 0
+    AND ts < (SELECT min(ts) + INTERVAL 14 DAYS FROM events)
+  GROUP BY 1, 2
+), seq AS (
+  SELECT symbol, bar_ts, close,
+         row_number() OVER (PARTITION BY symbol ORDER BY bar_ts) AS rn,
+         close - lag(close) OVER (PARTITION BY symbol ORDER BY bar_ts) AS d
+  FROM bars
+), seed AS (
+  SELECT symbol,
+         avg(CASE WHEN d > 0 THEN d ELSE 0 END) AS avg_g,
+         avg(CASE WHEN d < 0 THEN -d ELSE 0 END) AS avg_l
+  FROM seq WHERE rn BETWEEN 2 AND 15 GROUP BY symbol
+), rec AS (
+  SELECT symbol, 15 AS rn, avg_g, avg_l FROM seed
+  UNION ALL
+  SELECT r.symbol, r.rn + 1,
+         (r.avg_g * 13 + greatest(d.d, 0)) / 14,
+         (r.avg_l * 13 + greatest(-d.d, 0)) / 14
+  FROM rec r JOIN seq d ON d.symbol = r.symbol AND d.rn = r.rn + 1
+)
+SELECT s.symbol, s.bar_ts, round(s.close, 6) AS close,
+       round(CASE WHEN r.avg_l = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + r.avg_g / r.avg_l) END, 4)
+         AS rsi
+FROM seq s JOIN rec r ON r.symbol = s.symbol AND r.rn = s.rn
+WHERE s.rn >= 15
+""",
+    doc="Driver gate for the RECURSIVE stateful operator "
+    "(streaming/stateful.py:wilder_rsi_stream): Wilder smoothing "
+    "depends on the entire history (avg[t] = (avg[t-1]*(p-1) + x[t])/p), "
+    "so unlike the window-expressible z-score its batch twin is a "
+    "genuine recursion — the oracle is a DuckDB RECURSIVE CTE.  The "
+    "series is TIME-BOUNDED (1-hour bars over the first 14 days, ~330 "
+    "rows/symbol at every SF) so the per-row recursive oracle stays "
+    "cheap while the stream still drains across 4 time-sliced "
+    "micro-batches — the O(1)-state recursion must carry across batch "
+    "boundaries exactly.  Both engines perform the identical arithmetic "
+    "sequence per step, so values match to the 4dp comparison with "
+    "16-digit margin.",
+)
+def q_stream_rsi_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.operators.bars import build_bars
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        wilder_rsi_stream,
+    )
+
+    configure_runtime(spark)
+    ticks = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
+    cut = ticks.agg(
+        (F.min("ts") + F.expr("INTERVAL 14 DAYS")).alias("c")
+    ).collect()[0]["c"]
+    bars = build_bars(
+        ticks.filter(F.col("ts") < F.lit(cut)),
+        key="event_type",
+        ts="ts",
+        price="value",
+        width="1 hour",
+        tiebreak="event_id",
+    ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
+
+    base = _SCRATCH / (Path(sf_dir).name + "_rsi")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    _land_time_sliced(bars, "bar_ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("bar_ts", T.TimestampType()),
+            T.StructField("close", T.DoubleType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+    rsi = wilder_rsi_stream(
+        stream, period=14, key="symbol", ts="bar_ts", close="close"
+    )
+    query = (
+        rsi.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("rsi").isNotNull())
+        .select(
+            "symbol",
+            "bar_ts",
+            F.round("close", 6).alias("close"),
+            F.round("rsi", 4).alias("rsi"),
+        )
+    )
