@@ -337,7 +337,11 @@ def _plan_fingerprint(df) -> str | None:
     import re
 
     try:
-        s = df._jdf.queryExecution().executedPlan().toString()
+        from quant_market_data_pipeline_spark.plans.inspect import (
+            executed_plan_str,
+        )
+
+        s = executed_plan_str(df, stripped=False)
     except Exception:
         return None
     s = re.sub(r"#\d+", "#x", s)

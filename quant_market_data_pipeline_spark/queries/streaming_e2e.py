@@ -762,10 +762,14 @@ def q_stream_rsi_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     configure_runtime(spark)
-    ticks = load_table(spark, "events", sf_dir).filter(F.col("value") > 0)
-    cut = ticks.agg(
+    ev = load_table(spark, "events", sf_dir)
+    # cutoff from the UNFILTERED stream, exactly like the oracle's
+    # subquery — deriving it post value-filter would shift the bound if
+    # a fixture's earliest event were non-positive
+    cut = ev.agg(
         (F.min("ts") + F.expr("INTERVAL 14 DAYS")).alias("c")
     ).collect()[0]["c"]
+    ticks = ev.filter(F.col("value") > 0)
     bars = build_bars(
         ticks.filter(F.col("ts") < F.lit(cut)),
         key="event_type",

@@ -138,9 +138,10 @@ QUERIES = [
     "asof_join_nearest",
     # round 6: executable stdlib codec round-trip
     "media_codec_roundtrip",
-    # round 7: crash-recovery streaming gates
+    # round 7: crash-recovery streaming gates + recursive RSI gate
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
+    "stream_rsi_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
@@ -453,12 +454,14 @@ def main() -> None:
         "scan, partial (map-side) aggregation, no sort-merge join where a "
         "broadcast fits, per-doc sketches shuffle-free.\n",
     ]
+    plan_cache: dict[str, str] = {}
     for name in QUERIES:
         spec = reg.get(name)
         if spec is None:
             continue
         df = spec.spark(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        plan_cache[name] = plan
         counts = {m: len(re.findall(m, plan)) for m in MARKERS}
         summary = ", ".join(f"{m}×{n}" for m, n in counts.items() if n)
         pushed = sorted(
@@ -494,11 +497,21 @@ def main() -> None:
         "| query | exchanges | joins | pushdown | max scan width |\n"
         "|---|---|---|---|---|\n"
     )
+    from quant_market_data_pipeline_spark.plans.inspect import (
+        strip_cached_subtrees,
+    )
+
     skipped: list[str] = []
     for name in sorted(reg):
         try:
-            df = reg[name].spark(spark, sf_dir)
-            plan = executed_plan_str(df)
+            if name in plan_cache:
+                # reuse the plan the sections pass already captured —
+                # re-building an e2e query re-RUNS its whole pipeline
+                # (streaming drains, kill-poll loops) for an identical row
+                plan = strip_cached_subtrees(plan_cache[name])
+            else:
+                df = reg[name].spark(spark, sf_dir)
+                plan = executed_plan_str(df)
             out.append(_marker_row(name, plan) + "\n")
         except Exception as exc:  # keep the table total — never partial
             skipped.append(name)
