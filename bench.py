@@ -406,6 +406,22 @@ def main() -> None:
     spreads: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     plan_fps: dict[str, list[str | None]] = {}
+    def _drop_dead_blocks() -> None:
+        """Unpin defunct checkpoint/broadcast blocks between queries.
+
+        The index-build queries localCheckpoint their sketch frames; the
+        blocks are freed only when the driver GC collects the RDD object
+        and the async ContextCleaner unpersists them.  Across ~90 query
+        executions in one bench session that lag accumulates into real
+        executor-store pressure — measured: shingle_novelty's x16 probe
+        swung 7.8 s -> 48.7 s in a session whose GC happened not to run.
+        An explicit System.gc() per query pins the store back to a
+        deterministic baseline so probe timings measure the operator,
+        not the session's garbage history.
+        """
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
@@ -413,7 +429,7 @@ def main() -> None:
         # nothing data-level carries across runs: clearCache drops any
         # persisted dimension frame (materialize_dim) so every run
         # re-scans, re-shuffles and re-materializes from parquet
-        spark.catalog.clearCache()
+        _drop_dead_blocks()
         t0 = time.perf_counter()
         df = spec.spark(spark, sf_dir)
         df.count()
@@ -447,6 +463,7 @@ def main() -> None:
         for t in ("documents", "embeddings"):
             load_table(spark, t, scale_dir).count()  # warm
         for name in DOCSCALE:
+            _drop_dead_blocks()
             spec = registry.get(name)
             if spec is None:
                 continue
@@ -461,6 +478,7 @@ def main() -> None:
         tick_dir = _build_tickscale_dir(spark, sf_dir)
         load_table(spark, "events", tick_dir).count()  # warm
         for name in TICKSCALE:
+            _drop_dead_blocks()
             spec = registry.get(name)
             if spec is None:
                 continue
@@ -486,7 +504,7 @@ def main() -> None:
                 spec = registry.get(name)
                 if spec is None:
                     continue
-                spark.catalog.clearCache()
+                _drop_dead_blocks()
                 t0 = time.perf_counter()
                 spec.spark(spark, sf1_dir).count()
                 sf1[name] = round(time.perf_counter() - t0, 3)
