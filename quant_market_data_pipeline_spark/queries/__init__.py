@@ -61,9 +61,12 @@ _PRIORITY = [
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
     "stream_rsi_e2e",
-    #     plus the planted-PII redaction audit and the dedup ACTION stage
+    #     plus the planted-PII redaction audit, the dedup ACTION stage,
+    #     cross-doc boilerplate detection and the variance-ratio test
     "pii_scrub_audit",
     "dedup_keeper_manifest",
+    "boilerplate_prefix_report",
+    "variance_ratio_test",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

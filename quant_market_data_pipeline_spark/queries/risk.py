@@ -688,3 +688,98 @@ def q_var_historical_es(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("es_95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance-ratio test (random-walk diagnostic).
+# ---------------------------------------------------------------------------
+@register(
+    "variance_ratio_test",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol,
+         ln(close) - ln(lag(close, 1) OVER w) AS r1,
+         ln(close) - ln(lag(close, 2) OVER w) AS rk2,
+         ln(close) - ln(lag(close, 5) OVER w) AS rk5,
+         ln(close) - ln(lag(close, 10) OVER w) AS rk10
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), stats AS (
+  SELECT symbol,
+         CAST(count(r1) AS BIGINT) AS n_obs,
+         var_samp(r1) AS v1, var_samp(rk2) AS v2,
+         var_samp(rk5) AS v5, var_samp(rk10) AS v10
+  FROM rets GROUP BY symbol
+)
+SELECT symbol, k, n_obs,
+       round(vr, 6) AS vr,
+       round((vr - 1) / sqrt(2.0 * (2 * k - 1) * (k - 1)
+                             / (3.0 * k * n_obs)), 4) AS z_stat,
+       abs((vr - 1) / sqrt(2.0 * (2 * k - 1) * (k - 1)
+                           / (3.0 * k * n_obs))) > 1.96 AS rejects_rw
+FROM (
+  SELECT symbol, n_obs, t.k,
+         CASE t.k WHEN 2 THEN v2 / (2 * v1)
+                  WHEN 5 THEN v5 / (5 * v1)
+                  ELSE v10 / (10 * v1) END AS vr
+  FROM stats CROSS JOIN (VALUES (2), (5), (10)) AS t(k)
+)
+""",
+    doc="Lo-MacKinlay variance-ratio test per symbol at horizons k = "
+    "2/5/10 days: VR(k) = Var(r_k) / (k * Var(r_1)) over OVERLAPPING "
+    "k-day log returns (r_k = ln C_t - ln C_(t-k), three constant-"
+    "offset LAGs over ONE symbol window), with the homoscedastic "
+    "z-statistic z = (VR-1)/sqrt(2(2k-1)(k-1)/(3kn)) and the 5%% "
+    "random-walk rejection flag.  VR < 1 = mean reversion, > 1 = "
+    "momentum — the formal test behind the return_autocorr signature.  "
+    "Scale shape: one (symbol, day) hash-agg, one window exchange "
+    "carrying all four LAG columns, one per-symbol agg whose partials "
+    "ride the window exchange; the horizon grid is an in-row CASE over "
+    "a 3-row broadcast.  Variances are ddof=1 on both engines.",
+)
+def q_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    lc = F.log("close")
+    rets = d.select(
+        "symbol",
+        (lc - F.log(F.lag("close", 1).over(w))).alias("r1"),
+        (lc - F.log(F.lag("close", 2).over(w))).alias("rk2"),
+        (lc - F.log(F.lag("close", 5).over(w))).alias("rk5"),
+        (lc - F.log(F.lag("close", 10).over(w))).alias("rk10"),
+    )
+    stats = rets.groupBy("symbol").agg(
+        F.count("r1").cast("bigint").alias("n_obs"),
+        F.var_samp("r1").alias("v1"),
+        F.var_samp("rk2").alias("v2"),
+        F.var_samp("rk5").alias("v5"),
+        F.var_samp("rk10").alias("v10"),
+    )
+    grid = stats.crossJoin(
+        F.broadcast(
+            stats.sparkSession.createDataFrame(
+                [(2,), (5,), (10,)], "k int"
+            )
+        )
+    )
+    vr = (
+        F.when(F.col("k") == 2, F.col("v2") / (2 * F.col("v1")))
+        .when(F.col("k") == 5, F.col("v5") / (5 * F.col("v1")))
+        .otherwise(F.col("v10") / (10 * F.col("v1")))
+    )
+    se = F.sqrt(
+        2.0
+        * (2 * F.col("k") - 1)
+        * (F.col("k") - 1)
+        / (3.0 * F.col("k") * F.col("n_obs"))
+    )
+    z = (vr - 1) / se
+    return grid.select(
+        "symbol",
+        "k",
+        "n_obs",
+        F.round(vr, 6).alias("vr"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("rejects_rw"),
+    )

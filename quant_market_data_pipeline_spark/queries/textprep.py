@@ -979,3 +979,95 @@ def q_pii_scrub_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("residual_matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (planted banners, exact-count gate).
+# ---------------------------------------------------------------------------
+@register(
+    "boilerplate_prefix_report",
+    oracle="""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 4 = 0
+              THEN 'standard copyright banner of ' || source
+                   || ' all rights reserved ' || text
+              ELSE text END AS t
+  FROM documents
+), prefixed AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           list_slice(regexp_extract_all(t, '\\S+'), 1, 8), ' ')) AS pfx
+  FROM planted
+), pcounts AS (
+  SELECT source, pfx, CAST(count(*) AS BIGINT) AS cnt
+  FROM prefixed GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN cnt >= 5 THEN 1 END) AS BIGINT)
+         AS n_boilerplate_prefixes,
+       CAST(sum(CASE WHEN cnt >= 5 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_docs_with_boilerplate,
+       round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS max_prefix_share
+FROM pcounts
+GROUP BY source
+""",
+    doc="Cross-document boilerplate detection — the C4/RefinedWeb-style "
+    "cleaning stage the per-doc repetition_profile cannot see: a "
+    "template banner shared by thousands of a domain's pages is unique "
+    "WITHIN each doc but dominates ACROSS docs.  Documents hash their "
+    "8-token prefix; prefixes shared by >= 5 docs of a source are "
+    "boilerplate.  The synthetic corpus is word-salad, so a "
+    "deterministic per-source banner is PLANTED on doc_id%4==0 first — "
+    "the gate then checks exact per-source boilerplate counts and the "
+    "dominant prefix share.  Scale shape: one text scan -> md5 of an "
+    "8-token slice (in-row) -> hash-agg on (source, prefix) -> "
+    "|sources| rollup; the 100 TB cost is the scan plus one "
+    "bounded-key shuffle.",
+)
+def q_boilerplate_prefix_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.queries.llm import _docs
+
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("standard copyright banner of "),
+                F.col("source"),
+                F.lit(" all rights reserved "),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    prefixed = planted.select(
+        "source",
+        F.md5(
+            F.array_join(
+                F.slice(F.regexp_extract_all("t", F.lit(r"\S+"), 0), 1, 8),
+                " ",
+            )
+        ).alias("pfx"),
+    )
+    pcounts = prefixed.groupBy("source", "pfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    boiler = F.col("cnt") >= 5
+    return pcounts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.count(F.when(boiler, 1)).cast("bigint").alias(
+            "n_boilerplate_prefixes"
+        ),
+        F.sum(F.when(boiler, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_with_boilerplate"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt"), 6
+        ).alias("max_prefix_share"),
+    )
