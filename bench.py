@@ -96,9 +96,11 @@ DOCSCALE = [
     # cost moves with corpus volume, not fixture overhead
     "shingle_novelty",
     "feature_hashing_long",
-    # round-7: the planted-PII redaction audit is a pure text scan —
-    # exactly the shape whose cost should move 1:1 with corpus volume
+    # round-7: the planted-PII redaction audit and cross-doc boilerplate
+    # report are pure text scans — exactly the shape whose cost should
+    # move 1:1 with corpus volume
     "pii_scrub_audit",
+    "boilerplate_prefix_report",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is
