@@ -67,6 +67,12 @@ _PRIORITY = [
     "dedup_keeper_manifest",
     "boilerplate_prefix_report",
     "variance_ratio_test",
+    "yang_zhang_vol",
+    "triple_barrier_labels",
+    "vocab_coverage_curve",
+    #     plus roll_spread_estimator: covariance reworked onto exact
+    #     decimal sums after a round-to-6 boundary flake at sf0.001
+    "roll_spread_estimator",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

@@ -1720,27 +1720,46 @@ WITH bars AS (
            PARTITION BY symbol, CAST(bar_ts AS DATE) ORDER BY bar_ts) AS d
   FROM bars
 ), lagged AS (
-  SELECT symbol, trading_day, d,
-         lag(d) OVER (
-           PARTITION BY symbol, trading_day ORDER BY bar_ts) AS d_prev
+  SELECT symbol, trading_day,
+         CAST(d AS DECIMAL(18,6)) AS dx,
+         CAST(lag(d) OVER (
+           PARTITION BY symbol, trading_day ORDER BY bar_ts)
+           AS DECIMAL(18,6)) AS dy
   FROM dp
+), sums AS (
+  SELECT symbol, trading_day,
+         CAST(count(CASE WHEN dx IS NOT NULL AND dy IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN dy IS NOT NULL THEN dx END) AS DOUBLE) AS sx,
+         CAST(sum(CASE WHEN dx IS NOT NULL THEN dy END) AS DOUBLE) AS sy,
+         CAST(sum(dx * dy) AS DOUBLE) AS sxy
+  FROM lagged GROUP BY 1, 2
 )
-SELECT symbol, trading_day,
-       CAST(count(CASE WHEN d IS NOT NULL AND d_prev IS NOT NULL
-                       THEN 1 END) AS BIGINT) AS n_pairs,
-       round(covar_samp(d, d_prev), 6) AS autocov,
-       round(2 * sqrt(greatest(0.0, -covar_samp(d, d_prev))), 6)
+SELECT symbol, trading_day, n_pairs,
+       round(CASE WHEN n_pairs >= 2
+                  THEN (sxy - sx * sy / n_pairs) / (n_pairs - 1) END, 6)
+         AS autocov,
+       round(CASE WHEN n_pairs >= 2 THEN 2 * sqrt(greatest(0.0,
+                  -((sxy - sx * sy / n_pairs) / (n_pairs - 1)))) END, 6)
          AS roll_spread
-FROM lagged GROUP BY 1, 2
+FROM sums
 """,
     doc="Roll (1984) effective-spread estimator per (symbol, day): bid-ask "
     "bounce makes consecutive price changes negatively autocorrelated, "
     "and s = 2*sqrt(-cov(dp_t, dp_{t-1})) recovers the spread from trade "
     "prices alone (no quote data).  Negative-cov days clamp to 0 via "
-    "GREATEST.  Scale shape: ticks reduce ONCE to 5-min bars (hash-agg), "
-    "then one window exchange on (symbol) covers both lags and the "
-    "(symbol, day) covariance agg rides the same partitioning — cost is "
-    "the bar build, exactly like every other derived-series query.",
+    "GREATEST.  The co-moment is computed from EXACT decimal sums "
+    "(dx, dy cast to DECIMAL(18,6) so products stay inside width-38 "
+    "exact decimals on both engines; Sx, Sy, Sxy accumulate exactly "
+    "and order-independently) with the covariance assembled in double "
+    "only "
+    "at the end — a float covar_samp is summation-order-dependent "
+    "across partitions, and at |autocov| ~ 5e3 a 1-ulp drift flips the "
+    "round-to-6 boundary between engines (observed at sf0.001).  Scale "
+    "shape: ticks reduce ONCE to 5-min bars (hash-agg), then one window "
+    "exchange on (symbol) covers both lags and the (symbol, day) "
+    "decimal-sum agg rides the same partitioning — cost is the bar "
+    "build, exactly like every other derived-series query.",
 )
 def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars = _bars_close(spark, sf_dir, positive_ticks=True).withColumn(
@@ -1748,20 +1767,40 @@ def q_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("symbol", "trading_day").orderBy("bar_ts")
     dp = bars.withColumn("d", F.col("close") - F.lag("close").over(w))
-    lagged = dp.withColumn("d_prev", F.lag("d").over(w))
-    return lagged.groupBy("symbol", "trading_day").agg(
+    lagged = dp.select(
+        "symbol",
+        "trading_day",
+        F.col("d").cast("decimal(18,6)").alias("dx"),
+        F.lag("d").over(w).cast("decimal(18,6)").alias("dy"),
+    )
+    sums = lagged.groupBy("symbol", "trading_day").agg(
         F.count(
             F.when(
-                F.col("d").isNotNull() & F.col("d_prev").isNotNull(), 1
+                F.col("dx").isNotNull() & F.col("dy").isNotNull(), 1
             )
         )
         .cast("bigint")
         .alias("n_pairs"),
-        F.round(F.covar_samp("d", "d_prev"), 6).alias("autocov"),
+        F.sum(F.when(F.col("dy").isNotNull(), F.col("dx")))
+        .cast("double")
+        .alias("sx"),
+        F.sum(F.when(F.col("dx").isNotNull(), F.col("dy")))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("double").alias("sxy"),
+    )
+    cov = (
+        F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n_pairs")
+    ) / (F.col("n_pairs") - 1)
+    return sums.select(
+        "symbol",
+        "trading_day",
+        "n_pairs",
+        F.round(F.when(F.col("n_pairs") >= 2, cov), 6).alias("autocov"),
         F.round(
-            2
-            * F.sqrt(
-                F.greatest(F.lit(0.0), -F.covar_samp("d", "d_prev"))
+            F.when(
+                F.col("n_pairs") >= 2,
+                2 * F.sqrt(F.greatest(F.lit(0.0), -cov)),
             ),
             6,
         ).alias("roll_spread"),

@@ -783,3 +783,197 @@ def q_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 1.96).alias("rejects_rw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Yang-Zhang volatility: the drift-independent OHLC estimator.
+# ---------------------------------------------------------------------------
+@register(
+    "yang_zhang_vol",
+    oracle=f"""
+WITH {_DAILY_CTE},
+seq AS (
+  SELECT symbol, trading_day, open, high, low, close,
+         lag(close) OVER (PARTITION BY symbol ORDER BY trading_day)
+           AS prev_close
+  FROM daily
+), terms AS (
+  SELECT symbol,
+         ln(open / prev_close) AS r_on,
+         ln(close / open) AS r_oc,
+         ln(high / open) * ln(high / close)
+           + ln(low / open) * ln(low / close) AS rs_term
+  FROM seq WHERE prev_close IS NOT NULL
+), agg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n_days,
+         var_samp(r_on) AS s2_on,
+         var_samp(r_oc) AS s2_oc,
+         avg(rs_term) AS s2_rs,
+         0.34 / (1.34 + (count(*) + 1.0) / (count(*) - 1.0)) AS k_yz
+  FROM terms GROUP BY symbol
+)
+SELECT symbol, n_days,
+       round(s2_on, 8) AS sigma2_overnight,
+       round(s2_oc, 8) AS sigma2_openclose,
+       round(s2_rs, 8) AS sigma2_rs,
+       round(k_yz, 6) AS k_yz,
+       round(s2_on + k_yz * s2_oc + (1 - k_yz) * s2_rs, 8) AS yz_var
+FROM agg
+""",
+    doc="Yang-Zhang (2000) volatility per symbol: the minimum-variance "
+    "drift-independent combination sigma2_overnight + k*sigma2_openclose "
+    "+ (1-k)*sigma2_RS, where the Rogers-Satchell term handles intraday "
+    "drift and k = 0.34/(1.34 + (n+1)/(n-1)).  Completes the range-vol "
+    "family next to garman_klass_vol (drift-sensitive) by adding the "
+    "overnight gap the close-to-close and GK estimators both miss.  "
+    "Scale shape: one (symbol, day) hash-agg builds OHLC, ONE window "
+    "exchange on the low-skew symbol key carries lag(close), and the "
+    "per-symbol moment agg partial-aggregates map-side on the same "
+    "partitioning — two exchanges total, no second tick scan.  "
+    "Variances ddof=1 on both engines; components rounded only at the "
+    "output edge so the combination uses full precision.",
+)
+def q_yang_zhang_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    seq = d.withColumn("prev_close", F.lag("close").over(w)).filter(
+        F.col("prev_close").isNotNull()
+    )
+    ho = F.log(F.col("high") / F.col("open"))
+    hc = F.log(F.col("high") / F.col("close"))
+    lo = F.log(F.col("low") / F.col("open"))
+    lc_ = F.log(F.col("low") / F.col("close"))
+    terms = seq.select(
+        "symbol",
+        F.log(F.col("open") / F.col("prev_close")).alias("r_on"),
+        F.log(F.col("close") / F.col("open")).alias("r_oc"),
+        (ho * hc + lo * lc_).alias("rs_term"),
+    )
+    n = F.count(F.lit(1))
+    k_yz = 0.34 / (1.34 + (n + 1.0) / (n - 1.0))
+    agg = terms.groupBy("symbol").agg(
+        n.cast("bigint").alias("n_days"),
+        F.var_samp("r_on").alias("s2_on"),
+        F.var_samp("r_oc").alias("s2_oc"),
+        F.avg("rs_term").alias("s2_rs"),
+        k_yz.alias("k_raw"),
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        F.round("s2_on", 8).alias("sigma2_overnight"),
+        F.round("s2_oc", 8).alias("sigma2_openclose"),
+        F.round("s2_rs", 8).alias("sigma2_rs"),
+        F.round("k_raw", 6).alias("k_yz"),
+        F.round(
+            F.col("s2_on")
+            + F.col("k_raw") * F.col("s2_oc")
+            + (1 - F.col("k_raw")) * F.col("s2_rs"),
+            8,
+        ).alias("yz_var"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triple-barrier labeling (Lopez de Prado): ML training labels from paths.
+# ---------------------------------------------------------------------------
+_TB_HORIZON = 10
+_TB_UP = 1.02
+_TB_DN = 0.98
+
+
+@register(
+    "triple_barrier_labels",
+    oracle=f"""
+WITH {_DAILY_CTE},
+paths AS (
+  SELECT symbol, trading_day, close,
+         list(high) OVER w AS fut_high,
+         list(low)  OVER w AS fut_low
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day
+               ROWS BETWEEN 1 FOLLOWING AND {_TB_HORIZON} FOLLOWING)
+), pos AS (
+  SELECT symbol, trading_day, close,
+         CAST(coalesce(len(fut_high), 0) AS INTEGER) AS n_future,
+         CAST(coalesce(list_position(
+           list_transform(fut_high, x -> x >= close * {_TB_UP}), true), 0)
+           AS BIGINT) AS up_pos,
+         CAST(coalesce(list_position(
+           list_transform(fut_low, x -> x <= close * {_TB_DN}), true), 0)
+           AS BIGINT) AS dn_pos
+  FROM paths
+)
+SELECT symbol, trading_day, n_future, up_pos, dn_pos,
+       CASE WHEN up_pos > 0 AND (dn_pos = 0 OR up_pos < dn_pos) THEN 1
+            WHEN dn_pos > 0 AND (up_pos = 0 OR dn_pos < up_pos) THEN -1
+            ELSE 0 END AS label,
+       CASE WHEN up_pos > 0 AND (dn_pos = 0 OR up_pos < dn_pos) THEN up_pos
+            WHEN dn_pos > 0 AND (up_pos = 0 OR dn_pos < up_pos) THEN dn_pos
+            END AS t_hit
+FROM pos
+""",
+    doc="Triple-barrier labeling (Lopez de Prado, Advances in Financial "
+    "ML ch.3) — the labeling stage a market-ML training pipeline needs: "
+    "for each (symbol, day) entry at the close, scan the next "
+    f"{_TB_HORIZON} sessions and label +1 if the day-range HIGH touches "
+    "the +2% barrier first, -1 if the LOW touches -2% first, 0 on "
+    "timeout or a same-day tie (both barriers inside one session are "
+    "unordered at daily resolution).  t_hit = sessions until the "
+    "deciding touch (NULL on timeout).  Scale shape: one (symbol, day) "
+    "hash-agg, then ONE window exchange whose bounded "
+    f"ROWS 1..{_TB_HORIZON} FOLLOWING frame collects the future "
+    "high/low path — the barrier scan is in-row array logic "
+    "(transform + array_position = first-touch index), so no self-join "
+    "and no range join; cost is O(rows x horizon) flat, the plan you "
+    "want at 100x.  First-touch uses array_position on a boolean "
+    "transform, 1-based with 0 = never touched on both engines.",
+)
+def q_triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("trading_day")
+        .rowsBetween(1, _TB_HORIZON)
+    )
+    paths = d.select(
+        "symbol",
+        "trading_day",
+        "close",
+        F.collect_list("high").over(w).alias("fut_high"),
+        F.collect_list("low").over(w).alias("fut_low"),
+    )
+    up_bar = F.col("close") * _TB_UP
+    dn_bar = F.col("close") * _TB_DN
+    pos = paths.select(
+        "symbol",
+        "trading_day",
+        F.size("fut_high").alias("n_future"),
+        F.array_position(
+            F.transform("fut_high", lambda x: x >= up_bar), F.lit(True)
+        ).alias("up_pos"),
+        F.array_position(
+            F.transform("fut_low", lambda x: x <= dn_bar), F.lit(True)
+        ).alias("dn_pos"),
+    )
+    up_first = (F.col("up_pos") > 0) & (
+        (F.col("dn_pos") == 0) | (F.col("up_pos") < F.col("dn_pos"))
+    )
+    dn_first = (F.col("dn_pos") > 0) & (
+        (F.col("up_pos") == 0) | (F.col("dn_pos") < F.col("up_pos"))
+    )
+    return pos.select(
+        "symbol",
+        "trading_day",
+        "n_future",
+        "up_pos",
+        "dn_pos",
+        F.when(up_first, F.lit(1))
+        .when(dn_first, F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("label"),
+        F.when(up_first, F.col("up_pos"))
+        .when(dn_first, F.col("dn_pos"))
+        .alias("t_hit"),
+    )

@@ -1071,3 +1071,84 @@ def q_boilerplate_prefix_report(
             F.max("cnt").cast("double") / F.sum("cnt"), 6
         ).alias("max_prefix_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: corpus share covered by the top-k tokens.
+# ---------------------------------------------------------------------------
+_COV_KS = [100, 500, 1000, 2000, 5000, 10000]
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY tok
+), total AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM freq
+), ranked AS (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+  FROM freq
+  QUALIFY rn <= {max(_COV_KS)}
+)
+SELECT k,
+       CAST(max(rn) AS BIGINT) AS vocab_used,
+       CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+       round(CAST(sum(cnt) AS DOUBLE) / max(n_total), 6) AS coverage
+FROM ranked
+CROSS JOIN total
+CROSS JOIN (SELECT unnest([{", ".join(str(k) for k in _COV_KS)}]) AS k)
+WHERE rn <= k
+GROUP BY k
+""",
+    doc="Vocabulary coverage curve — the tokenizer-design diagnostic: "
+    "what share of all corpus token OCCURRENCES do the top-k most "
+    "frequent types cover, for k in {100..10000}?  Decides the vocab "
+    "size a BPE/WordPiece build needs before training it.  Scale "
+    "shape: one corpus scan into a (token -> count) hash-agg with "
+    "map-side partials; the global top-10000 is a distributed "
+    "TakeOrdered (orderBy+limit, per-partition heaps, NO global sort "
+    "and no full-vocab single-partition window); the cumulative "
+    "ranking then runs on the 10k-row dimension frame and the k-grid "
+    "is a broadcast cross join.  Ties broken (count DESC, token) so "
+    "the curve is deterministic on both engines.",
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import word_tokens
+
+    d = _docs_wide(spark, sf_dir)
+    freq = (
+        d.select(F.explode(word_tokens(F.lower("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    total = freq.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    top = freq.orderBy(F.col("cnt").desc(), "tok").limit(max(_COV_KS))
+    ranked = top.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "tok")),
+    )
+    ks = d.sparkSession.createDataFrame([(k,) for k in _COV_KS], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max("rn").cast("bigint").alias("vocab_used"),
+            F.sum("cnt").cast("bigint").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "vocab_used",
+            "covered_tokens",
+            F.round(
+                F.col("covered_tokens").cast("double") / F.col("n_total"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -117,3 +117,59 @@ def test_kyle_lambda_gated_on_variance(spark):
     assert any(r.kyle_lambda is not None for r in rows)
     for r in rows:
         assert r.n_bars >= 1
+
+
+def test_yang_zhang_combination_identity(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_yang_zhang_vol,
+    )
+
+    rows = q_yang_zhang_vol(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # variances are non-negative; k is in (0, 0.34)
+        assert r.sigma2_overnight >= 0
+        assert r.sigma2_openclose >= 0
+        assert 0 < r.k_yz < 0.34
+        # the published combination, recomputed from the rounded parts,
+        # agrees with yz_var to rounding tolerance
+        recon = (
+            r.sigma2_overnight
+            + r.k_yz * r.sigma2_openclose
+            + (1 - r.k_yz) * r.sigma2_rs
+        )
+        # k is published at 6 dp, so recon carries ~|s2_oc - s2_rs| * 5e-7
+        assert abs(r.yz_var - recon) < 1e-5
+
+
+def test_triple_barrier_label_first_touch_consistent(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        _TB_HORIZON,
+        q_triple_barrier_labels,
+    )
+
+    rows = q_triple_barrier_labels(spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        seen.add(r.label)
+        assert r.label in (-1, 0, 1)
+        assert 0 <= r.n_future <= _TB_HORIZON
+        assert 0 <= r.up_pos <= r.n_future
+        assert 0 <= r.dn_pos <= r.n_future
+        if r.label == 1:
+            assert r.up_pos > 0
+            assert r.dn_pos == 0 or r.up_pos < r.dn_pos
+            assert r.t_hit == r.up_pos
+        elif r.label == -1:
+            assert r.dn_pos > 0
+            assert r.up_pos == 0 or r.dn_pos < r.up_pos
+            assert r.t_hit == r.dn_pos
+        else:
+            # timeout or same-session tie
+            assert r.t_hit is None
+            assert r.up_pos == r.dn_pos or min(
+                p for p in (r.up_pos, r.dn_pos) if p > 0
+            ) == max(r.up_pos, r.dn_pos)
+    # the tick universe must exercise at least two label classes
+    assert len(seen) >= 2

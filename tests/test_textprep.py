@@ -82,3 +82,23 @@ def test_stable_enumeration_is_contiguous_and_ordered(spark):
     by_gid = sorted(rows, key=lambda r: r.global_id)
     keys = [(r.source, r.doc_id) for r in by_gid]
     assert keys == sorted(keys)
+
+
+def test_vocab_coverage_curve_monotone(spark):
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        _COV_KS,
+        q_vocab_coverage_curve,
+    )
+
+    rows = sorted(
+        q_vocab_coverage_curve(spark, SF_DIR).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == sorted(_COV_KS)
+    prev_cov, prev_tok = 0.0, 0
+    for r in rows:
+        assert r.vocab_used <= r.k
+        assert 0 < r.coverage <= 1.0
+        assert r.coverage >= prev_cov
+        assert r.covered_tokens >= prev_tok
+        prev_cov, prev_tok = r.coverage, r.covered_tokens
