@@ -1076,7 +1076,7 @@ def q_boilerplate_prefix_report(
 # ---------------------------------------------------------------------------
 # Vocabulary coverage curve: corpus share covered by the top-k tokens.
 # ---------------------------------------------------------------------------
-_COV_KS = [100, 500, 1000, 2000, 5000, 10000]
+_COV_KS = [5, 10, 20, 50, 1000, 10000]
 
 
 @register(
@@ -1111,7 +1111,10 @@ GROUP BY k
     "frequent types cover, for k in {100..10000}?  Decides the vocab "
     "size a BPE/WordPiece build needs before training it.  Scale "
     "shape: one corpus scan into a (token -> count) hash-agg with "
-    "map-side partials; the global top-10000 is a distributed "
+    "map-side partials, materialized (persist-with-lineage) so the "
+    "two consumers — the global occurrence total and the top-k cut — "
+    "reuse the vocab frame instead of re-scanning the corpus; the "
+    "global top-10000 is a distributed "
     "TakeOrdered (orderBy+limit, per-partition heaps, NO global sort "
     "and no full-vocab single-partition window); the cumulative "
     "ranking then runs on the 10k-row dimension frame and the k-grid "
@@ -1122,10 +1125,13 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.hashing import word_tokens
 
     d = _docs_wide(spark, sf_dir)
-    freq = (
+    # vocab is dimension-sized; materialize it so the corpus is scanned
+    # ONCE and both consumers (global total, top-k) reuse the cached frame
+    freq = materialize_dim(
         d.select(F.explode(word_tokens(F.lower("text"))).alias("tok"))
         .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")),
+        partitions=8,
     )
     total = freq.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     top = freq.orderBy(F.col("cnt").desc(), "tok").limit(max(_COV_KS))
