@@ -533,3 +533,38 @@ def test_plans_md_marker_table_covers_registry():
     assert not stale, f"marker rows for unregistered queries: {stale}"
     # no row may have errored during generation
     assert "| ERROR |" not in section[1]
+
+
+def test_triple_barrier_windowed_no_join(spark):
+    """Triple-barrier labeling: the future high/low path rides ONE
+    bounded window frame over the daily agg — no self-join, no range
+    join, and the barrier scan is in-row array logic."""
+    plan = _plan(spark, "triple_barrier_labels")
+    assert "Join" not in plan
+    # daily OHLC agg + window: two exchanges, both on the symbol key
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Window") >= 1
+
+
+def test_yang_zhang_two_exchanges_no_join(spark):
+    """Yang-Zhang vol: OHLC agg + one symbol-key window for lag(close);
+    the moment agg rides the window partitioning."""
+    plan = _plan(spark, "yang_zhang_vol")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_vocab_coverage_single_corpus_scan_topk(spark):
+    """Coverage curve: ONE documents scan builds the materialized vocab
+    frame; the global cut is TakeOrdered (per-partition heaps, no global
+    sort exchange); the k-grid and total are broadcast."""
+    plan = _plan(spark, "vocab_coverage_curve")
+    # the corpus scan lives inside the materialized vocab frame
+    # (executed_plan_str strips InMemoryRelation build subtrees); the
+    # consuming plan must NOT re-scan the parquet outside the cache,
+    # and both consumers read the cached frame
+    assert plan.count("documents.parquet") == 0
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
