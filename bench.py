@@ -101,6 +101,10 @@ DOCSCALE = [
     # move 1:1 with corpus volume
     "pii_scrub_audit",
     "boilerplate_prefix_report",
+    # round-7: exact-substring dedup — x16 replication makes EVERY gram
+    # cross-doc duplicated, the worst case for the dup-set join, so the
+    # probe stresses the collapse-before-exchange claim directly
+    "dup_span_coverage",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is

@@ -61,6 +61,23 @@ _PRIORITY = [
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
     "stream_rsi_e2e",
+    #     plus the microstructure-toxicity / jump / signal-quality trio
+    "vpin_toxicity",
+    "bipower_jump_stats",
+    "signal_rank_ic",
+    #     and the research-layer trio: rescaled-range Hurst, event-study
+    #     CAR, time-decay multi-touch attribution (join-free window form)
+    "hurst_rs_exponent",
+    "event_study_car",
+    "attribution_time_decay",
+    #     and the exact-substring dedup report (Lee et al. 13-grams)
+    "dup_span_coverage",
+    #     plus the portfolio/seasonality/embedding-quality trio
+    "min_variance_pair_weights",
+    "stl_decomposition_daily",
+    "embedding_outlier_scores",
+    #     and the ANN index-quality measurement (recall@3 vs exact)
+    "ann_recall_audit",
     #     plus the planted-PII redaction audit, the dedup ACTION stage,
     #     cross-doc boilerplate detection and the variance-ratio test
     "pii_scrub_audit",

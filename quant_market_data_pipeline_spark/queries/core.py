@@ -1641,3 +1641,110 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_right").alias("ts_click"),
         F.col("value_right").alias("value_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution with time decay (7-day lookback, half-life 1 day).
+# ---------------------------------------------------------------------------
+_ATTR_LOOKBACK_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts,
+         CAST(ts AS DATE) AS p_day, value
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, ts AS t_ts, CAST(ts AS DATE) AS t_day,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), joined AS (
+  SELECT p.p_id, p.p_day, p.value, t.touch_type,
+         power(0.5, date_diff('day', t.t_day, p.p_day)) AS w
+  FROM p JOIN t ON p.user_id = t.user_id
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY AND t.t_ts <= p.p_ts
+), credited AS (
+  SELECT touch_type, p_day,
+         value * w / sum(w) OVER (PARTITION BY p_id) AS credit
+  FROM joined
+)
+SELECT touch_type, p_day AS purchase_day,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(credit), 6) AS credited_value
+FROM credited GROUP BY 1, 2
+""",
+    doc="Marketing-style multi-touch attribution: every purchase credits "
+    "the user's click/view touches of the trailing 7 days, weighted "
+    "0.5^age_days (day-granular half-life decay), credit normalized per "
+    "purchase and rolled up to (touch_type, purchase_day) revenue.  The "
+    "oracle states it as the textbook purchasextouch range join; the "
+    "Spark plan avoids the self-join entirely: ONE user-keyed window "
+    "over the event stream collects the trailing-7-day (type, day) "
+    "touches into each purchase row via a RANGE frame on unix_micros "
+    "(microsecond-exact bounds, matching the SQL interval compare), "
+    "then explodes and normalizes in-row — one fact scan, one "
+    "exchange, no join.  Weights 0.5^d are exact dyadic doubles and "
+    "their per-purchase sum is exact, so the normalized credits are "
+    "bit-identical across engines before the rounded final rollup.",
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_ATTR_LOOKBACK_US, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.struct(
+            F.col("event_type").alias("touch_type"),
+            F.to_date("ts").alias("t_day"),
+        ),
+    )
+    collected = ev.select(
+        "event_type",
+        "event_id",
+        F.to_date("ts").alias("p_day"),
+        "value",
+        F.collect_list(touch).over(w).alias("touches"),
+    ).filter(F.col("event_type") == "purchase")
+    # per-purchase weights: 0.5^(purchase_day - touch_day) — dyadic-exact
+    weighted = collected.select(
+        "p_day",
+        "value",
+        F.transform(
+            "touches",
+            lambda s: F.struct(
+                s.getField("touch_type").alias("touch_type"),
+                F.pow(
+                    F.lit(0.5), F.datediff(F.col("p_day"), s.getField("t_day"))
+                ).alias("w"),
+            ),
+        ).alias("tw"),
+    ).filter(F.size("tw") > 0)
+    sw = F.aggregate(
+        "tw", F.lit(0.0), lambda acc, s: acc + s.getField("w")
+    )
+    exploded = weighted.select(
+        "p_day",
+        "value",
+        sw.alias("sw"),
+        F.explode("tw").alias("s"),
+    )
+    return (
+        exploded.groupBy(
+            F.col("s.touch_type").alias("touch_type"),
+            F.col("p_day").alias("purchase_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(
+                F.sum(F.col("value") * F.col("s.w") / F.col("sw")), 6
+            ).alias("credited_value"),
+        )
+    )

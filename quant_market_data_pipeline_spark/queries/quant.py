@@ -1949,3 +1949,203 @@ def q_vol_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("r") * F.col("r")), 6).alias("realized_var"),
         F.round(F.avg(F.abs("r")), 6).alias("mean_abs_ret"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VPIN order-flow toxicity: tick-rule sides in equal-tick volume buckets.
+# ---------------------------------------------------------------------------
+_VPIN_BUCKET = 50  # ticks per volume bucket
+_VPIN_WINDOW = 5  # buckets averaged into the VPIN estimate
+
+
+@register(
+    "vpin_toxicity",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type AS symbol, value,
+         lag(value) OVER w AS pv,
+         row_number() OVER w AS rn
+  FROM events WHERE value > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), sided AS (
+  SELECT symbol, (rn - 1) // {_VPIN_BUCKET} AS bucket_id,
+         CASE WHEN pv IS NULL OR value = pv THEN 0
+              WHEN value > pv THEN 1 ELSE -1 END AS side
+  FROM t
+), buckets AS (
+  SELECT symbol, CAST(bucket_id AS BIGINT) AS bucket_id,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(abs(sum(side)) AS DOUBLE) / count(*) AS oi_frac
+  FROM sided GROUP BY 1, 2
+)
+SELECT symbol, bucket_id, n_ticks,
+       round(oi_frac, 6) AS oi_frac,
+       CASE WHEN count(*) OVER wb >= {_VPIN_WINDOW}
+            THEN round(avg(oi_frac) OVER wb, 6) END AS vpin
+FROM buckets
+WINDOW wb AS (PARTITION BY symbol ORDER BY bucket_id
+              ROWS BETWEEN {_VPIN_WINDOW - 1} PRECEDING AND CURRENT ROW)
+""",
+    doc="VPIN (Easley/Lopez de Prado/O'Hara) order-flow toxicity: classify "
+    f"each tick +1/-1/0 by the tick rule, cut the per-symbol stream into "
+    f"equal-volume buckets of {_VPIN_BUCKET} ticks (volume proxy = tick "
+    "count, as the feed carries no trade size), take |net signed flow| / "
+    f"bucket volume per bucket, and average the last {_VPIN_WINDOW} "
+    "buckets (null-gated until the window fills, like rolling_beta_60).  "
+    "Plan shape: the tick-rule lag, the enumeration row_number and the "
+    "bucket rollup all share ONE symbol-keyed exchange (the groupBy key "
+    "is a function of the window partition key), then the VPIN window "
+    "runs on the bucket frame — #buckets = ticks/"
+    f"{_VPIN_BUCKET} rows, so the second exchange is tiny.  oi_frac is "
+    "exact integer arithmetic (|int sum| / count) so the rolling mean "
+    "feeds on bit-identical doubles in both engines — no float-drift "
+    "compounding across the two stages.",
+)
+def q_vpin_toxicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    # rename BEFORE the window: the symbol attribute then carries the
+    # hash(symbol) output partitioning through the bucket rollup and the
+    # VPIN window, so the whole query runs on ONE exchange
+    base = ev.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    t = base.select(
+        "symbol",
+        "value",
+        F.lag("value").over(w).alias("pv"),
+        F.row_number().over(w).alias("rn"),
+    )
+    side = (
+        F.when(F.col("pv").isNull() | (F.col("value") == F.col("pv")), 0)
+        .when(F.col("value") > F.col("pv"), 1)
+        .otherwise(-1)
+    )
+    sided = t.select(
+        "symbol",
+        ((F.col("rn") - 1) / _VPIN_BUCKET).cast("bigint").alias("bucket_id"),
+        side.alias("side"),
+    )
+    buckets = sided.groupBy("symbol", "bucket_id").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        (
+            F.abs(F.sum("side")).cast("double") / F.count(F.lit(1))
+        ).alias("oi_frac"),
+    )
+    wb = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_id")
+        .rowsBetween(-(_VPIN_WINDOW - 1), 0)
+    )
+    nb = F.count(F.lit(1)).over(wb)
+    return buckets.select(
+        "symbol",
+        "bucket_id",
+        "n_ticks",
+        F.round("oi_frac", 6).alias("oi_frac"),
+        F.when(
+            nb >= _VPIN_WINDOW, F.round(F.avg("oi_frac").over(wb), 6)
+        ).alias("vpin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipower variation vs realized variance: intraday jump detection.
+# ---------------------------------------------------------------------------
+_HALF_PI = 1.5707963267948966  # pi/2, spelled as the same literal on both
+# engines so BV is bit-identical before rounding
+
+
+@register(
+    "bipower_jump_stats",
+    oracle=f"""
+WITH r AS (
+  SELECT event_type AS symbol, CAST(ts AS DATE) AS trading_day,
+         ts, event_id,
+         ln(value) - ln(lag(value) OVER w) AS r
+  FROM events WHERE value > 0
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id)
+), bp AS (
+  SELECT symbol, trading_day, r,
+         abs(r) * abs(lag(r) OVER (PARTITION BY symbol, trading_day
+                                   ORDER BY ts, event_id)) AS prod
+  FROM r
+), agg AS (
+  SELECT symbol, trading_day,
+         CAST(count(r) AS BIGINT) AS n_ret,
+         round(sum(r * r), 8) AS rv,
+         round({_HALF_PI} * sum(prod), 8) AS bv
+  FROM bp GROUP BY 1, 2 HAVING count(r) >= 5
+)
+SELECT symbol, trading_day, n_ret, rv, bv,
+       CASE WHEN rv > 0
+            THEN round(greatest(0.0, 1.0 - bv / rv), 6) END AS jump_frac
+FROM agg
+""",
+    doc="Barndorff-Nielsen/Shephard jump detection: per (symbol, day), "
+    "realized variance RV = sum r^2 of within-day tick log returns vs "
+    "bipower variation BV = (pi/2) * sum |r_t||r_t-1| (BV is robust to "
+    "jumps, RV is not), and the relative jump component "
+    "max(0, 1 - BV/RV).  jump_frac derives from the ROUNDED rv/bv "
+    "(filter-stage rule) so cross-engine float drift cannot leak "
+    "through the ratio.  Plan shape: return lag and adjacent-product "
+    "lag share ONE (symbol, day)-keyed exchange; the day rollup "
+    "partial-aggregates on the same key before the final tiny "
+    "exchange.  At 100 TB this is one uniform shuffle of the tick "
+    "fact keyed by (symbol, day) — no joins, no second scan.",
+)
+def q_bipower_jump_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    # rename + derive the day key BEFORE the window so both window
+    # passes and the day rollup share ONE (symbol, trading_day) exchange
+    base = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("trading_day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wd = Window.partitionBy("symbol", "trading_day").orderBy(
+        "ts", "event_id"
+    )
+    r = base.select(
+        "symbol",
+        "trading_day",
+        "ts",
+        "event_id",
+        (F.log("value") - F.log(F.lag("value").over(wd))).alias("r"),
+    )
+    # adjacent IN TIME: the product lag re-uses the same (ts, event_id)
+    # ordering as the return lag, so both windows share one sort+exchange
+    wr = Window.partitionBy("symbol", "trading_day").orderBy(
+        "ts", "event_id"
+    )
+    bp = r.select(
+        "symbol",
+        "trading_day",
+        "r",
+        (F.abs("r") * F.abs(F.lag("r").over(wr))).alias("prod"),
+    )
+    agg = (
+        bp.groupBy("symbol", "trading_day")
+        .agg(
+            F.count("r").alias("n_ret"),
+            F.round(F.sum(F.col("r") * F.col("r")), 8).alias("rv"),
+            F.round(F.lit(_HALF_PI) * F.sum("prod"), 8).alias("bv"),
+        )
+        .filter(F.col("n_ret") >= 5)
+    )
+    return agg.select(
+        "symbol",
+        "trading_day",
+        "n_ret",
+        "rv",
+        "bv",
+        F.when(
+            F.col("rv") > 0,
+            F.round(
+                F.greatest(F.lit(0.0), 1.0 - F.col("bv") / F.col("rv")), 6
+            ),
+        ).alias("jump_frac"),
+    )

@@ -977,3 +977,484 @@ def q_triple_barrier_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(dn_first, F.col("dn_pos"))
         .alias("t_hit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-sectional rank information coefficient: signal quality per day.
+# ---------------------------------------------------------------------------
+@register(
+    "signal_rank_ic",
+    oracle=f"""
+WITH {_DAILY_CTE},
+sig AS (
+  SELECT symbol, trading_day,
+         ln(close) - ln(lag(close, 3) OVER w) AS mom,
+         ln(lead(close) OVER w) - ln(close) AS fwd
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), ranked AS (
+  SELECT trading_day,
+         row_number() OVER (PARTITION BY trading_day
+                            ORDER BY mom, symbol) AS rk_sig,
+         row_number() OVER (PARTITION BY trading_day
+                            ORDER BY fwd, symbol) AS rk_fwd,
+         count(*) OVER (PARTITION BY trading_day) AS n_sym
+  FROM sig WHERE mom IS NOT NULL AND fwd IS NOT NULL
+)
+SELECT trading_day, CAST(max(n_sym) AS BIGINT) AS n_symbols,
+       round(corr(rk_sig, rk_fwd), 4) AS rank_ic
+FROM ranked WHERE n_sym >= 4 GROUP BY trading_day
+""",
+    doc="Spearman rank IC of a 3-day momentum signal against next-day "
+    "forward returns: each day, rank the universe by signal and by "
+    "realized forward return (deterministic symbol tiebreak -> "
+    "row_number, identical on both engines), then Pearson-correlate the "
+    "two rank vectors — the standard alpha-research signal-quality "
+    "series.  Plan shape: both the signal lag and the forward lead run "
+    "over ONE symbol-keyed window on the daily frame; the two "
+    "cross-sectional ranks and the per-day correlate share one "
+    "day-keyed exchange whose cardinality is the universe size — all "
+    "heavy lifting stays in the (symbol, day) tick rollup, so the "
+    "cross-section never sees tick volume.",
+)
+def q_signal_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    sig = d.select(
+        "symbol",
+        "trading_day",
+        (F.log("close") - F.log(F.lag("close", 3).over(wsym))).alias("mom"),
+        (F.log(F.lead("close").over(wsym)) - F.log("close")).alias("fwd"),
+    ).filter(F.col("mom").isNotNull() & F.col("fwd").isNotNull())
+    wm = Window.partitionBy("trading_day").orderBy("mom", "symbol")
+    wf = Window.partitionBy("trading_day").orderBy("fwd", "symbol")
+    ranked = sig.select(
+        "trading_day",
+        F.row_number().over(wm).alias("rk_sig"),
+        F.row_number().over(wf).alias("rk_fwd"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("trading_day"))
+        .alias("n_sym"),
+    ).filter(F.col("n_sym") >= 4)
+    return ranked.groupBy("trading_day").agg(
+        F.max("n_sym").cast("bigint").alias("n_symbols"),
+        F.round(F.corr("rk_sig", "rk_fwd"), 4).alias("rank_ic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis on daily returns.
+# ---------------------------------------------------------------------------
+_RS_SIZES = (4, 8, 16)
+
+
+@register(
+    "hurst_rs_exponent",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol,
+         ln(close) - ln(lag(close) OVER w) AS r,
+         row_number() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), blocks AS (
+  SELECT symbol, sz, (rn - 2) // sz AS blk,
+         (rn - 2) % sz + 1 AS pos, r
+  FROM rets CROSS JOIN (SELECT unnest([4, 8, 16]) AS sz)
+  WHERE r IS NOT NULL
+), dev AS (
+  SELECT symbol, sz, blk, r,
+         sum(r) OVER (PARTITION BY symbol, sz, blk ORDER BY pos)
+           - pos * avg(r) OVER (PARTITION BY symbol, sz, blk) AS z
+  FROM blocks
+), rs AS (
+  SELECT symbol, sz,
+         (max(z) - min(z)) / stddev_pop(r) AS rs_val
+  FROM dev GROUP BY symbol, sz, blk
+  HAVING count(*) = sz AND stddev_pop(r) > 0
+), pts AS (
+  SELECT symbol, ln(CAST(sz AS DOUBLE)) AS x,
+         ln(round(avg(rs_val), 6)) AS y
+  FROM rs GROUP BY symbol, sz
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_sizes,
+       round((avg(x * y) - avg(x) * avg(y))
+             / NULLIF(avg(x * x) - avg(x) * avg(x), 0), 4) AS hurst
+FROM pts GROUP BY symbol HAVING count(*) >= 2
+""",
+    doc="Hurst exponent by rescaled-range analysis: per symbol, daily log "
+    "returns are cut into non-overlapping blocks of 4/8/16 sessions; "
+    "each complete block contributes R/S = (range of cumulative "
+    "mean-deviations) / stddev_pop, and the Hurst estimate is the OLS "
+    "slope of ln(mean R/S) on ln(block size) (H=0.5 random walk, >0.5 "
+    "trending, <0.5 mean-reverting).  mean R/S is rounded BEFORE the "
+    "log-log fit (filter-stage rule) so the slope sees identical "
+    "points on both engines; the within-block cumulative sum runs in "
+    "deterministic pos order.  Plan shape: the tick fact reduces once "
+    "to (symbol, day) OHLC; the 3 block sizes multiply the daily "
+    "DIMENSION frame map-side (explode), so the block windows and "
+    "the two tiny rollups never touch tick volume again.",
+)
+def q_hurst_rs_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    rets = d.select(
+        "symbol",
+        (F.log("close") - F.log(F.lag("close").over(wsym))).alias("r"),
+        F.row_number().over(wsym).alias("rn"),
+    ).filter(F.col("r").isNotNull())
+    sz = F.explode(
+        F.array(*[F.lit(s) for s in _RS_SIZES])
+    ).alias("sz")
+    blocks = rets.select(
+        "symbol",
+        "r",
+        "rn",
+        sz,
+    ).select(
+        "symbol",
+        "sz",
+        ((F.col("rn") - 2) / F.col("sz")).cast("bigint").alias("blk"),
+        ((F.col("rn") - 2) % F.col("sz") + 1).alias("pos"),
+        "r",
+    )
+    wblk = Window.partitionBy("symbol", "sz", "blk")
+    z = (
+        F.sum("r").over(wblk.orderBy("pos"))
+        - F.col("pos") * F.avg("r").over(wblk)
+    )
+    dev = blocks.select("symbol", "sz", "blk", "r", z.alias("z"))
+    rs = (
+        dev.groupBy("symbol", "sz", "blk")
+        .agg(
+            ((F.max("z") - F.min("z")) / F.stddev_pop("r")).alias("rs_val"),
+            F.count(F.lit(1)).alias("n_obs"),
+            F.stddev_pop("r").alias("sd"),
+        )
+        .filter((F.col("n_obs") == F.col("sz")) & (F.col("sd") > 0))
+    )
+    pts = (
+        rs.groupBy("symbol", "sz")
+        .agg(F.round(F.avg("rs_val"), 6).alias("mean_rs"))
+        .select(
+            "symbol",
+            F.log(F.col("sz").cast("double")).alias("x"),
+            F.log("mean_rs").alias("y"),
+        )
+    )
+    slope = (
+        F.avg(F.col("x") * F.col("y")) - F.avg("x") * F.avg("y")
+    ) / F.nullif(
+        F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), F.lit(0.0)
+    )
+    return (
+        pts.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_sizes"),
+            F.round(slope, 4).alias("hurst"),
+        )
+        .filter(F.col("n_sizes") >= 2)
+        .select("symbol", "n_sizes", "hurst")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event study: cumulative abnormal returns after outlier-return days.
+# ---------------------------------------------------------------------------
+@register(
+    "event_study_car",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol, trading_day,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY trading_day)) AS r
+  FROM daily
+), mkt AS (
+  SELECT trading_day, avg(r) AS m
+  FROM rets WHERE r IS NOT NULL GROUP BY 1
+), ab AS (
+  SELECT symbol, trading_day, round(rets.r - mkt.m, 6) AS a
+  FROM rets JOIN mkt USING (trading_day) WHERE rets.r IS NOT NULL
+), thr AS (
+  SELECT symbol, round(2 * stddev_samp(a), 6) AS cut
+  FROM ab GROUP BY 1
+), car AS (
+  SELECT ab.symbol, a, cut,
+         a + lead(a, 1) OVER w + lead(a, 2) OVER w AS car3
+  FROM ab JOIN thr USING (symbol)
+  WINDOW w AS (PARTITION BY ab.symbol ORDER BY trading_day)
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(car3), 6) AS mean_car3,
+       round(avg(CASE WHEN car3 > 0 THEN 1.0 ELSE 0.0 END), 4) AS win_rate
+FROM car WHERE abs(a) > cut AND car3 IS NOT NULL
+GROUP BY symbol
+""",
+    doc="Event-study layer: flag days where a symbol's abnormal return "
+    "(daily log return minus the equal-weight market mean) exceeds 2 "
+    "sample-sigmas, then measure the 3-session cumulative abnormal "
+    "return from the event day — does the shock continue or revert.  "
+    "Abnormal returns are rounded BEFORE both the threshold compare "
+    "and the CAR sum (filter-stage rule): the event classification is "
+    "then an exact compare of identical doubles on both engines — no "
+    "boundary flakes from float-order drift in the market mean.  Plan "
+    "shape: one tick-fact OHLC rollup; market mean and the 2-sigma "
+    "cuts are day-/symbol-sized frames that join back BROADCAST; the "
+    "lead window rides the symbol partitioning.",
+)
+def q_event_study_car(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    # the daily return frame feeds FOUR consumers (market mean, abnormal
+    # join, sigma cuts, the lead window) — materialize the dimension-
+    # sized reduction once so the tick fact is scanned exactly once
+    rets = materialize_dim(
+        d.select(
+            "symbol",
+            "trading_day",
+            (F.log("close") - F.log(F.lag("close").over(wsym))).alias("r"),
+        ).filter(F.col("r").isNotNull())
+    )
+    mkt = rets.groupBy("trading_day").agg(F.avg("r").alias("m"))
+    ab = rets.join(F.broadcast(mkt), "trading_day").select(
+        "symbol",
+        "trading_day",
+        F.round(F.col("r") - F.col("m"), 6).alias("a"),
+    )
+    thr = ab.groupBy("symbol").agg(
+        F.round(2 * F.stddev_samp("a"), 6).alias("cut")
+    )
+    car3 = (
+        F.col("a")
+        + F.lead("a", 1).over(wsym)
+        + F.lead("a", 2).over(wsym)
+    )
+    car = ab.join(F.broadcast(thr), "symbol").select(
+        "symbol", "a", "cut", car3.alias("car3")
+    )
+    return (
+        car.filter(
+            (F.abs("a") > F.col("cut")) & F.col("car3").isNotNull()
+        )
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("car3"), 6).alias("mean_car3"),
+            F.round(
+                F.avg(F.when(F.col("car3") > 0, 1.0).otherwise(0.0)), 4
+            ).alias("win_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Minimum-variance two-asset allocation per symbol pair.
+# ---------------------------------------------------------------------------
+@register(
+    "min_variance_pair_weights",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol, trading_day,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY trading_day)) AS r
+  FROM daily
+), joined AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.r AS ra, b.r AS rb
+  FROM rets a JOIN rets b USING (trading_day)
+  WHERE a.symbol < b.symbol AND a.r IS NOT NULL AND b.r IS NOT NULL
+), mom AS (
+  SELECT sym_a, sym_b, CAST(count(*) AS BIGINT) AS n_days,
+         round(var_samp(ra), 8) AS va,
+         round(var_samp(rb), 8) AS vb,
+         round(covar_samp(ra, rb), 8) AS cab
+  FROM joined GROUP BY 1, 2
+), wts AS (
+  SELECT *, round((vb - cab) / NULLIF(va + vb - 2 * cab, 0), 6) AS w_a
+  FROM mom
+)
+SELECT sym_a, sym_b, n_days, va, vb, cab, w_a,
+       round(w_a * w_a * va + (1 - w_a) * (1 - w_a) * vb
+             + 2 * w_a * (1 - w_a) * cab, 8) AS port_var,
+       round(least(va, vb)
+             - (w_a * w_a * va + (1 - w_a) * (1 - w_a) * vb
+                + 2 * w_a * (1 - w_a) * cab), 8) AS var_reduction
+FROM wts
+""",
+    doc="Markowitz closed form for every symbol pair: the unconstrained "
+    "minimum-variance weight w_a = (var_b - cov)/(var_a + var_b - "
+    "2 cov), the resulting portfolio variance and the reduction vs the "
+    "better single asset.  Moments are rounded to 8dp BEFORE the "
+    "weight, and the weight to 6dp BEFORE the portfolio variance "
+    "(filter-stage rule twice) — every downstream value is arithmetic "
+    "on identical doubles.  Plan shape: the tick fact reduces once to "
+    "the materialized daily-return frame; the pair alignment is a "
+    "self-join of that DIMENSION frame on trading_day (broadcast, "
+    "universe^2 x days rows at most) — tick volume never enters the "
+    "quadratic stage.",
+)
+def q_min_variance_pair_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    rets = materialize_dim(
+        d.select(
+            "symbol",
+            "trading_day",
+            (F.log("close") - F.log(F.lag("close").over(wsym))).alias("r"),
+        ).filter(F.col("r").isNotNull())
+    )
+    a = rets.select(
+        "trading_day",
+        F.col("symbol").alias("sym_a"),
+        F.col("r").alias("ra"),
+    )
+    b = rets.select(
+        "trading_day",
+        F.col("symbol").alias("sym_b"),
+        F.col("r").alias("rb"),
+    )
+    joined = a.join(F.broadcast(b), "trading_day").filter(
+        F.col("sym_a") < F.col("sym_b")
+    )
+    mom = joined.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.var_samp("ra"), 8).alias("va"),
+        F.round(F.var_samp("rb"), 8).alias("vb"),
+        F.round(F.covar_samp("ra", "rb"), 8).alias("cab"),
+    )
+    w_a = F.round(
+        (F.col("vb") - F.col("cab"))
+        / F.nullif(
+            F.col("va") + F.col("vb") - 2 * F.col("cab"), F.lit(0.0)
+        ),
+        6,
+    )
+    wts = mom.withColumn("w_a", w_a)
+    pv = (
+        F.col("w_a") * F.col("w_a") * F.col("va")
+        + (1 - F.col("w_a")) * (1 - F.col("w_a")) * F.col("vb")
+        + 2 * F.col("w_a") * (1 - F.col("w_a")) * F.col("cab")
+    )
+    return wts.select(
+        "sym_a",
+        "sym_b",
+        "n_days",
+        "va",
+        "vb",
+        "cab",
+        "w_a",
+        F.round(pv, 8).alias("port_var"),
+        F.round(F.least("va", "vb") - pv, 8).alias("var_reduction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite: trend / day-of-week seasonal / residual decomposition.
+# ---------------------------------------------------------------------------
+@register(
+    "stl_decomposition_daily",
+    oracle=f"""
+WITH {_DAILY_CTE},
+lc AS (
+  SELECT symbol, trading_day,
+         CAST(date_diff('day', DATE '2024-01-01', trading_day) % 7
+              AS INTEGER) AS dow,
+         ln(close) AS lc
+  FROM daily
+), tr AS (
+  SELECT symbol, trading_day, dow, lc,
+         CASE WHEN count(*) OVER w7 = 7
+              THEN round(avg(lc) OVER w7, 6) END AS trend
+  FROM lc
+  WINDOW w7 AS (PARTITION BY symbol ORDER BY trading_day
+                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT symbol, trading_day, dow, trend,
+         round(lc - trend, 6) AS detrended,
+         CAST(round((lc - trend) * 1e6) AS BIGINT) AS det_u
+  FROM tr WHERE trend IS NOT NULL
+), seas AS (
+  SELECT symbol, trading_day, dow, trend, detrended,
+         round(CAST(sum(det_u) OVER wd AS DOUBLE)
+               / (count(*) OVER wd * 1e6), 6) AS seasonal
+  FROM det
+  WINDOW wd AS (PARTITION BY symbol, dow)
+)
+SELECT symbol, trading_day, dow, trend, detrended, seasonal,
+       round(detrended - seasonal, 6) AS residual
+FROM seas
+""",
+    doc="STL-style decomposition of the daily log-close: trend = centered "
+    "7-session moving average (complete windows only), day-of-week "
+    "seasonal = per-(symbol, dow) mean of the detrended series (dow "
+    "anchored to a fixed Monday epoch so both engines bucket "
+    "identically), residual = what neither explains.  Each stage is "
+    "rounded before the next consumes it (filter-stage rule).  Plan "
+    "shape: one (symbol, day) OHLC reduction, then the trend window "
+    "AND the (symbol, dow) seasonal window both ride hash(symbol) — "
+    "subset clustering — so the whole decomposition adds ONE exchange "
+    "beyond the rollup.",
+)
+def q_stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    lc = d.select(
+        "symbol",
+        "trading_day",
+        (
+            F.datediff("trading_day", F.lit("2024-01-01")) % 7
+        ).cast("int").alias("dow"),
+        F.log("close").alias("lc"),
+    )
+    w7 = (
+        Window.partitionBy("symbol")
+        .orderBy("trading_day")
+        .rowsBetween(-3, 3)
+    )
+    tr = lc.select(
+        "symbol",
+        "trading_day",
+        "dow",
+        "lc",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7, F.round(F.avg("lc").over(w7), 6)
+        ).alias("trend"),
+    ).filter(F.col("trend").isNotNull())
+    det = tr.select(
+        "symbol",
+        "trading_day",
+        "dow",
+        "trend",
+        F.round(F.col("lc") - F.col("trend"), 6).alias("detrended"),
+        # integer micro-units: the seasonal mean of ALREADY-ROUNDED 6dp
+        # values lands exactly on .5e-6 rounding boundaries, where
+        # engine-order float sums flip the last digit — sum exact int
+        # micros instead so both engines divide identical numbers
+        F.round((F.col("lc") - F.col("trend")) * 1e6, 0)
+        .cast("long")
+        .alias("det_u"),
+    )
+    wdow = Window.partitionBy("symbol", "dow")
+    seasonal = F.round(
+        F.sum("det_u").over(wdow).cast("double")
+        / (F.count(F.lit(1)).over(wdow) * F.lit(1e6)),
+        6,
+    )
+    seas = det.select(
+        "symbol",
+        "trading_day",
+        "dow",
+        "trend",
+        "detrended",
+        seasonal.alias("seasonal"),
+    )
+    return seas.select(
+        "symbol",
+        "trading_day",
+        "dow",
+        "trend",
+        "detrended",
+        "seasonal",
+        F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
+    )

@@ -568,3 +568,130 @@ def test_vocab_coverage_single_corpus_scan_topk(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- round-7 additions: microstructure toxicity, jump stats, rank IC --
+
+
+def test_vpin_single_symbol_exchange(spark):
+    """VPIN: tick-rule lag + enumeration, the bucket rollup and the
+    rolling VPIN window all share ONE symbol-keyed exchange (the rename
+    to `symbol` happens before the window so alias-aware partitioning
+    carries through the groupBy on (symbol, bucket_id))."""
+    plan = _plan(spark, "vpin_toxicity")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_bipower_single_day_exchange(spark):
+    """Bipower jump stats: return lag, adjacent-product lag and the day
+    rollup share ONE (symbol, trading_day) exchange — no joins, one tick
+    scan."""
+    plan = _plan(spark, "bipower_jump_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_rank_ic_dimension_only_cross_section(spark):
+    """Rank IC: the tick fact reduces once in the (symbol, day) OHLC
+    rollup; the signal/forward windows and the two cross-sectional rank
+    windows run on the daily dimension frame (3 exchanges total), never
+    re-scanning or joining the fact."""
+    plan = _plan(spark, "signal_rank_ic")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan
+
+
+def test_attribution_no_self_join_one_user_exchange(spark):
+    """Time-decay attribution: the oracle is a purchase x touch range
+    join; the Spark plan must instead be ONE user-keyed window over a
+    single event scan (trailing collect + in-row normalize) — no join
+    operator of any kind, two exchanges total (window + final rollup)."""
+    plan = _plan(spark, "attribution_time_decay")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_hurst_block_windows_share_symbol_exchange(spark):
+    """R/S analysis: the 3 block sizes explode the daily DIMENSION frame
+    map-side; the block windows cluster on (symbol, sz, blk), which
+    hash(symbol) satisfies — so beyond the OHLC rollup there is exactly
+    ONE more exchange, and no join for the size grid."""
+    plan = _plan(spark, "hurst_rs_exponent")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_event_study_single_fact_reduction_broadcast_only(spark):
+    """Event-study CAR: the tick fact reduces ONCE into the materialized
+    daily-return frame; market mean and sigma cuts join back broadcast —
+    the final plan reads only the in-memory dimension frame and contains
+    no sort-merge join."""
+    plan = _plan(spark, "event_study_car")
+    assert plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+
+
+def test_dup_span_collapse_before_gram_exchange(spark):
+    """Substring-dedup report: grams build in-row (no window), collapse
+    to (doc, gram, k) with partial agg before any gram-keyed exchange,
+    and the dup-set joins back without a cartesian; the whole pipeline
+    is 4 exchanges."""
+    plan = _plan(spark, "dup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 4
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_min_variance_materialized_dim_broadcast_pair_join(spark):
+    """Pair min-variance: the tick fact reduces ONCE into the
+    materialized daily-return frame; the pair alignment is a broadcast
+    self-join of that dimension frame — zero parquet scans and zero
+    shuffles in the final plan."""
+    plan = _plan(spark, "min_variance_pair_weights")
+    assert plan.count("Scan parquet") == 0
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_stl_seasonal_window_rides_symbol_exchange(spark):
+    """STL decomposition: the (symbol, dow) seasonal window clusters on
+    a superset of hash(symbol), so the whole decomposition adds exactly
+    ONE exchange beyond the OHLC rollup — and no joins."""
+    plan = _plan(spark, "stl_decomposition_daily")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_embedding_outliers_broadcast_stats_topk(spark):
+    """Embedding outlier audit: the 64-row dimension-stats frame
+    collapses to one broadcast row (the only exchange is its partial
+    agg); scoring is in-row array math and the top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "embedding_outlier_scores")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_ann_recall_audit_no_cartesian_no_smj(spark):
+    """Recall audit: the exact side is the SAMPLED broadcast-nested-loop
+    baseline (bounded by the 20-query contract), the LSH side the capped
+    bucket join, and the compare joins broadcast — never a cartesian of
+    the corpus with itself, never a sort-merge join."""
+    plan = _plan(spark, "ann_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1

@@ -1,0 +1,307 @@
+"""Semantic pins for the round-7 research-layer queries.
+
+Oracle equivalence is covered by the DuckDB gate; these tests pin the
+math itself on constructed series where the expected numbers are known
+in closed form — VPIN bucket arithmetic, bipower jump separation, R/S
+antipersistence, attribution weight normalization — plus bounds on the
+real testdata for the cross-sectional stats.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import types as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, schema=_EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_vpin_monotone_tape_bucket_arithmetic(spark, tmp_path):
+    """A strictly rising 250-tick tape: first tick is side 0, the rest
+    are +1 — bucket 0 has oi_frac 49/50, buckets 1-4 exactly 1.0, and
+    the first full VPIN window averages to 0.996."""
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_vpin_toxicity,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "x", float(i + 1), None)
+        for i in range(250)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.bucket_id: r for r in q_vpin_toxicity(spark, sf).collect()}
+    assert len(got) == 5
+    assert got[0].oi_frac == 0.98 and got[0].n_ticks == 50
+    for b in range(1, 5):
+        assert got[b].oi_frac == 1.0
+    assert all(got[b].vpin is None for b in range(4))
+    assert got[4].vpin == 0.996
+
+
+def test_bipower_separates_jump_day(spark, tmp_path):
+    """Day 1: alternating +/-0.001 log returns (BV > RV -> jump share
+    clamps to 0).  Day 2: same tape plus one +0.5 log jump — RV is
+    dominated by the jump that BV is robust to, so the jump share
+    exceeds 0.9."""
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_bipower_jump_stats,
+    )
+
+    rows = []
+    eid = 0
+    for day, jump_at in ((1, None), (2, 10)):
+        logp = math.log(100.0)
+        base = dt.datetime(2024, 1, day)
+        for i in range(21):
+            if i > 0:
+                logp += 0.5 if i == jump_at else (0.001 if i % 2 else -0.001)
+            rows.append(
+                (eid, base + dt.timedelta(minutes=i), 1, "x",
+                 math.exp(logp), None)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.trading_day.isoformat(): r
+        for r in q_bipower_jump_stats(spark, sf).collect()
+    }
+    assert got["2024-01-01"].jump_frac == 0.0
+    assert got["2024-01-02"].jump_frac > 0.9
+    # BV robustness: the jump blows RV up by orders of magnitude while
+    # BV (which the jump enters only via two cross-terms) stays tiny
+    # relative to it
+    assert got["2024-01-02"].rv > 100 * got["2024-01-01"].rv
+    assert got["2024-01-02"].bv < got["2024-01-02"].rv / 50
+
+
+def test_hurst_alternating_returns_flat_rs(spark, tmp_path):
+    """Perfectly antipersistent daily returns (+a, -a, ...) give R/S = 1
+    for EVERY block size (range a, stddev a), so the log-log slope — the
+    Hurst estimate — is exactly 0 across all three sizes."""
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_hurst_rs_exponent,
+    )
+
+    rows = []
+    logp = math.log(100.0)
+    for i in range(33):
+        if i > 0:
+            logp += 0.01 if i % 2 else -0.01
+        rows.append(
+            (i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i), 1,
+             "x", math.exp(logp), None)
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    rows_out = q_hurst_rs_exponent(spark, sf).collect()
+    assert len(rows_out) == 1
+    assert rows_out[0].n_sizes == 3
+    assert rows_out[0].hurst == 0.0
+
+
+def test_attribution_weights_normalize_per_purchase(spark, tmp_path):
+    """One purchase of 100 with touches at age 0 (w=1), 1 (w=1/2) and 5
+    days (w=1/32); a 9.5-day-old touch is outside the lookback.  Credits
+    must split 100 exactly by normalized dyadic weights."""
+    from quant_market_data_pipeline_spark.queries.core import (
+        q_attribution_time_decay,
+    )
+
+    p_ts = dt.datetime(2024, 1, 10, 12)
+    rows = [
+        (1, p_ts, 7, "purchase", 100.0, None),
+        (2, p_ts - dt.timedelta(days=1), 7, "click", 0.0, None),
+        (3, p_ts - dt.timedelta(hours=4), 7, "view", 0.0, None),
+        (4, p_ts - dt.timedelta(days=5), 7, "view", 0.0, None),
+        (5, p_ts - dt.timedelta(days=9, hours=12), 7, "view", 0.0, None),
+        # other-user touch never credited
+        (6, p_ts - dt.timedelta(days=1), 8, "click", 0.0, None),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.touch_type: r
+        for r in q_attribution_time_decay(spark, sf).collect()
+    }
+    sw = 1.0 + 0.5 + 1.0 / 32
+    assert got["click"].n_touches == 1
+    assert got["view"].n_touches == 2
+    assert got["click"].credited_value == round(100 * 0.5 / sw, 6)
+    assert got["view"].credited_value == round(
+        100 * (1.0 + 1.0 / 32) / sw, 6
+    )
+    # conservation: total credited equals the purchase value
+    total = got["click"].credited_value + got["view"].credited_value
+    assert abs(total - 100.0) < 1e-5
+
+
+def test_rank_ic_bounds_and_universe(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_signal_rank_ic,
+    )
+
+    rows = q_signal_rank_ic(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_symbols == 5
+        assert -1.0001 <= r.rank_ic <= 1.0001
+
+
+def test_event_study_win_rate_bounded(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_event_study_car,
+    )
+
+    for r in q_event_study_car(spark, SF_DIR).collect():
+        assert r.n_events >= 1
+        assert 0.0 <= r.win_rate <= 1.0
+        assert r.mean_car3 is not None
+
+
+def test_dup_span_coverage_constructed(spark, tmp_path):
+    """Two identical 20-token docs are 100% span-duplicated, a disjoint
+    doc is 0%, and a doc under 13 tokens emits no row."""
+    import pandas as pd
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_dup_span_coverage,
+    )
+
+    long_a = " ".join(f"w{i}" for i in range(20))
+    long_b = " ".join(f"u{i}" for i in range(20))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [long_a, long_a, long_b, "too short to gram"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(long_a), len(long_a), len(long_b), 17],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r.doc_id: r
+        for r in q_dup_span_coverage(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_grams == 8 and got[1].dup_share == 1.0
+    assert got[2].dup_share == 1.0
+    assert got[3].n_dup == 0 and got[3].dup_share == 0.0
+
+
+def test_min_variance_perfect_hedge_closed_form(spark, tmp_path):
+    """Two perfectly anti-correlated symbols (B's log price is -A's):
+    va = vb = -cov, so the closed form gives w_a = 0.5 exactly, zero
+    portfolio variance, and var_reduction equal to the single-asset
+    variance."""
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_min_variance_pair_weights,
+    )
+
+    rows = []
+    logp = 0.0
+    for i in range(31):
+        if i > 0:
+            logp += 0.01 if i % 2 else -0.01
+        ts = dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i)
+        rows.append((2 * i, ts, 1, "aaa", math.exp(logp), None))
+        rows.append((2 * i + 1, ts, 1, "bbb", math.exp(-logp), None))
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_min_variance_pair_weights(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.sym_a, r.sym_b) == ("aaa", "bbb")
+    assert r.va == r.vb == -r.cab
+    assert r.w_a == 0.5
+    assert r.port_var == 0.0
+    assert r.var_reduction == r.va
+
+
+def test_stl_recovers_planted_weekly_seasonality(spark, tmp_path):
+    """log price = linear trend + day-of-week pattern: a centered
+    7-session MA absorbs the trend plus the pattern mean exactly (each
+    dow appears once per window), so residuals vanish to rounding and
+    the seasonal estimate matches the centered pattern."""
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_stl_decomposition_daily,
+    )
+
+    pattern = [0.02, -0.01, 0.03, 0.0, -0.02, 0.01, -0.03]
+    pmean = sum(pattern) / 7.0
+    rows = []
+    for i in range(30):
+        lc = 0.001 * i + pattern[i % 7]
+        rows.append(
+            (i, dt.datetime(2024, 1, 1, 12) + dt.timedelta(days=i), 1,
+             "x", math.exp(lc), None)
+        )
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_stl_decomposition_daily(spark, sf).collect()
+    assert len(out) == 24  # 30 days minus 3 incomplete at each edge
+    for r in out:
+        assert abs(r.residual) <= 2e-6
+        assert abs(r.seasonal - (pattern[r.dow] - pmean)) <= 1e-5
+
+
+def test_embedding_outlier_ranks_planted_extreme(spark, tmp_path):
+    """20 unit-pattern vectors plus one at 10x magnitude: the planted
+    extreme must rank first with a strictly larger score."""
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_embedding_outlier_scores,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [
+        (i, [1.0 if (i + d) % 2 else -1.0 for d in range(4)], 0)
+        for i in range(20)
+    ]
+    rows.append((20, [10.0, -10.0, 10.0, -10.0], 1))
+    spark.createDataFrame(rows, schema=schema).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_embedding_outlier_scores(spark, str(tmp_path)).collect()
+    assert len(out) == 20  # 21 vectors, top-20 cut
+    assert out[0].vec_id == 20
+    assert out[0].outlier_score > out[1].outlier_score
+
+
+def test_ann_recall_audit_bounds(spark):
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_ann_recall_audit,
+    )
+
+    rows = q_ann_recall_audit(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact >= 1
+        assert 0 <= r.n_hit <= r.n_exact
+        assert 0.0 <= r.recall_at_3 <= 1.0
