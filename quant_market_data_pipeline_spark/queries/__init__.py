@@ -78,6 +78,11 @@ _PRIORITY = [
     "embedding_outlier_scores",
     #     and the ANN index-quality measurement (recall@3 vs exact)
     "ann_recall_audit",
+    #     plus the streaming VPIN state machine (tick-rule last price,
+    #     open-bucket fill and oi ring all carry across micro-batches)
+    "stream_vpin_e2e",
+    #     and the MinHash-LSH recall audit (exact-Jaccard ground truth)
+    "minhash_recall_audit",
     #     plus the planted-PII redaction audit, the dedup ACTION stage,
     #     cross-doc boilerplate detection and the variance-ratio test
     "pii_scrub_audit",

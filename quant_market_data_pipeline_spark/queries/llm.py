@@ -3169,3 +3169,126 @@ def q_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("hit").cast("double") / F.count(F.lit(1)), 6
         ).alias("recall_at_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall audit vs exact shingle Jaccard (sampled queries).
+# ---------------------------------------------------------------------------
+_MH_AUDIT_SAMPLE = 100  # audit query docs: doc_id < 100 (deterministic)
+
+
+@register(
+    "minhash_recall_audit",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+  UNION ALL
+  SELECT doc_id + {_TWIN_OFF_SQL}, regexp_extract_all(text, '\\S+')[1:30]
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM corpus)
+), shb AS (
+  SELECT doc_id, {_MINHASH_BASE_SQL} AS bh FROM sh
+), sig AS (
+  SELECT doc_id,
+       {_MIN_EXPRS}
+  FROM shb GROUP BY doc_id
+), banded AS (
+{_BAND_UNION}
+), lsh AS (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {_MH_AUDIT_SAMPLE}
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+         CAST(count(*) AS BIGINT) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {_MH_AUDIT_SAMPLE}
+  GROUP BY 1, 2
+), truth AS (
+  SELECT doc_lo, doc_hi, i, na.n + nb.n - i AS u
+  FROM inter JOIN sizes na ON na.doc_id = doc_lo
+             JOIN sizes nb ON nb.doc_id = doc_hi
+  WHERE 2 * i >= na.n + nb.n - i
+)
+SELECT t.doc_lo, t.doc_hi,
+       round(CAST(t.i AS DOUBLE) / t.u, 6) AS jaccard,
+       CAST(CASE WHEN l.doc_lo IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS caught
+FROM truth t LEFT JOIN lsh l USING (doc_lo, doc_hi)
+""",
+    doc="Dedup-index quality measurement, the MinHash twin of "
+    "ann_recall_audit: exact shingle-set Jaccard ground truth (every "
+    "pair with J >= 0.5, integer-compared as 2i >= u so the threshold "
+    "has no float boundary) on a deterministic "
+    f"{_MH_AUDIT_SAMPLE}-query-doc sample of the twin-planted corpus, "
+    "left-joined against the 8x2-banded LSH candidate set — per pair: "
+    "exact Jaccard and whether the index caught it.  The audit a user "
+    "runs before trusting banded LSH as the only dedup pass.  Scale "
+    "shape: the exact side is bounded by the sample contract (inverted "
+    "shingle index join, sample x corpus candidates), the LSH side is "
+    "the production banded pipeline reused verbatim, and sizes join "
+    "back broadcast.",
+)
+def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    planted = _with_twin_offset(toks).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+        F.slice("tokens", 1, 30).alias("tokens"),
+    )
+    corpus = toks.unionByName(planted)
+    shingled = corpus.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("tokens")))
+        ).alias("sh"),
+    )
+    sigs = minhash_signatures(shingled)
+    lsh = (
+        lsh_candidate_pairs(sigs, k=16, bands=8, rows_per_band=2)
+        .filter(F.col("doc_lo") < _MH_AUDIT_SAMPLE)
+        .withColumn("hit", F.lit(1))
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.filter(F.col("doc_id") < _MH_AUDIT_SAMPLE)
+    inter = (
+        a.alias("a")
+        .join(shingled.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"),
+            F.col("b.doc_id").alias("doc_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_lo"),
+                                     F.col("n").alias("na"))),
+            "doc_lo",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_hi"),
+                                     F.col("n").alias("nb"))),
+            "doc_hi",
+        )
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter(2 * F.col("i") >= F.col("u"))
+    )
+    return truth.join(F.broadcast(lsh), ["doc_lo", "doc_hi"], "left").select(
+        "doc_lo",
+        "doc_hi",
+        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+        F.when(F.col("hit").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("caught"),
+    )

@@ -818,3 +818,112 @@ def q_stream_rsi_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rsi", 4).alias("rsi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# VPIN stream, end to end: microstructure state machine across batches.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_vpin_e2e",
+    oracle="""
+WITH t AS (
+  SELECT event_type AS symbol, value,
+         lag(value) OVER w AS pv,
+         row_number() OVER w AS rn
+  FROM events WHERE value > 0
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), sided AS (
+  SELECT symbol, (rn - 1) // 50 AS bucket_id,
+         CASE WHEN pv IS NULL OR value = pv THEN 0
+              WHEN value > pv THEN 1 ELSE -1 END AS side
+  FROM t
+), buckets AS (
+  SELECT symbol, CAST(bucket_id AS BIGINT) AS bucket_id,
+         CAST(count(*) AS BIGINT) AS n_ticks,
+         CAST(abs(sum(side)) AS DOUBLE) / count(*) AS oi_frac
+  FROM sided GROUP BY 1, 2
+)
+SELECT symbol, bucket_id, n_ticks,
+       round(oi_frac, 6) AS oi_frac,
+       CASE WHEN count(*) OVER wb >= 5
+            THEN round(avg(oi_frac) OVER wb, 6) END AS vpin
+FROM buckets
+WHERE n_ticks = 50
+WINDOW wb AS (PARTITION BY symbol ORDER BY bucket_id
+              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+""",
+    doc="Driver gate for the streaming VPIN operator "
+    "(streaming/stateful.py:vpin_stream): positive ticks land as 3 "
+    "time-sliced parquet files and drain one file per micro-batch, so "
+    "the tick-rule last-price, the open bucket fill and the oi ring "
+    "all carry across batch boundaries; the emitted completed buckets "
+    "must hash-match the batch tick-rule/row_number bucketing "
+    "restricted to complete (50-tick) buckets — the open tail bucket "
+    "is withheld in state on both sides of the comparison.  The "
+    "trailing partial bucket is the ONLY row the batch twin has that "
+    "the stream (correctly) does not emit, hence the n_ticks = 50 "
+    "restriction; every emitted vpin value reflects the same 5-bucket "
+    "ring the batch window computes.",
+)
+def q_stream_vpin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        vpin_stream,
+    )
+
+    configure_runtime(spark)
+    ticks = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value") > 0)
+        .select(
+            F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+        )
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_vpin")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    _land_time_sliced(ticks, "ts", landing, n_slices=3)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+    vpin = vpin_stream(
+        stream,
+        bucket_size=50,
+        window_buckets=5,
+        key="symbol",
+        ts="ts",
+        tiebreak="event_id",
+        value="value",
+    )
+    query = (
+        vpin.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    return spark.read.parquet(out).select(
+        "symbol",
+        "bucket_id",
+        "n_ticks",
+        F.round("oi_frac", 6).alias("oi_frac"),
+        F.round("vpin", 6).alias("vpin"),
+    )

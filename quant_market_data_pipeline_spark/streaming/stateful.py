@@ -330,3 +330,119 @@ def wilder_rsi_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+VPIN_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("bucket_id", T.LongType()),
+        T.StructField("n_ticks", T.LongType()),
+        T.StructField("oi_frac", T.DoubleType()),
+        T.StructField("vpin", T.DoubleType()),
+    ]
+)
+
+# Per-symbol VPIN accumulator: the previous trade price (tick rule),
+# the open bucket's fill + signed sum, the next bucket id to assign,
+# and the trailing ring of completed-bucket oi fractions.  O(window)
+# doubles per key — independent of throughput.
+VPIN_STATE_SCHEMA = (
+    "last_price double, fill long, signed long, next_bucket long, "
+    "ring array<double>"
+)
+
+
+def vpin_stream(
+    ticks: DataFrame,
+    bucket_size: int = 50,
+    window_buckets: int = 5,
+    key: str = "symbol",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """VPIN order-flow toxicity as a live streaming operator.
+
+    Streaming twin of the batch ``vpin_toxicity`` query: classify each
+    tick +1/-1/0 by the tick rule against the PREVIOUS trade (state
+    carries the last price across micro-batches), cut the per-symbol
+    stream into equal-volume buckets of ``bucket_size`` ticks, and on
+    each bucket CLOSE emit |net signed flow| / bucket volume plus the
+    trailing ``window_buckets`` VPIN average (NULL until the ring
+    fills).  Only completed buckets are emitted — the open bucket lives
+    in state until its 50th tick arrives, possibly batches later, so
+    emission is append-mode clean (a bucket is emitted exactly once).
+
+    Parity contract (gated by ``stream_vpin_e2e``): rows must arrive in
+    per-key event-time order across batches (time-sliced landing) and
+    the operator sorts each batch by (ts, tiebreak) — then bucket ids,
+    sides, and ring contents reproduce the batch row_number bucketing
+    exactly.
+    """
+
+    def fn(key_tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (symbol,) = key_tuple
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values([ts, tiebreak])
+        vals = [float(v) for v in rows[value]]
+
+        if state.exists:
+            last_price, fill, signed, next_bucket, ring = state.get
+            ring = list(ring)
+            have_last = True
+        else:
+            last_price, fill, signed, next_bucket, ring = 0.0, 0, 0, 0, []
+            have_last = False
+
+        out: list[tuple[int, float, float | None]] = []
+        for v in vals:
+            if not have_last or v == last_price:
+                side = 0
+            elif v > last_price:
+                side = 1
+            else:
+                side = -1
+            have_last = True
+            last_price = v
+            signed += side
+            fill += 1
+            if fill == bucket_size:
+                oi = abs(signed) / float(bucket_size)
+                ring.append(oi)
+                ring = ring[-window_buckets:]
+                vpin = (
+                    sum(ring) / window_buckets
+                    if len(ring) == window_buckets
+                    else None
+                )
+                out.append((next_bucket, oi, vpin))
+                next_bucket += 1
+                fill = 0
+                signed = 0
+
+        state.update((last_price, fill, signed, next_bucket, ring))
+        yield pd.DataFrame(
+            {
+                "symbol": [symbol] * len(out),
+                "bucket_id": [o[0] for o in out],
+                "n_ticks": [bucket_size] * len(out),
+                "oi_frac": [o[1] for o in out],
+                "vpin": [o[2] for o in out],
+            }
+        )
+
+    return (
+        ticks.withWatermark(ts, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=VPIN_SCHEMA,
+            stateStructType=VPIN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -695,3 +695,12 @@ def test_ann_recall_audit_no_cartesian_no_smj(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_minhash_recall_audit_broadcast_only(spark):
+    """MinHash recall audit: sampled inverted-index exact side + the
+    production banded LSH side, sizes and the candidate set join back
+    broadcast — no sort-merge join, no cartesian."""
+    plan = _plan(spark, "minhash_recall_audit")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

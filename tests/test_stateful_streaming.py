@@ -318,3 +318,67 @@ def test_zscore_crash_recovery_state_reloads(spark):
     want = twin.toPandas().sort_values(["symbol", "bar_ts"]).reset_index(drop=True)
     assert len(got) == len(want) > 0, (len(got), len(want), stats)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_vpin_stream_buckets_straddle_batches(spark):
+    """120 monotone-rising ticks land as 3 time-ordered files of 40
+    (maxFilesPerTrigger=1): every 50-tick bucket straddles a micro-batch
+    boundary, so the tick-rule last-price, the open-bucket fill and the
+    signed sum must all carry in state.  Expect exactly 2 completed
+    buckets — oi 49/50 then 1.0 — with the 20-tick tail withheld."""
+    import datetime as dt
+
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        vpin_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            "x",
+            base + dt.timedelta(seconds=i),
+            i,
+            float(i + 1),
+            i // 40,
+        )
+        for i in range(120)
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        landing = f"{tmp}/landing"
+        df = spark.createDataFrame(
+            rows, schema="symbol string, ts timestamp, event_id long, "
+            "value double, part int"
+        )
+        df.repartition("part").write.mode("overwrite").parquet(landing)
+
+        schema = T.StructType(
+            [
+                T.StructField("symbol", T.StringType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("part", T.IntegerType()),
+            ]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        out = vpin_stream(stream.drop("part"), bucket_size=50)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("vpin_straddle")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r.bucket_id: r
+            for r in spark.sql("select * from vpin_straddle").collect()
+        }
+    assert set(got) == {0, 1}
+    assert got[0].oi_frac == 49 / 50
+    assert got[1].oi_frac == 1.0
+    assert got[0].vpin is None and got[1].vpin is None
