@@ -105,6 +105,12 @@ DOCSCALE = [
     # cross-doc duplicated, the worst case for the dup-set join, so the
     # probe stresses the collapse-before-exchange claim directly
     "dup_span_coverage",
+    # round-7: both index-quality audits — their exact sides are bounded
+    # by sample contracts (100 docs / 20 vectors), so cost must scale
+    # with the CORPUS side only (sample x corpus candidates), never
+    # quadratically
+    "minhash_recall_audit",
+    "ann_recall_audit",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is
@@ -122,6 +128,12 @@ TICKSCALE = [
     "peak_concurrency_daily",
     "vwap_slippage_tca",
     "bars_rollup_1h",
+    # round-7 microstructure/attribution ops: each is a single keyed
+    # window/exchange over the tick fact — the probe pins that the
+    # one-exchange claim holds when ticks multiply x16
+    "vpin_toxicity",
+    "bipower_jump_stats",
+    "attribution_time_decay",
 ]
 
 
