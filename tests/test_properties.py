@@ -164,3 +164,80 @@ def test_money_sum_partition_order_invariant(spark, cents, parts):
         row = df.agg(money_sum("x").alias("s")).collect()[0]
         got.add(row["s"])
     assert got == {truth}, (got, truth)
+
+
+# --- round-7: VPIN bucketing vs an independent pandas golden ------------
+
+
+@st.composite
+def vpin_tapes(draw):
+    n = draw(st.integers(20, 90))
+    # coarse ts grid forces duplicate timestamps (the (ts, event_id)
+    # tiebreak is under test) and a tiny price grid forces equal-price
+    # side-0 ticks
+    return pd.DataFrame(
+        {
+            "symbol": [draw(_key) for _ in range(n)],
+            "ts": [
+                BASE + dt.timedelta(seconds=draw(st.integers(0, 50)))
+                for _ in range(n)
+            ],
+            "event_id": list(range(n)),
+            "value": [float(draw(st.integers(1, 5))) for _ in range(n)],
+        }
+    )
+
+
+def _vpin_golden(df: pd.DataFrame, bucket: int, window: int) -> dict:
+    out = {}
+    for sym, g in df.sort_values(["ts", "event_id"]).groupby("symbol"):
+        vals = g["value"].tolist()
+        sides, last = [], None
+        for v in vals:
+            if last is None or v == last:
+                sides.append(0)
+            elif v > last:
+                sides.append(1)
+            else:
+                sides.append(-1)
+            last = v
+        ring = []
+        for start in range(0, len(vals), bucket):
+            chunk = sides[start : start + bucket]
+            oi = abs(sum(chunk)) / len(chunk)
+            ring.append(oi)
+            vpin = (
+                round(sum(ring[-window:]) / window, 6)
+                if len(ring) >= window
+                else None
+            )
+            out[(sym, start // bucket)] = (len(chunk), round(oi, 6), vpin)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tape=vpin_tapes())
+def test_vpin_bucketing_matches_pandas_golden(spark, tape):
+    import tempfile
+
+    from quant_market_data_pipeline_spark.queries import quant as q
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(
+            tape.rename(columns={"symbol": "event_type"})
+        ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+        old_b, old_w = q._VPIN_BUCKET, q._VPIN_WINDOW
+        q._VPIN_BUCKET, q._VPIN_WINDOW = 7, 3
+        try:
+            rows = q.q_vpin_toxicity(spark, tmp).collect()
+        finally:
+            q._VPIN_BUCKET, q._VPIN_WINDOW = old_b, old_w
+    got = {
+        (r.symbol, r.bucket_id): (r.n_ticks, r.oi_frac, r.vpin)
+        for r in rows
+    }
+    assert got == _vpin_golden(tape, bucket=7, window=3)

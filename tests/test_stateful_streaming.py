@@ -382,3 +382,96 @@ def test_vpin_stream_buckets_straddle_batches(spark):
     assert got[0].oi_frac == 49 / 50
     assert got[1].oi_frac == 1.0
     assert got[0].vpin is None and got[1].vpin is None
+
+
+def test_vpin_crash_recovery_state_reloads(spark):
+    """Kill the VPIN stream mid-flight after >= 2 committed batches and
+    restart from the same checkpoint: the tick-rule last price, the
+    open-bucket fill/signed sum and the oi ring must all reload exactly
+    — any loss or doubling shifts a bucket boundary or a side and
+    changes some oi_frac, so set-equality against the batch bucketing
+    (complete buckets only) proves byte-exact state recovery."""
+    import shutil
+    from pathlib import Path
+
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_vpin_toxicity,
+    )
+    from quant_market_data_pipeline_spark.queries.streaming_e2e import (
+        _SCRATCH,
+        _kill_after_batches,
+        _land_time_sliced,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+    from quant_market_data_pipeline_spark.streaming.stateful import (
+        vpin_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ticks = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("value") > 0)
+        .select(
+            F.col("event_type").alias("symbol"), "ts", "event_id", "value"
+        )
+    )
+    base = _SCRATCH / (Path(sf_dir).name + "_vpincrash")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+    _land_time_sliced(ticks, "ts", landing, n_slices=6)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def start(available_now: bool):
+        stream = read_tick_stream(
+            spark, landing, schema=schema, fmt="parquet",
+            max_files_per_trigger=1,
+        )
+        v = vpin_stream(
+            stream,
+            bucket_size=50,
+            window_buckets=5,
+            key="symbol",
+            ts="ts",
+            tiebreak="event_id",
+            value="value",
+        )
+        writer = (
+            v.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    q1 = start(available_now=False)
+    killed_after = _kill_after_batches(q1)
+    q2 = start(available_now=True)
+    q2.awaitTermination()
+    assert killed_after >= 2
+
+    got = {
+        (r.symbol, r.bucket_id): (r.n_ticks, round(r.oi_frac, 6))
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.symbol, r.bucket_id): (r.n_ticks, r.oi_frac)
+        for r in q_vpin_toxicity(spark, sf_dir)
+        .filter(F.col("n_ticks") == 50)
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
