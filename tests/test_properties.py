@@ -241,3 +241,132 @@ def test_vpin_bucketing_matches_pandas_golden(spark, tape):
         for r in rows
     }
     assert got == _vpin_golden(tape, bucket=7, window=3)
+
+
+# --- round-7: bipower RV/BV vs pandas; attribution credit conservation --
+
+
+@st.composite
+def bipower_tapes(draw):
+    n = draw(st.integers(12, 60))
+    return pd.DataFrame(
+        {
+            "event_type": [draw(_key) for _ in range(n)],
+            "ts": [
+                BASE
+                + dt.timedelta(
+                    days=draw(st.integers(0, 1)),
+                    seconds=draw(st.integers(0, 3000)),
+                )
+                for _ in range(n)
+            ],
+            "event_id": list(range(n)),
+            "value": [
+                float(draw(st.integers(1, 50))) for _ in range(n)
+            ],
+        }
+    )
+
+
+def _bipower_golden(df: pd.DataFrame) -> dict:
+    import math
+
+    out = {}
+    df = df.sort_values(["ts", "event_id"])
+    df = df.assign(day=df["ts"].dt.date)
+    for (sym, day), g in df.groupby(["event_type", "day"]):
+        lp = [math.log(v) for v in g["value"]]
+        rs = [b - a for a, b in zip(lp, lp[1:])]
+        if len(rs) < 5:
+            continue
+        rv = round(sum(r * r for r in rs), 8)
+        bv = round(
+            1.5707963267948966
+            * sum(abs(a) * abs(b) for a, b in zip(rs, rs[1:])),
+            8,
+        )
+        jf = round(max(0.0, 1.0 - bv / rv), 6) if rv > 0 else None
+        out[(sym, day)] = (len(rs), rv, bv, jf)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tape=bipower_tapes())
+def test_bipower_matches_pandas_golden(spark, tape):
+    import tempfile
+
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_bipower_jump_stats,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(tape).write.mode("overwrite").parquet(
+            f"{tmp}/events.parquet"
+        )
+        rows = q_bipower_jump_stats(spark, tmp).collect()
+    got = {
+        (r.symbol, r.trading_day): (r.n_ret, r.rv, r.bv, r.jump_frac)
+        for r in rows
+    }
+    assert got == _bipower_golden(tape)
+
+
+@st.composite
+def attribution_tapes(draw):
+    n = draw(st.integers(6, 40))
+    types = st.sampled_from(["purchase", "click", "view", "error"])
+    return pd.DataFrame(
+        {
+            "event_id": list(range(n)),
+            "ts": [
+                BASE + dt.timedelta(hours=draw(st.integers(0, 400)))
+                for _ in range(n)
+            ],
+            "user_id": [draw(st.integers(1, 3)) for _ in range(n)],
+            "event_type": [draw(types) for _ in range(n)],
+            "value": [float(draw(st.integers(0, 200))) for _ in range(n)],
+            "props": [None] * n,
+        }
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tape=attribution_tapes())
+def test_attribution_conserves_credited_value(spark, tape):
+    """Total credited revenue must equal the total value of purchases
+    that have >= 1 in-window touch — the normalization invariant that
+    holds for ANY tape; per-day/type splits are the oracle gate's job."""
+    import tempfile
+
+    from quant_market_data_pipeline_spark.queries.core import (
+        q_attribution_time_decay,
+    )
+
+    # independent truth: purchases with at least one click/view by the
+    # same user within (p_ts - 7d, p_ts]
+    p = tape[tape.event_type == "purchase"]
+    t = tape[tape.event_type.isin(["click", "view"])]
+    want = 0.0
+    for _, pr in p.iterrows():
+        touches = t[
+            (t.user_id == pr.user_id)
+            & (t.ts <= pr.ts)
+            & (t.ts >= pr.ts - pd.Timedelta(days=7))
+        ]
+        if len(touches):
+            want += pr.value
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(tape).write.mode("overwrite").parquet(
+            f"{tmp}/events.parquet"
+        )
+        rows = q_attribution_time_decay(spark, tmp).collect()
+    got = sum(r.credited_value for r in rows)
+    assert abs(got - want) < 1e-3
