@@ -83,6 +83,8 @@ _PRIORITY = [
     "stream_vpin_e2e",
     #     and the MinHash-LSH recall audit (exact-Jaccard ground truth)
     "minhash_recall_audit",
+    #     and the 2-state volatility-regime Markov diagnostic
+    "vol_regime_transitions",
     #     plus the planted-PII redaction audit, the dedup ACTION stage,
     #     cross-doc boilerplate detection and the variance-ratio test
     "pii_scrub_audit",

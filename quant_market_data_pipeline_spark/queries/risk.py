@@ -1458,3 +1458,96 @@ def q_stl_decomposition_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         F.round(F.col("detrended") - F.col("seasonal"), 6).alias("residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Volatility regime transitions: 2-state Markov persistence per symbol.
+# ---------------------------------------------------------------------------
+@register(
+    "vol_regime_transitions",
+    oracle=f"""
+WITH {_DAILY_CTE},
+gk AS (
+  SELECT symbol, trading_day,
+         round(0.5 * ln(high / low) * ln(high / low)
+               - (2 * ln(2) - 1) * ln(close / open) * ln(close / open),
+               8) AS v
+  FROM daily
+), med AS (
+  SELECT symbol, median(v) AS m FROM gk GROUP BY symbol
+), regimes AS (
+  SELECT gk.symbol, trading_day,
+         CASE WHEN v > m THEN 1 ELSE 0 END AS hi,
+         lag(CASE WHEN v > m THEN 1 ELSE 0 END) OVER (
+           PARTITION BY gk.symbol ORDER BY trading_day) AS prev_hi
+  FROM gk JOIN med ON med.symbol = gk.symbol
+)
+SELECT symbol,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(count(CASE WHEN prev_hi = 1 AND hi = 1 THEN 1 END) AS BIGINT)
+         AS n_hh,
+       CAST(count(CASE WHEN prev_hi = 1 AND hi = 0 THEN 1 END) AS BIGINT)
+         AS n_hl,
+       CAST(count(CASE WHEN prev_hi = 0 AND hi = 1 THEN 1 END) AS BIGINT)
+         AS n_lh,
+       CAST(count(CASE WHEN prev_hi = 0 AND hi = 0 THEN 1 END) AS BIGINT)
+         AS n_ll,
+       round(CAST(count(CASE WHEN prev_hi = hi THEN 1 END) AS DOUBLE)
+             / count(*), 4) AS persistence
+FROM regimes WHERE prev_hi IS NOT NULL
+GROUP BY symbol
+""",
+    doc="Regime-switching diagnostic: classify each (symbol, day) as "
+    "HIGH/LOW volatility against the symbol's median Garman-Klass "
+    "variance (variance rounded to 8dp first; the median of identical "
+    "rounded values interpolates identically on both engines, so the "
+    "threshold compare has no float boundary), then count the 2-state "
+    "Markov transition cells and the persistence probability "
+    "P(stay) — the empirical basis for a vol-targeting overlay.  Plan "
+    "shape: one (symbol, day) OHLC reduction; the per-symbol median "
+    "is a symbol-sized frame joined back BROADCAST; the transition "
+    "lag rides the symbol window and the final rollup "
+    "partial-aggregates per symbol.",
+)
+def q_vol_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    d = _daily_ohlc(spark, sf_dir)
+    hl = F.log(F.col("high") / F.col("low"))
+    co = F.log(F.col("close") / F.col("open"))
+    ln2 = float(math.log(2.0))
+    gk = d.select(
+        "symbol",
+        "trading_day",
+        F.round(0.5 * hl * hl - (2 * ln2 - 1) * co * co, 8).alias("v"),
+    )
+    med = gk.groupBy("symbol").agg(F.median("v").alias("m"))
+    hi = F.when(F.col("v") > F.col("m"), 1).otherwise(0)
+    wsym = Window.partitionBy("symbol").orderBy("trading_day")
+    regimes = (
+        gk.join(F.broadcast(med), "symbol")
+        .select(
+            "symbol",
+            "trading_day",
+            hi.alias("hi"),
+            F.lag(hi).over(wsym).alias("prev_hi"),
+        )
+        .filter(F.col("prev_hi").isNotNull())
+    )
+    cell = lambda a, b: F.count(  # noqa: E731
+        F.when((F.col("prev_hi") == a) & (F.col("hi") == b), 1)
+    ).cast("bigint")
+    return regimes.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+        cell(1, 1).alias("n_hh"),
+        cell(1, 0).alias("n_hl"),
+        cell(0, 1).alias("n_lh"),
+        cell(0, 0).alias("n_ll"),
+        F.round(
+            F.count(F.when(F.col("prev_hi") == F.col("hi"), 1)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("persistence"),
+    )

@@ -704,3 +704,13 @@ def test_minhash_recall_audit_broadcast_only(spark):
     plan = _plan(spark, "minhash_recall_audit")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vol_regime_median_broadcast_back(spark):
+    """Vol regimes: the per-symbol median frame joins back BROADCAST on
+    the daily dimension frame; the transition lag rides the symbol
+    window — no sort-merge join, one tick scan per consumer at most."""
+    plan = _plan(spark, "vol_regime_transitions")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan

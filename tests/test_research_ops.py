@@ -335,3 +335,18 @@ def test_minhash_recall_audit_catches_planted_twins(spark):
     # banded 8x2 MinHash at J>=0.5 should catch the large majority
     caught = sum(r.caught for r in rows) / len(rows)
     assert caught >= 0.8
+
+
+def test_vol_regime_cells_sum_and_persistence(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_vol_regime_transitions,
+    )
+
+    rows = q_vol_regime_transitions(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_hh + r.n_hl + r.n_lh + r.n_ll == r.n_transitions
+        assert (
+            abs(r.persistence - round((r.n_hh + r.n_ll) / r.n_transitions, 4))
+            < 1e-9
+        )
