@@ -370,3 +370,91 @@ def test_attribution_conserves_credited_value(spark, tape):
         rows = q_attribution_time_decay(spark, tmp).collect()
     got = sum(r.credited_value for r in rows)
     assert abs(got - want) < 1e-3
+
+
+# --- round-7: Hurst R/S vs an independent sequential-python golden ------
+
+
+@st.composite
+def daily_close_tapes(draw):
+    n_days = draw(st.integers(18, 34))
+    rows = []
+    for s in ("A", "B"):
+        for i in range(n_days):
+            rows.append(
+                {
+                    "event_type": s,
+                    "ts": BASE + dt.timedelta(days=i, hours=12),
+                    "event_id": len(rows),
+                    "value": float(draw(st.integers(1, 50))),
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+def _hurst_golden(df: pd.DataFrame, sizes=(4, 8, 16)) -> dict:
+    import math
+
+    out = {}
+    for sym, g in df.sort_values("ts").groupby("event_type"):
+        closes = g["value"].tolist()
+        rets = [
+            math.log(b) - math.log(a) for a, b in zip(closes, closes[1:])
+        ]
+        pts = []
+        for sz in sizes:
+            rs_vals = []
+            for blk in range(len(rets) // sz):
+                chunk = rets[blk * sz : (blk + 1) * sz]
+                mean = sum(chunk) / sz
+                sd = math.sqrt(sum((x - mean) ** 2 for x in chunk) / sz)
+                if sd <= 0:
+                    continue
+                cum, zmin, zmax = 0.0, float("inf"), float("-inf")
+                for pos, x in enumerate(chunk, start=1):
+                    cum += x
+                    z = cum - pos * mean
+                    zmin, zmax = min(zmin, z), max(zmax, z)
+                rs_vals.append((zmax - zmin) / sd)
+            if rs_vals:
+                pts.append(
+                    (
+                        math.log(float(sz)),
+                        math.log(round(sum(rs_vals) / len(rs_vals), 6)),
+                    )
+                )
+        if len(pts) >= 2:
+            n = len(pts)
+            mx = sum(p[0] for p in pts) / n
+            my = sum(p[1] for p in pts) / n
+            sxy = sum(p[0] * p[1] for p in pts) / n - mx * my
+            sxx = sum(p[0] * p[0] for p in pts) / n - mx * mx
+            if sxx != 0:
+                out[sym] = (n, sxy / sxx)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(tape=daily_close_tapes())
+def test_hurst_matches_sequential_golden(spark, tape):
+    import tempfile
+
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_hurst_rs_exponent,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.createDataFrame(tape).write.mode("overwrite").parquet(
+            f"{tmp}/events.parquet"
+        )
+        rows = q_hurst_rs_exponent(spark, tmp).collect()
+    want = _hurst_golden(tape)
+    got = {r.symbol: (r.n_sizes, r.hurst) for r in rows}
+    assert set(got) == set(want)
+    for sym, (n, slope) in want.items():
+        assert got[sym][0] == n
+        assert abs(got[sym][1] - slope) <= 1.5e-4
