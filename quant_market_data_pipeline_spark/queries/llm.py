@@ -3014,12 +3014,13 @@ WITH dims AS (
   FROM stats
 ), scored AS (
   SELECT vec_id, label,
-         sqrt(list_sum(list_transform(
-           generate_series(1, len(embedding)),
-           i -> CASE WHEN sd_arr[i] > 0
-                     THEN ((embedding[i] - mu_arr[i]) / sd_arr[i])
-                          * ((embedding[i] - mu_arr[i]) / sd_arr[i])
-                     ELSE 0.0 END)) / d_eff) AS score
+         CASE WHEN d_eff > 0 THEN
+           sqrt(list_sum(list_transform(
+             generate_series(1, len(embedding)),
+             i -> CASE WHEN sd_arr[i] > 0
+                       THEN ((embedding[i] - mu_arr[i]) / sd_arr[i])
+                            * ((embedding[i] - mu_arr[i]) / sd_arr[i])
+                       ELSE 0.0 END)) / d_eff) END AS score
   FROM embeddings, packed
 )
 SELECT vec_id, label, round(score, 6) AS outlier_score
@@ -3065,15 +3066,21 @@ def q_embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = lambda i: F.when(  # noqa: E731
         F.element_at("sd_arr", i + 1) > 0, z(i) * z(i)
     ).otherwise(F.lit(0.0))
-    score = F.sqrt(
-        F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.size("embedding") - 1), term
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        / F.col("d_eff")
+    # d_eff = 0 (an all-constant corpus: every dimension's sigma rounds
+    # to 0) must yield NULL, not a /0 inf-vs-nan divergence between
+    # engines
+    score = F.when(
+        F.col("d_eff") > 0,
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("embedding") - 1), term
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            / F.col("d_eff")
+        ),
     )
     scored = emb.crossJoin(F.broadcast(packed)).select(
         "vec_id", "label", score.alias("score")

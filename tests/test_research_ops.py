@@ -350,3 +350,28 @@ def test_vol_regime_cells_sum_and_persistence(spark):
             abs(r.persistence - round((r.n_hh + r.n_ll) / r.n_transitions, 4))
             < 1e-9
         )
+
+
+def test_embedding_outlier_constant_corpus_yields_null_scores(spark, tmp_path):
+    """All-constant embeddings: every per-dim sigma rounds to 0, d_eff
+    is 0, and the score must be NULL — never an inf/NaN division."""
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_embedding_outlier_scores,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    rows = [(i, [1.0, 1.0, 1.0, 1.0], 0) for i in range(10)]
+    spark.createDataFrame(rows, schema=schema).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    out = q_embedding_outlier_scores(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    assert all(r.outlier_score is None for r in out)
