@@ -97,6 +97,12 @@ _PRIORITY = [
     #     plus roll_spread_estimator: covariance reworked onto exact
     #     decimal sums after a round-to-6 boundary flake at sf0.001
     "roll_spread_estimator",
+    #     and the late-r7 additions: leakage-free CV split assignment,
+    #     contrastive hard negatives, plus the quote-free high-low
+    #     spread estimator the earlier r7 window missed
+    "purged_kfold_splits",
+    "hard_negative_mining",
+    "corwin_schultz_spread",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

@@ -3299,3 +3299,104 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("caught"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: per anchor, the most
+# cosine-similar vectors that carry a DIFFERENT label — the pairs a
+# contrastive loss learns the most from (and the standard curation step
+# before training retrieval/embedding models).
+# ---------------------------------------------------------------------------
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings
+), bucketed AS (
+  SELECT vec_id, label, cv, {_BUCKET_SQL} AS bucket FROM vecs
+), slotted AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY bucket ORDER BY md5(vec_id::VARCHAR), vec_id) AS slot
+  FROM bucketed
+), pairs AS (
+  SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+         b.vec_id AS negative_id, b.label AS negative_label,
+         round(list_dot_product(a.cv, b.cv) /
+               nullif(sqrt(list_dot_product(a.cv, a.cv)) *
+                      sqrt(list_dot_product(b.cv, b.cv)), 0.0), 6) AS cos_sim
+  FROM bucketed a JOIN slotted b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id AND a.label <> b.label
+  WHERE b.slot <= {_LSH_CAP}
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY anchor_id ORDER BY cos_sim DESC, negative_id) AS rn
+  FROM pairs
+)
+SELECT anchor_id, CAST(anchor_label AS INTEGER) AS anchor_label,
+       negative_id, CAST(negative_label AS INTEGER) AS negative_label,
+       cos_sim, rn
+FROM ranked WHERE rn <= 2
+""",
+    doc="Hard-negative mining over the embedding corpus: for every anchor, "
+    "the top-2 most-similar vectors with a DIFFERENT label, candidates "
+    "restricted to the anchor's hyperplane-LSH bucket with the md5-"
+    "ordered probe cap (same 4-plane family + cap as ann_lsh_topk, so "
+    "candidate count stays LINEAR in corpus size).  Labels ride "
+    "THROUGH the gemm scoring stage packed into the 64-bit pair ids "
+    "(id*16 + label; labels are 0-9 by fixture contract, so the x16 "
+    "headroom holds) and are unpacked with shift/mask "
+    "afterwards — zero extra joins or shuffles versus the plain ANN "
+    "query, where the naive plan would re-join the n-row label "
+    "dimension onto BOTH sides of the pair stream.  The cap is applied "
+    "BEFORE packing so the md5(vec_id) probe sample is byte-identical "
+    "to the oracle's.  Scale: same shape as ann_lsh_topk (sublinear "
+    "x16 probe on file), one extra narrow projection.",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        bucket_sample_cap,
+        gemm_pair_scores,
+        lsh_bucket_arrow,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    vecs = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("v"), "label"
+    ).withColumn("bucket", lsh_bucket_arrow(4, 64)(F.col("v")))
+    # index build: both pair sides reuse the bucketed vectors (lazy, same
+    # rationale as lsh_cosine_topk)
+    vecs = vecs.localCheckpoint(eager=False)
+    packed = (F.col("vec_id") * 16 + F.col("label")).cast("long")
+    a = vecs.select(
+        packed.alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    nbr = bucket_sample_cap(vecs, ["bucket"], "vec_id", _LSH_CAP)
+    b = nbr.select(
+        packed.alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = gemm_pair_scores(a, b, ["bucket"], query_salts=8).withColumn(
+        "cos_sim", F.round("cos_sim", 6)
+    )
+    unpacked = scored.select(
+        F.shiftright("query_id", 4).alias("anchor_id"),
+        (F.col("query_id") % 16).cast("int").alias("anchor_label"),
+        F.shiftright("neighbor_id", 4).alias("negative_id"),
+        (F.col("neighbor_id") % 16).cast("int").alias("negative_label"),
+        "cos_sim",
+    ).filter(F.col("anchor_label") != F.col("negative_label"))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id")
+    )
+    return (
+        unpacked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            "rn",
+        )
+    )

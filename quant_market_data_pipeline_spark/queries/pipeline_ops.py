@@ -1015,3 +1015,73 @@ def q_in_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             conv.cast("double") / F.nullif(F.sum("saw"), F.lit(0)), 6
         ).alias("session_conversion"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Purged k-fold CV assignment with embargo (de Prado, "Advances in
+# Financial Machine Learning" ch.7): the leakage-free cross-validation
+# split a time-series model over this lake needs.
+# ---------------------------------------------------------------------------
+@register(
+    "purged_kfold_splits",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS trading_day FROM events
+), folded AS (
+  SELECT trading_day,
+         CAST(ntile(5) OVER (ORDER BY trading_day) AS BIGINT) AS fold
+  FROM days
+), bounds AS (
+  SELECT fold AS eval_fold, min(trading_day) AS lo, max(trading_day) AS hi
+  FROM folded GROUP BY fold
+)
+SELECT f.trading_day, b.eval_fold,
+       CASE WHEN f.fold = b.eval_fold THEN 'test'
+            WHEN f.trading_day BETWEEN b.lo - 3 AND b.hi + 3 THEN 'purged'
+            ELSE 'train' END AS role
+FROM folded f CROSS JOIN bounds b
+""",
+    doc="Purged k-fold with embargo for time-series cross-validation "
+    "(de Prado ch.7): plain k-fold leaks because observations adjacent "
+    "to the test block share overlapping label horizons with it, so "
+    "every day within the 3-day embargo band around a fold's "
+    "[min, max] range is PURGED from that fold's training set (both "
+    "sides: before the block guards overlapping lookback features, "
+    "after guards overlapping forward labels).  Output is the full "
+    "(day x eval_fold) role matrix a CV harness joins against the "
+    "feature table.  Determinism: pure date arithmetic and ntile over "
+    "a total order (distinct days) — no floats anywhere.  Scale "
+    "shape: the day dimension is calendar-bounded (~250 rows/year "
+    "even for a 100 TB tick lake), so the single-partition ntile "
+    "window and the 5-row bounds broadcast are both trivially cheap; "
+    "the one real shuffle is the DISTINCT day reduction, which "
+    "map-side partials collapse to |days| rows per task.",
+)
+def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("trading_day"))
+        .distinct()
+    )
+    # single-partition window: safe because days is a calendar-bounded
+    # dimension (see docstring), the same rationale as sequence_grid
+    folded = days.withColumn(
+        "fold",
+        F.ntile(5).over(Window.orderBy("trading_day")).cast("bigint"),
+    )
+    bounds = folded.groupBy(F.col("fold").alias("eval_fold")).agg(
+        F.min("trading_day").alias("lo"), F.max("trading_day").alias("hi")
+    )
+    role = (
+        F.when(F.col("fold") == F.col("eval_fold"), "test")
+        .when(
+            F.col("trading_day").between(
+                F.date_sub("lo", 3), F.date_add("hi", 3)
+            ),
+            "purged",
+        )
+        .otherwise("train")
+    )
+    return folded.crossJoin(F.broadcast(bounds)).select(
+        "trading_day", "eval_fold", role.alias("role")
+    )

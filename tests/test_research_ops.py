@@ -375,3 +375,143 @@ def test_embedding_outlier_constant_corpus_yields_null_scores(spark, tmp_path):
     out = q_embedding_outlier_scores(spark, str(tmp_path)).collect()
     assert len(out) == 10
     assert all(r.outlier_score is None for r in out)
+
+
+def test_corwin_schultz_two_day_closed_form(spark, tmp_path):
+    """Two constructed days: beta/gamma/spread have closed forms from
+    the daily ranges alone (H1=104 L1=100, H2=106 L2=101; the two-day
+    envelope is 106/100).  The pair row sits on the FIRST day (lead
+    pairing) and reports the raw (unclamped) estimator."""
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_corwin_schultz,
+    )
+
+    base = dt.datetime(2024, 3, 4)
+    day1 = [(1, base, 1, "X", 100.0, None),
+            (2, base + dt.timedelta(minutes=5), 1, "X", 104.0, None),
+            (3, base + dt.timedelta(minutes=10), 1, "X", 102.0, None)]
+    d2 = base + dt.timedelta(days=1)
+    day2 = [(4, d2, 1, "X", 101.0, None),
+            (5, d2 + dt.timedelta(minutes=5), 1, "X", 106.0, None)]
+    sf = _write_events(spark, tmp_path, day1 + day2)
+    rows = q_corwin_schultz(spark, sf).collect()
+    assert len(rows) == 1  # last day has no next-day partner
+    r = rows[0]
+    assert r.trading_day == base.date()
+    hl2_1 = math.log(104.0 / 100.0) ** 2
+    hl2_2 = math.log(106.0 / 101.0) ** 2
+    beta = hl2_1 + hl2_2
+    gamma = math.log(106.0 / 100.0) ** 2
+    denom = 3.0 - 2.0 * math.sqrt(2.0)
+    a = (math.sqrt(2 * beta) - math.sqrt(beta)) / denom - math.sqrt(
+        gamma / denom
+    )
+    s = 2 * (math.exp(a) - 1) / (1 + math.exp(a))
+    assert r.beta == round(beta, 6)
+    assert r.gamma == round(gamma, 6)
+    assert r.cs_spread == round(s, 6)
+
+
+def test_corwin_schultz_negative_estimate_reported_raw(spark, tmp_path):
+    """A huge two-day envelope with tiny single-day ranges drives alpha
+    negative; the query reports the raw negative estimator (the clamp
+    is a consumer policy, per the docstring)."""
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_corwin_schultz,
+    )
+
+    base = dt.datetime(2024, 3, 4)
+    rows_in = [
+        (1, base, 1, "X", 100.0, None),
+        (2, base + dt.timedelta(minutes=5), 1, "X", 100.5, None),
+        (3, base + dt.timedelta(days=1), 1, "X", 150.0, None),
+        (4, base + dt.timedelta(days=1, minutes=5), 1, "X", 150.7, None),
+    ]
+    sf = _write_events(spark, tmp_path, rows_in)
+    r = q_corwin_schultz(spark, sf).collect()[0]
+    assert r.cs_spread < 0
+
+
+def test_purged_kfold_roles_partition_and_embargo(spark):
+    """sf0.001 has 30 trading days -> 5 folds of 6: the role matrix is
+    exactly days x folds, each fold tests its own 6 days, and no train
+    day sits inside the 3-day embargo band around its eval fold."""
+    from quant_market_data_pipeline_spark.queries.pipeline_ops import (
+        q_purged_kfold,
+    )
+
+    rows = q_purged_kfold(spark, SF_DIR).collect()
+    days = {r.trading_day for r in rows}
+    assert len(rows) == len(days) * 5
+    by_fold = {}
+    for r in rows:
+        by_fold.setdefault(r.eval_fold, []).append(r)
+    assert sorted(by_fold) == [1, 2, 3, 4, 5]
+    for fold, frows in by_fold.items():
+        test_days = sorted(r.trading_day for r in frows if r.role == "test")
+        assert len(test_days) == 6
+        lo, hi = test_days[0], test_days[-1]
+        for r in frows:
+            gap_ok = (
+                r.trading_day < lo - dt.timedelta(days=3)
+                or r.trading_day > hi + dt.timedelta(days=3)
+            )
+            if r.role == "train":
+                assert gap_ok, (fold, r.trading_day)
+            elif r.role == "purged":
+                assert not gap_ok and not lo <= r.trading_day <= hi
+
+
+def test_hard_negatives_planted_cross_label_twin(spark, tmp_path):
+    """Two near-identical vectors with different labels land in the same
+    LSH bucket and must be each other's #1 hard negative; a same-label
+    twin must never appear as a negative."""
+    import pyspark.sql.types as T2
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_hard_negative_mining,
+    )
+
+    dim = 64
+    va = [1.0] + [0.0] * (dim - 1)
+    vb = [0.999] + [0.012] + [0.0] * (dim - 2)
+    vc = [0.998] + [-0.01] + [0.0] * (dim - 2)  # same label as A
+    schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+            T2.StructField("label", T2.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, va, 0), (2, vb, 1), (3, vc, 0)], schema=schema
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = q_hard_negative_mining(spark, str(tmp_path)).collect()
+    got = {(r.anchor_id, r.rn): r for r in out}
+    assert got[(1, 1)].negative_id == 2 and got[(1, 1)].negative_label == 1
+    assert got[(2, 1)].negative_id in (1, 3)
+    assert all(r.anchor_label != r.negative_label for r in out)
+    # the same-label twin (1,3) never surfaces
+    assert not any(
+        (r.anchor_id, r.negative_id) in {(1, 3), (3, 1)} for r in out
+    )
+
+
+def test_hard_negatives_bounds_on_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_hard_negative_mining,
+    )
+
+    rows = q_hard_negative_mining(spark, SF_DIR).collect()
+    assert rows, "fixture corpus must yield hard negatives"
+    per_anchor = {}
+    for r in rows:
+        assert r.anchor_label != r.negative_label
+        assert r.rn in (1, 2)
+        assert r.cos_sim <= 1.000001
+        per_anchor.setdefault(r.anchor_id, []).append(r.rn)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_anchor.values())
