@@ -111,6 +111,13 @@ DOCSCALE = [
     # quadratically
     "minhash_recall_audit",
     "ann_recall_audit",
+    # late-r7: hard negatives share ann_lsh's capped-bucket shape (the
+    # probe pins that the label filter does not reopen the in-bucket
+    # quadratic); power iteration and the sampling table are one-pass
+    # linear reductions to dimension-sized tails
+    "hard_negative_mining",
+    "pca_power_iteration",
+    "unigram_negative_sampling_table",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is
@@ -134,6 +141,12 @@ TICKSCALE = [
     "vpin_toxicity",
     "bipower_jump_stats",
     "attribution_time_decay",
+    # late-r7: all three reduce the tick fact once to a (symbol, day)
+    # or day dimension and finish on the tail — cost must move with the
+    # scan, window/exchange stays keyed
+    "corwin_schultz_spread",
+    "newey_west_tstat",
+    "purged_kfold_splits",
 ]
 
 

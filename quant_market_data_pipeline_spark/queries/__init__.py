@@ -103,6 +103,11 @@ _PRIORITY = [
     "purged_kfold_splits",
     "hard_negative_mining",
     "corwin_schultz_spread",
+    #     and the training-prep trio: distributed power iteration,
+    #     HAC-robust significance, negative-sampling distribution
+    "pca_power_iteration",
+    "newey_west_tstat",
+    "unigram_negative_sampling_table",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

@@ -3400,3 +3400,70 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One distributed power-method iteration for the top principal component
+# of the embedding corpus — the index-maintenance primitive behind
+# whitening, drift monitoring, and spectral quality audits.
+# ---------------------------------------------------------------------------
+@register(
+    "pca_power_iteration",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), scored AS (
+  SELECT vec_id, v, list_sum(v) / 8 AS s FROM vecs
+), elems AS (
+  SELECT i AS pos, v[i] * s AS contrib
+  FROM scored, unnest(generate_series(1, len(v))) AS t(i)
+), y AS (
+  SELECT CAST(pos AS INTEGER) AS pos, round(sum(contrib), 6) AS y_comp
+  FROM elems GROUP BY pos
+), nrm AS (SELECT sqrt(sum(y_comp * y_comp)) AS nv FROM y)
+SELECT pos, y_comp, round(y_comp / nullif(nv, 0.0), 6) AS v1
+FROM y CROSS JOIN nrm
+""",
+    doc="One power-method iteration toward the corpus's top principal "
+    "direction: y = X^T (X v0) with the uniform unit start vector "
+    "v0 = 1/8 (exact: 64-dim, 1/8 is a power of two), then "
+    "v1 = y / ||y||.  The Gram matrix is NEVER materialized — the "
+    "classic distributed factorization computes the row scalar "
+    "s_i = <x_i, v0> in one linear pass (sequential fold, bit-equal "
+    "to the oracle's list_sum), then aggregates x_ij * s_i per "
+    "dimension: two narrow passes, one 64-key shuffle, driver-sized "
+    "output.  Iterating to convergence re-runs the same plan with v0 "
+    "replaced by the previous v1 (a driver loop, like "
+    "kmeans_one_iteration).  Determinism: per-dim sums are rounded "
+    "to 6dp BEFORE the norm (filter-stage rule), so the norm and v1 "
+    "derive from identical doubles on both engines.  Scale: linear "
+    "in corpus size, no pairwise anything; the only all-reduce is 64 "
+    "doubles.",
+)
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import as_double
+
+    emb = _embeddings(spark, sf_dir)
+    scored = emb.select(
+        as_double(F.col("embedding")).alias("v")
+    ).withColumn(
+        "s",
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x) / F.lit(8.0),
+    )
+    elems = scored.select(F.posexplode("v"), "s").select(
+        (F.col("pos") + 1).cast("int").alias("pos"),
+        (F.col("col") * F.col("s")).alias("contrib"),
+    )
+    y = elems.groupBy("pos").agg(
+        F.round(F.sum("contrib"), 6).alias("y_comp")
+    )
+    nrm = y.agg(
+        F.sqrt(F.sum(F.col("y_comp") * F.col("y_comp"))).alias("nv")
+    )
+    return y.crossJoin(F.broadcast(nrm)).select(
+        "pos",
+        "y_comp",
+        F.round(
+            F.col("y_comp") / F.nullif(F.col("nv"), F.lit(0.0)), 6
+        ).alias("v1"),
+    )

@@ -1551,3 +1551,109 @@ def q_vol_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("persistence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Newey-West (1987) HAC-robust mean-return t-statistic.
+# ---------------------------------------------------------------------------
+@register(
+    "newey_west_tstat",
+    oracle=f"""
+WITH {_DAILY_CTE},
+rets AS (
+  SELECT symbol, trading_day,
+         ln(close / lag(close) OVER (
+           PARTITION BY symbol ORDER BY trading_day)) AS r
+  FROM daily
+), demeaned AS (
+  SELECT symbol, trading_day,
+         round(avg(r) OVER (PARTITION BY symbol), 10) AS m,
+         r - round(avg(r) OVER (PARTITION BY symbol), 10) AS d
+  FROM rets WHERE r IS NOT NULL
+), lagged AS (
+  SELECT symbol, m, d,
+         lag(d, 1) OVER w AS d1, lag(d, 2) OVER w AS d2,
+         lag(d, 3) OVER w AS d3, lag(d, 4) OVER w AS d4,
+         lag(d, 5) OVER w AS d5
+  FROM demeaned WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), sums AS (
+  SELECT symbol, min(m) AS mu, CAST(count(*) AS BIGINT) AS n_ret,
+         round((sum(d * d)
+                + 2 * ((1 - 1/6.0) * coalesce(sum(d * d1), 0)
+                     + (1 - 2/6.0) * coalesce(sum(d * d2), 0)
+                     + (1 - 3/6.0) * coalesce(sum(d * d3), 0)
+                     + (1 - 4/6.0) * coalesce(sum(d * d4), 0)
+                     + (1 - 5/6.0) * coalesce(sum(d * d5), 0)))
+               / count(*), 10) AS s_nw
+  FROM lagged GROUP BY symbol
+)
+SELECT symbol, n_ret, mu,
+       s_nw,
+       CASE WHEN s_nw > 0
+            THEN round(mu / sqrt(s_nw / n_ret), 6) END AS t_nw
+FROM sums
+""",
+    doc="Newey-West (1987) HAC-robust t-statistic on the mean daily log "
+    "return per symbol: serial correlation inflates the naive t-stat, "
+    "so the long-run variance S = g0 + 2*sum_l w_l*g_l with Bartlett "
+    "weights w_l = 1 - l/(L+1), L=5 replaces the iid variance — the "
+    "significance test behind every 'is this alpha real' table.  "
+    "Determinism follows the filter-stage rule twice: the mean is "
+    "rounded to 10dp BEFORE demeaning (so the d series is identical "
+    "on both engines; the raw float mean is partition-order "
+    "sensitive), and S is rounded to 10dp before the t-ratio.  The "
+    "autocovariance sums are plain float aggs rounded at 10dp — at "
+    "the ~1e-3 magnitudes of squared daily returns the partition-"
+    "order drift (~1e-18) sits nine orders below the quantum.  "
+    "Bartlett weights are built from ONE literal expression "
+    "(1 - l/6.0) parsed identically by both engines.  Scale shape: "
+    "ONE symbol-window exchange covers the return lag, the unbounded "
+    "mean window and all five autocovariance lags; the final rollup "
+    "partial-aggregates on the same key — two shuffles end to end.",
+)
+def q_newey_west_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    wall = Window.partitionBy("symbol")
+    rets = d.select(
+        "symbol",
+        "trading_day",
+        F.log(F.col("close") / F.lag("close").over(w)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    m = F.round(F.avg("r").over(wall), 10)
+    demeaned = rets.select(
+        "symbol", "trading_day", m.alias("m"), (F.col("r") - m).alias("d")
+    )
+    lagged = demeaned.select(
+        "symbol",
+        "m",
+        "d",
+        *[F.lag("d", l).over(w).alias(f"d{l}") for l in range(1, 6)],
+    )
+    gl = [
+        F.coalesce(F.sum(F.col("d") * F.col(f"d{l}")), F.lit(0.0))
+        for l in range(1, 6)
+    ]
+    bartlett = [1.0 - l / 6.0 for l in range(1, 6)]
+    # left-to-right addition chain identical to the oracle's (reduce, not
+    # Python sum(): sum() prepends an integer 0 and 0 + (-0.0) flips the
+    # zero sign, a strict-gate hazard on degenerate all-zero series)
+    from functools import reduce
+    from operator import add
+
+    weighted = reduce(add, [F.lit(wl) * g for wl, g in zip(bartlett, gl)])
+    s_nw = F.round(
+        (F.sum(F.col("d") * F.col("d")) + 2 * weighted)
+        / F.count(F.lit(1)),
+        10,
+    )
+    sums = lagged.groupBy("symbol").agg(
+        F.min("m").alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ret"),
+        s_nw.alias("s_nw"),
+    )
+    t = F.when(
+        F.col("s_nw") > 0,
+        F.round(F.col("mu") / F.sqrt(F.col("s_nw") / F.col("n_ret")), 6),
+    )
+    return sums.select("symbol", "n_ret", "mu", "s_nw", t.alias("t_nw"))

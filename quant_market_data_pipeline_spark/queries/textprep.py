@@ -1158,3 +1158,76 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style unigram negative-sampling table: P(w) ~ count(w)^0.75
+# with cumulative ranges — the lookup structure an embedding trainer
+# samples negatives from (Mikolov et al. 2013 smoothing).
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_negative_sampling_table",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+), powed AS (
+  SELECT token, cnt, pow(cnt, 0.75) AS w FROM counts
+), tot AS (SELECT sum(w) AS tw FROM powed),
+probs AS (
+  SELECT token, cnt, round(w / tw, 8) AS p FROM powed CROSS JOIN tot
+)
+SELECT token, cnt, p,
+       round(sum(p) OVER (ORDER BY cnt DESC, token
+                          ROWS UNBOUNDED PRECEDING) - p, 8) AS cum_lo,
+       round(sum(p) OVER (ORDER BY cnt DESC, token
+                          ROWS UNBOUNDED PRECEDING), 8) AS cum_hi
+FROM probs
+""",
+    doc="Negative-sampling distribution for embedding training: the "
+    "word2vec unigram^0.75 smoothing (Mikolov et al. 2013) flattens "
+    "the Zipf head so frequent words are not over-sampled, and the "
+    "[cum_lo, cum_hi) ranges turn one uniform draw into a token via "
+    "binary search — the table a trainer broadcasts to every worker.  "
+    "Determinism follows the filter-stage rule: each p is rounded to "
+    "8dp BEFORE the cumulative sum, and the cumulative window's "
+    "(cnt DESC, token) order fixes the addition sequence, so cum_* "
+    "is bit-identical on both engines (cum_lo is cum_hi - p, the "
+    "same expression both sides); pow() 1-ulp drift is 10 orders "
+    "below the 1e-8 quantum.  Scale shape: the token count is the "
+    "only corpus-sized shuffle (map-side partials); everything after "
+    "runs on the vocab DIMENSION (~1e6-1e7 rows even at 100 TB) — "
+    "the single-partition cumulative window is the same bounded-dim "
+    "rationale as sequence_grid, and the total is a broadcast "
+    "scalar.",
+)
+def q_unigram_negative_sampling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import word_tokens
+
+    d = _docs_wide(spark, sf_dir)
+    counts = (
+        d.select(F.explode(word_tokens(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    powed = counts.withColumn("w", F.pow("cnt", F.lit(0.75)))
+    tot = powed.agg(F.sum("w").alias("tw"))
+    probs = powed.crossJoin(F.broadcast(tot)).select(
+        "token", "cnt", F.round(F.col("w") / F.col("tw"), 8).alias("p")
+    )
+    wcum = (
+        Window.orderBy(F.col("cnt").desc(), "token")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("p").over(wcum)
+    return probs.select(
+        "token",
+        "cnt",
+        "p",
+        F.round(cum - F.col("p"), 8).alias("cum_lo"),
+        F.round(cum, 8).alias("cum_hi"),
+    )

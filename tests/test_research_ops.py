@@ -515,3 +515,139 @@ def test_hard_negatives_bounds_on_fixture(spark):
         per_anchor.setdefault(r.anchor_id, []).append(r.rn)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in per_anchor.values())
+
+
+def test_pca_power_iteration_exact_dyadic_case(spark, tmp_path):
+    """Three vectors with power-of-two components: every product and sum
+    is exact dyadic arithmetic, so y and v1 have closed forms regardless
+    of aggregation order."""
+    import pyspark.sql.types as T2
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_pca_power_iteration,
+    )
+
+    dim = 64
+    rows = [
+        (1, [2.0] + [0.0] * (dim - 1), 0),
+        (2, [4.0] + [0.0] * (dim - 1), 1),
+        (3, [0.0, 8.0] + [0.0] * (dim - 2), 2),
+    ]
+    schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+            T2.StructField("label", T2.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.pos: r for r in q_pca_power_iteration(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == dim
+    # s = rowsum/8: 0.25, 0.5, 1.0; y1 = 2*0.25 + 4*0.5 = 2.5; y2 = 8.0
+    assert got[1].y_comp == 2.5 and got[2].y_comp == 8.0
+    assert all(got[p].y_comp == 0.0 for p in range(3, dim + 1))
+    nrm = math.sqrt(2.5**2 + 8.0**2)
+    assert got[1].v1 == round(2.5 / nrm, 6)
+    assert got[2].v1 == round(8.0 / nrm, 6)
+
+
+def test_pca_power_iteration_unit_norm_on_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_pca_power_iteration,
+    )
+
+    rows = q_pca_power_iteration(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    assert abs(sum(r.v1 * r.v1 for r in rows) - 1.0) < 1e-5
+
+
+def test_newey_west_alternating_series_closed_form(spark, tmp_path):
+    """One tick per day, closes alternating 100 <-> 102: returns alternate
+    +r/-r so the HAC correction must shrink the variance vs iid (negative
+    lag-1 autocovariance); expected values replicated in pure Python."""
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_newey_west_tstat,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    closes = [100.0, 102.0] * 5  # 10 days
+    rows_in = [
+        (i, base + dt.timedelta(days=i), 1, "X", c, None)
+        for i, c in enumerate(closes)
+    ]
+    sf = _write_events(spark, tmp_path, rows_in)
+    r = q_newey_west_tstat(spark, sf).collect()[0]
+    rets = [
+        math.log(closes[i] / closes[i - 1]) for i in range(1, len(closes))
+    ]
+    m = round(sum(rets) / len(rets), 10)
+    d = [x - m for x in rets]
+    n = len(d)
+    g = [
+        sum(d[t] * d[t - l] for t in range(l, n)) for l in range(6)
+    ]
+    import functools, operator
+    weighted = functools.reduce(
+        operator.add, [(1.0 - l / 6.0) * g[l] for l in range(1, 6)]
+    )
+    s_nw = round((g[0] + 2 * weighted) / n, 10)
+    assert r.n_ret == n
+    assert r.mu == m
+    assert r.s_nw == s_nw
+    # iid variance for comparison: HAC with negative autocov is smaller
+    assert s_nw < g[0] / n
+    assert r.t_nw == round(m / math.sqrt(s_nw / n), 6)
+
+
+def test_newey_west_positive_variance_on_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_newey_west_tstat,
+    )
+
+    rows = q_newey_west_tstat(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.s_nw > 0 and r.t_nw is not None
+        assert (r.t_nw > 0) == (r.mu > 0) or r.mu == 0
+
+
+def test_unigram_sampling_table_closed_form(spark, tmp_path):
+    """Counts a=4, b=2, c=1 -> p ~ c^0.75 with exact cumulative ranges
+    ordered by (cnt desc, token)."""
+    import pyspark.sql.types as T2
+
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        q_unigram_negative_sampling,
+    )
+
+    schema = T2.StructType(
+        [
+            T2.StructField("doc_id", T2.LongType()),
+            T2.StructField("text", T2.StringType()),
+            T2.StructField("lang", T2.StringType()),
+            T2.StructField("source", T2.StringType()),
+            T2.StructField("n_chars", T2.LongType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(1, "a a b c", "en", "s", 7), (2, "A a B", "en", "s", 5)],
+        schema=schema,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = q_unigram_negative_sampling(spark, str(tmp_path)).collect()
+    assert [r.token for r in rows] == ["a", "b", "c"]
+    ws = {t: c**0.75 for t, c in {"a": 4, "b": 2, "c": 1}.items()}
+    tw = ws["a"] + ws["b"] + ws["c"]
+    exp_p = {t: round(w / tw, 8) for t, w in ws.items()}
+    cum = 0.0
+    for r in rows:
+        assert r.p == exp_p[r.token]
+        assert r.cum_lo == round(cum + r.p - r.p, 8) == round(cum, 8)
+        cum += r.p
+        assert r.cum_hi == round(cum, 8)
+    assert abs(cum - 1.0) < 1e-6
