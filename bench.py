@@ -118,6 +118,9 @@ DOCSCALE = [
     "hard_negative_mining",
     "pca_power_iteration",
     "unigram_negative_sampling_table",
+    # matryoshka audit: sample-bounded exact sides like ann_recall_audit
+    # — cost must move with the corpus side only
+    "matryoshka_overlap_audit",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is

@@ -108,6 +108,7 @@ _PRIORITY = [
     "pca_power_iteration",
     "newey_west_tstat",
     "unigram_negative_sampling_table",
+    "matryoshka_overlap_audit",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

@@ -3467,3 +3467,91 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("y_comp") / F.nullif(F.col("nv"), F.lit(0.0)), 6
         ).alias("v1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: how much of the exact full-dimension
+# ranking survives when vectors are cut to their 16-dim prefix — the
+# measurement behind deploying MRL-style truncated embeddings
+# (Kusupati et al. 2022) for cheap first-stage retrieval.
+# ---------------------------------------------------------------------------
+@register(
+    "matryoshka_overlap_audit",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv,
+         (embedding::DOUBLE[])[1:16] AS cv16
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, cv AS qv, cv16 AS qv16
+  FROM vecs WHERE vec_id < 20
+), full_scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qv, cv) /
+               nullif(sqrt(list_dot_product(qv, qv)) *
+                      sqrt(list_dot_product(cv, cv)), 0.0), 6) AS cos_sim
+  FROM vecs CROSS JOIN q WHERE vec_id <> query_id
+), full_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM full_scored) WHERE rn <= 3
+), trunc_scored AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         round(list_dot_product(qv16, cv16) /
+               nullif(sqrt(list_dot_product(qv16, qv16)) *
+                      sqrt(list_dot_product(cv16, cv16)), 0.0), 6) AS cos_sim
+  FROM vecs CROSS JOIN q WHERE vec_id <> query_id
+), trunc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM trunc_scored) WHERE rn <= 3
+)
+SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_full,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_kept,
+       round(CAST(count(t.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS overlap_at_3
+FROM full_top f LEFT JOIN trunc_top t USING (query_id, neighbor_id)
+GROUP BY f.query_id
+""",
+    doc="Matryoshka truncation audit: overlap@3 between the exact cosine "
+    "top-3 under the FULL 64-dim embedding and under its 16-dim PREFIX "
+    "(renormalized, i.e. cosine over the sliced arrays) on the same "
+    "deterministic 20-query sample as ann_recall_audit — the number "
+    "that decides whether a truncated first-stage index (4x cheaper "
+    "dot products, 4x smaller memory) is safe for this corpus "
+    "(Kusupati et al. 2022, Matryoshka Representation Learning).  "
+    "Both rankings cut on the same 6dp-rounded cosine with "
+    "neighbor_id tiebreak, so the top-3 sets are deterministic on "
+    "both engines.  Scale shape: two broadcast-nested-loops of the "
+    "20-query sample against the corpus (bounded by the sample "
+    "contract; the corpus side streams), then a broadcast join of two "
+    "(sample x 3)-row frames — linear in corpus size, like "
+    "ann_recall_audit.",
+)
+def q_matryoshka_overlap_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = _embeddings(spark, sf_dir)
+    emb16 = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    sample = emb.filter(F.col("vec_id") < 20)
+    sample16 = emb16.filter(F.col("vec_id") < 20)
+    full_top = cosine_topk(sample, emb, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    trunc_top = cosine_topk(sample16, emb16, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("kept")
+    )
+    j = full_top.join(
+        F.broadcast(trunc_top), ["query_id", "neighbor_id"], "left"
+    )
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_full"),
+        F.count("kept").cast("bigint").alias("n_kept"),
+        F.round(
+            F.count("kept").cast("double") / F.count(F.lit(1)), 6
+        ).alias("overlap_at_3"),
+    )

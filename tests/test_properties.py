@@ -458,3 +458,78 @@ def test_hurst_matches_sequential_golden(spark, tape):
     for sym, (n, slope) in want.items():
         assert got[sym][0] == n
         assert abs(got[sym][1] - slope) <= 1.5e-4
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    day_offsets=st.sets(st.integers(0, 120), min_size=5, max_size=40),
+)
+def test_purged_kfold_invariants_random_calendars(
+    spark, tmp_path, day_offsets
+):
+    """On ANY day set: the role matrix is exactly days x 5, every day is
+    'test' in exactly its own fold, ntile fold sizes are balanced to
+    within one, no train day sits inside [lo-3, hi+3] of its eval fold,
+    and every purged day does."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.pipeline_ops import (
+        q_purged_kfold,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    rows = [
+        (i, base + dt.timedelta(days=o), 1, "x", 1.0, None)
+        for i, o in enumerate(sorted(day_offsets))
+    ]
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = q_purged_kfold(spark, str(tmp_path)).collect()
+    n_days = len(day_offsets)
+    assert len(out) == n_days * 5
+    test_days = {}
+    for r in out:
+        if r.role == "test":
+            test_days.setdefault(r.eval_fold, set()).add(r.trading_day)
+    assert set(test_days) == {1, 2, 3, 4, 5}
+    sizes = sorted(len(v) for v in test_days.values())
+    assert sum(sizes) == n_days and sizes[-1] - sizes[0] <= 1
+    # folds are contiguous time blocks in ntile order
+    ordered = sorted(
+        (min(v), max(v), f) for f, v in test_days.items()
+    )
+    assert [f for _, _, f in ordered] == [1, 2, 3, 4, 5]
+    embargo = dt.timedelta(days=3)
+    per_day_test_count = {}
+    for r in out:
+        lo, hi = min(test_days[r.eval_fold]), max(test_days[r.eval_fold])
+        inside_band = lo - embargo <= r.trading_day <= hi + embargo
+        if r.role == "test":
+            per_day_test_count[r.trading_day] = (
+                per_day_test_count.get(r.trading_day, 0) + 1
+            )
+            assert r.trading_day in test_days[r.eval_fold]
+        elif r.role == "train":
+            assert not inside_band
+        else:
+            assert inside_band and not (lo <= r.trading_day <= hi and
+                                        r.trading_day in test_days[r.eval_fold])
+    assert all(c == 1 for c in per_day_test_count.values())
+    assert len(per_day_test_count) == n_days

@@ -651,3 +651,63 @@ def test_unigram_sampling_table_closed_form(spark, tmp_path):
         cum += r.p
         assert r.cum_hi == round(cum, 8)
     assert abs(cum - 1.0) < 1e-6
+
+
+def test_matryoshka_overlap_constructed_rank_break(spark, tmp_path):
+    """Vectors engineered so the 16-dim prefix ranking disagrees with the
+    full ranking for query 0: a mass at dim 20 is invisible to the
+    prefix, so the truncated index promotes that vector to cos 1.0 and
+    overlap@3 drops to exactly 2/3."""
+    import pyspark.sql.types as T2
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_matryoshka_overlap_audit,
+    )
+
+    dim = 64
+
+    def vec(parts):
+        v = [0.0] * dim
+        for i, x in parts:
+            v[i] = x
+        return v
+
+    rows = [
+        (0, vec([(0, 1.0)]), 0),                  # the probed query
+        (1, vec([(0, 1.0)]), 1),                  # clone: cos 1 both ways
+        (2, vec([(0, 1.0), (20, 5.0)]), 2),       # prefix-invisible mass
+        (3, vec([(0, 0.5), (1, 0.866)]), 3),      # cos 0.5 both ways
+        (4, vec([(0, 0.3), (1, 0.954)]), 4),      # cos 0.3 both ways
+    ]
+    schema = T2.StructType(
+        [
+            T2.StructField("vec_id", T2.LongType()),
+            T2.StructField("embedding", T2.ArrayType(T2.FloatType())),
+            T2.StructField("label", T2.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        r.query_id: r
+        for r in q_matryoshka_overlap_audit(spark, str(tmp_path)).collect()
+    }
+    r0 = got[0]
+    # full top-3 of query 0: {1 (1.0), 3 (0.5), 4 (0.3)}; truncated top-3:
+    # {1 (1.0), 2 (1.0), 3 (0.5)} -> overlap 2/3
+    assert r0.n_full == 3 and r0.n_kept == 2
+    assert r0.overlap_at_3 == round(2.0 / 3.0, 6)
+
+
+def test_matryoshka_overlap_bounds_on_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_matryoshka_overlap_audit,
+    )
+
+    rows = q_matryoshka_overlap_audit(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_full == 3
+        assert 0 <= r.n_kept <= 3
+        assert r.overlap_at_3 == round(r.n_kept / 3.0, 6)
