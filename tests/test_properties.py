@@ -533,3 +533,199 @@ def test_purged_kfold_invariants_random_calendars(
                                         r.trading_day in test_days[r.eval_fold])
     assert all(c == 1 for c in per_day_test_count.values())
     assert len(per_day_test_count) == n_days
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(90.0, 110.0, allow_nan=False),  # day low anchor
+            st.floats(0.001, 0.2, allow_nan=False),   # relative range
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_corwin_schultz_matches_python_replication(spark, tmp_path, data):
+    """Random daily (low, range) pairs: the engine's beta/gamma/spread
+    must equal a sequential pure-Python replication of the same
+    expression tree (catches silent expression drift in either the
+    estimator or the daily rollup)."""
+    import math as m
+
+    from quant_market_data_pipeline_spark.queries.quant import (
+        q_corwin_schultz,
+    )
+
+    base = dt.datetime(2024, 2, 1)
+    rows, days = [], []
+    for i, (lo, rel) in enumerate(data):
+        hi = lo * (1.0 + rel)
+        d0 = base + dt.timedelta(days=i)
+        rows += [
+            (2 * i, d0, 1, "X", lo, None),
+            (2 * i + 1, d0 + dt.timedelta(minutes=1), 1, "X", hi, None),
+        ]
+        days.append((hi, lo))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.trading_day: r
+        for r in q_corwin_schultz(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == len(days) - 1
+    denom = 3.0 - 2.0 * m.sqrt(2.0)
+    for i in range(len(days) - 1):
+        (h1, l1), (h2, l2) = days[i], days[i + 1]
+        beta = m.log(h1 / l1) * m.log(h1 / l1) + m.log(h2 / l2) * m.log(
+            h2 / l2
+        )
+        gamma = m.log(max(h1, h2) / min(l1, l2)) ** 2
+        a = (m.sqrt(2 * beta) - m.sqrt(beta)) / denom - m.sqrt(gamma / denom)
+        s = 2 * (m.exp(a) - 1) / (1 + m.exp(a))
+        r = got[(base + dt.timedelta(days=i)).date()]
+        assert r.beta == round(beta, 6)
+        assert r.gamma == round(gamma, 6)
+        assert abs(r.cs_spread - round(s, 6)) <= 1e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    closes=st.lists(
+        st.floats(50.0, 150.0, allow_nan=False), min_size=8, max_size=20
+    )
+)
+def test_newey_west_matches_python_replication(spark, tmp_path, closes):
+    """Random daily close paths: mu / s_nw / t_nw must equal a
+    sequential Python replication including both filter-stage
+    roundings (mean to 10dp before demeaning, S to 10dp before the
+    ratio)."""
+    import math as m
+
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_newey_west_tstat,
+    )
+
+    base = dt.datetime(2024, 2, 1)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    rows = [
+        (i, base + dt.timedelta(days=i), 1, "X", c, None)
+        for i, c in enumerate(closes)
+    ]
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = q_newey_west_tstat(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    rets = [m.log(closes[i] / closes[i - 1]) for i in range(1, len(closes))]
+    mu = round(sum(rets) / len(rets), 10)
+    d = [x - mu for x in rets]
+    n = len(d)
+    g = [sum(d[t] * d[t - l] for t in range(l, n)) for l in range(6)]
+    import functools
+    import operator
+
+    weighted = functools.reduce(
+        operator.add, [(1.0 - l / 6.0) * g[l] for l in range(1, 6)]
+    )
+    s_nw = round((g[0] + 2 * weighted) / n, 10)
+    assert r.n_ret == n
+    assert abs(r.mu - mu) <= 1e-9
+    assert abs(r.s_nw - s_nw) <= 1e-9
+    if s_nw > 0:
+        assert abs(r.t_nw - round(mu / m.sqrt(s_nw / n), 6)) <= 1e-5
+    else:
+        assert r.t_nw is None
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False), min_size=8, max_size=8
+        ),
+        min_size=4,
+        max_size=12,
+    ),
+    labels=st.data(),
+)
+def test_hard_negatives_never_pair_same_label(spark, tmp_path, vecs, labels):
+    """Random small-dim embedding sets with random labels: the output
+    never pairs equal labels, rn is a dense 1..k prefix per anchor, and
+    every reported cosine matches numpy within rounding."""
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_hard_negative_mining,
+    )
+
+    dim = 64
+    padded = [list(v) + [0.0] * (dim - len(v)) for v in vecs]
+    labs = [
+        labels.draw(st.integers(0, 3), label=f"label{i}")
+        for i in range(len(padded))
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    spark.createDataFrame(
+        [(i, v, l) for i, (v, l) in enumerate(zip(padded, labs))],
+        schema=schema,
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = q_hard_negative_mining(spark, str(tmp_path)).collect()
+    per_anchor = {}
+    f32 = [np.asarray(v, dtype=np.float32).astype(np.float64) for v in padded]
+    for r in rows:
+        assert labs[r.anchor_id] == r.anchor_label
+        assert labs[r.negative_id] == r.negative_label
+        assert r.anchor_label != r.negative_label
+        a, b = f32[r.anchor_id], f32[r.negative_id]
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na > 0 and nb > 0:
+            assert abs(r.cos_sim - float(a @ b) / (na * nb)) < 1e-5
+        per_anchor.setdefault(r.anchor_id, []).append(r.rn)
+    for rns in per_anchor.values():
+        assert sorted(rns) == list(range(1, len(rns) + 1))
