@@ -109,6 +109,7 @@ _PRIORITY = [
     "newey_west_tstat",
     "unigram_negative_sampling_table",
     "matryoshka_overlap_audit",
+    "fama_macbeth_momentum",
     # (b) touched this round / targeted by the round-6 directives:
     #     - ANN pair: exits `weak` via the dispersion-proof bench gate
     #       (min-of-3 flags + plan fingerprints); re-confirm correctness

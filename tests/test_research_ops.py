@@ -711,3 +711,45 @@ def test_matryoshka_overlap_bounds_on_fixture(spark):
         assert r.n_full == 3
         assert 0 <= r.n_kept <= 3
         assert r.overlap_at_3 == round(r.n_kept / 3.0, 6)
+
+
+def test_fama_macbeth_perfect_linear_cross_section(spark, tmp_path):
+    """Five symbols with constant per-symbol drift r_s: mom = 3*r_s and
+    fwd = r_s on every valid day, a perfectly linear cross-section with
+    slope exactly 1/3 — so every daily lambda rounds to 0.33333333, the
+    slope series is constant, and the t-stat is NULL (zero stddev)."""
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_fama_macbeth,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows, eid = [], 0
+    for s in range(1, 6):
+        r_s = 0.01 * s
+        for t in range(8):
+            rows.append(
+                (eid, base + dt.timedelta(days=t), 1, f"S{s}",
+                 100.0 * math.exp(r_s * t), None)
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    out = q_fama_macbeth(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # mom needs lag 3, fwd needs lead 1: valid days are t = 3..6
+    assert r.n_days == 4
+    assert r.lambda_mean == round(1.0 / 3.0, 8)
+    assert r.lambda_se == 0.0
+    assert r.lambda_tstat is None
+
+
+def test_fama_macbeth_fixture_single_summary_row(spark):
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_fama_macbeth,
+    )
+
+    out = q_fama_macbeth(spark, SF_DIR).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days >= 20
+    assert r.lambda_se is None or r.lambda_se >= 0
