@@ -729,3 +729,105 @@ def test_hard_negatives_never_pair_same_label(spark, tmp_path, vecs, labels):
         per_anchor.setdefault(r.anchor_id, []).append(r.rn)
     for rns in per_anchor.values():
         assert sorted(rns) == list(range(1, len(rns) + 1))
+
+
+_EMB_SCHEMA_STR = (
+    "vec_id long, embedding array<float>, label int"
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False), min_size=64, max_size=64
+        ).filter(lambda v: sum(abs(x) for x in v) > 0.1),
+        min_size=5,
+        max_size=10,
+    )
+)
+def test_matryoshka_overlap_matches_numpy(spark, tmp_path, vecs):
+    """Random embeddings: the overlap@3 per query must equal a numpy
+    replication of BOTH rankings (float32 storage round-trip, 6dp cosine
+    rounding, neighbor-id tiebreak)."""
+    from quant_market_data_pipeline_spark.queries.llm import (
+        q_matryoshka_overlap_audit,
+    )
+
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)], schema=_EMB_SCHEMA_STR
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    f64 = [np.asarray(v, dtype=np.float32).astype(np.float64) for v in vecs]
+
+    def topk(mats, q):
+        scored = []
+        for j, x in enumerate(mats):
+            if j == q:
+                continue
+            den = np.linalg.norm(mats[q]) * np.linalg.norm(x)
+            c = float(mats[q] @ x) / den if den else float("nan")
+            scored.append((-round(c, 6), j))
+        scored.sort()
+        return {j for _, j in scored[:3]}
+
+    full = f64
+    trunc = [x[:16] for x in f64]
+    got = {
+        r.query_id: r
+        for r in q_matryoshka_overlap_audit(spark, str(tmp_path)).collect()
+    }
+    for q in range(len(vecs)):
+        exp_full, exp_trunc = topk(full, q), topk(trunc, q)
+        kept = len(exp_full & exp_trunc)
+        assert got[q].n_full == 3
+        assert got[q].n_kept == kept, (q, exp_full, exp_trunc)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.text(alphabet="abcdefg", min_size=1, max_size=3),
+        st.integers(1, 50),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_unigram_sampling_table_matches_python(spark, tmp_path, counts):
+    """Random token histograms: p, cum_lo and cum_hi must equal a
+    sequential Python replication of the unigram^0.75 pipeline
+    (rounded-p cumulation in (cnt desc, token) order), and the ranges
+    must tile [0, ~1] without gaps."""
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        q_unigram_negative_sampling,
+    )
+
+    text = " ".join(t for t, c in sorted(counts.items()) for _ in range(c))
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = q_unigram_negative_sampling(spark, str(tmp_path)).collect()
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [r.token for r in rows] == [t for t, _ in order]
+    tw = sum(c**0.75 for c in counts.values())
+    cum = 0.0
+    for r, (t, c) in zip(rows, order):
+        p = round(c**0.75 / tw, 8)
+        assert r.cnt == c and r.p == p
+        assert r.cum_lo == round(cum, 8)
+        cum += p
+        assert r.cum_hi == round(cum, 8)
+    assert abs(cum - 1.0) < 1e-6
