@@ -831,3 +831,85 @@ def test_unigram_sampling_table_matches_python(spark, tmp_path, counts):
         cum += p
         assert r.cum_hi == round(cum, 8)
     assert abs(cum - 1.0) < 1e-6
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    paths=st.lists(  # one close path per symbol, same calendar
+        st.lists(
+            st.floats(50.0, 150.0, allow_nan=False), min_size=8, max_size=8
+        ),
+        min_size=4,
+        max_size=6,
+    )
+)
+def test_fama_macbeth_matches_python_replication(spark, tmp_path, paths):
+    """Random multi-symbol close paths: lambda_mean/se/tstat must equal a
+    sequential Python replication of both passes, including the 8dp
+    slope rounding between them."""
+    import math as m
+
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.risk import (
+        q_fama_macbeth,
+    )
+
+    base = dt.datetime(2024, 2, 1, 12)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    rows, eid = [], 0
+    for s, path in enumerate(paths):
+        for t, c in enumerate(path):
+            rows.append(
+                (eid, base + dt.timedelta(days=t), 1, f"S{s}", c, None)
+            )
+            eid += 1
+    spark.createDataFrame(rows, schema=schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = q_fama_macbeth(spark, str(tmp_path)).collect()[0]
+
+    n_days = len(paths[0])
+    lams = []
+    for t in range(3, n_days - 1):  # mom needs lag 3, fwd needs lead 1
+        pts = []
+        for path in paths:
+            mom = m.log(path[t]) - m.log(path[t - 3])
+            fwd = m.log(path[t + 1]) - m.log(path[t])
+            pts.append((mom, fwd))
+        n = len(pts)
+        if n < 4:
+            continue
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        den = n * sxx - sx * sx
+        if den == 0.0:
+            continue  # nullif -> NULL lam, excluded from pass 2
+        lams.append(round((n * sxy - sx * sy) / den, 8))
+    assert out.n_days == len(lams)
+    if not lams:
+        assert out.lambda_mean is None
+        return
+    mean = sum(lams) / len(lams)
+    assert abs(out.lambda_mean - round(mean, 8)) <= 1e-7
+    if len(lams) > 1:
+        var = sum((x - mean) ** 2 for x in lams) / (len(lams) - 1)
+        se = m.sqrt(var) / m.sqrt(len(lams))
+        assert abs(out.lambda_se - round(se, 8)) <= 1e-6
+        if se > 0:
+            assert abs(out.lambda_tstat - round(mean / se, 4)) <= 1e-2
