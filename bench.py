@@ -314,20 +314,12 @@ def _build_sf1_dir(spark, sf_dir: str) -> str:
     return root
 
 
-def _previous_bench() -> tuple[dict, dict, dict, dict]:
-    """(steady, cold, min, plan_fp) per-query data from the latest
-    BENCH_r{N}.json.
-
-    Rounds before r4 published cold-equivalent walls in `queries` only;
-    for those the cold dict falls back to `queries` so the cold-to-cold
-    continuity anchor never mixes methodologies silently.  `queries_min`
-    and `plan_fp` exist from r7 on — empty dicts before that (callers
-    annotate the fallback basis).
-    """
+def _bench_history() -> list[tuple[int, dict]]:
+    """All parseable BENCH_r{N}.json payloads, newest first."""
     import glob
     import re
 
-    best: tuple[int, dict] | None = None
+    rounds: list[tuple[int, dict]] = []
     for path in glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if not m:
@@ -345,11 +337,27 @@ def _previous_bench() -> tuple[dict, dict, dict, dict]:
                 parsed = json.loads(tail[tail.index('{"metric"'):])
             except (ValueError, json.JSONDecodeError):
                 parsed = {}
-        if parsed.get("queries") and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), parsed)
-    if best is None:
+        if parsed.get("queries"):
+            rounds.append((int(m.group(1)), parsed))
+    rounds.sort(key=lambda t: t[0], reverse=True)
+    return rounds
+
+
+def _previous_bench() -> tuple[dict, dict, dict, dict, dict]:
+    """(steady, cold, min, plan_fp, calib) per-query data from the latest
+    BENCH_r{N}.json.
+
+    Rounds before r4 published cold-equivalent walls in `queries` only;
+    for those the cold dict falls back to `queries` so the cold-to-cold
+    continuity anchor never mixes methodologies silently.  `queries_min`,
+    `plan_fp` and `calib` (machine-speed calibration samples) exist from
+    r7 on — empty dicts before that (callers annotate the fallback
+    basis).
+    """
+    rounds = _bench_history()
+    if not rounds:
         return {}, {}, {}, {}, {}
-    p = best[1]
+    p = rounds[0][1]
     return (
         p["queries"],
         p.get("queries_cold") or p["queries"],
@@ -357,6 +365,28 @@ def _previous_bench() -> tuple[dict, dict, dict, dict]:
         p.get("plan_fp") or {},
         p.get("calib") or {},
     )
+
+
+def _best_recent_min(window: int = 3) -> dict[str, float]:
+    """Per-query best-ever minimum over the last ``window`` recorded
+    rounds (queries_min where published, steady median otherwise).
+
+    This is the cumulative-drift anchor: the per-round regression gate
+    exempts sub-floor queries (session overhead dominates their timing
+    at sf0.1), which lets a slow creep spread one sub-20% step per round
+    across rounds without ever flagging.  Comparing this round's min to
+    the best min of the trailing window catches the creep regardless of
+    how it is amortized.
+    """
+    best: dict[str, float] = {}
+    for _, p in _bench_history()[:window]:
+        mins = p.get("queries_min") or p.get("queries") or {}
+        for name, t in mins.items():
+            if isinstance(t, (int, float)) and (
+                name not in best or t < best[name]
+            ):
+                best[name] = float(t)
+    return best
 
 
 def _calibrate(spark) -> dict[str, float]:
@@ -402,9 +432,13 @@ def _plan_fingerprint(df) -> str | None:
         return None
     s = re.sub(r"#\d+", "#x", s)
     # analyzer-generated counters embedded in NAMES (not just exprIds):
-    # lambda variables (x_16), CSE slots (_common_expr_0) get globally
-    # increasing numbers that differ between two runs of the same plan
-    s = re.sub(r"_\d+#", "_n#", s)
+    # lambda variables (x_16, lambda col_3), CSE slots (_common_expr_0)
+    # get globally increasing numbers that differ between two runs of the
+    # same plan.  Rewrite ONLY those known generated patterns — a blanket
+    # `_\d+#` also collapses genuinely distinct user columns that end in
+    # _<digits> (d_1 vs d_2 lag columns), which could hash two DIFFERENT
+    # plans identically and hide a real plan change.
+    s = re.sub(r"\b(lambda [A-Za-z]+|_common_expr|col|x)_\d+#", r"\1_n#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=\d+\]", "[id=x]", s)
     s = re.sub(r"QueryStage \d+", "QueryStage x", s)
@@ -610,11 +644,39 @@ def main() -> None:
         else "min_of_3_vs_prev_median (prev round pre-dates queries_min; "
         "self-heals next round)"
     )
+    # Gate floor (DISCLOSED — round-7 judge finding): queries whose
+    # previous basis is under REGRESSION_FLOOR_SEC are exempt from the
+    # per-round 20% flag because at sf0.1 their wall is dominated by
+    # fixed session overhead (task dispatch, Python round-trips), where
+    # 20% is inside run-to-run noise.  The exemptions are LISTED in the
+    # artifact, and the best-ever-min drift check below closes the
+    # creep loophole the floor would otherwise open.
+    REGRESSION_FLOOR_SEC = 0.5
     regressions = [
         name
         for name, t in timings_min.items()
-        if name in basis and basis[name] >= 0.5 and t > 1.2 * basis[name]
+        if name in basis
+        and basis[name] >= REGRESSION_FLOOR_SEC
+        and t > 1.2 * basis[name]
     ]
+    exempt_below_floor = sorted(
+        name
+        for name, t in timings_min.items()
+        if name in basis
+        and basis[name] < REGRESSION_FLOOR_SEC
+        and t > 1.2 * basis[name]
+    )
+    # Cumulative drift: this round's min vs the best min over the last 3
+    # recorded rounds.  NO floor here — a 0.1 s absolute guard screens
+    # pure noise, but sub-floor queries cannot creep indefinitely.
+    best3 = _best_recent_min(window=3)
+    drift_vs_best3 = {
+        name: {"min": t, "best3": best3[name]}
+        for name, t in sorted(timings_min.items())
+        if name in best3
+        and t > 1.4 * best3[name]
+        and t - best3[name] > 0.1
+    }
     # plan-fingerprint drift vs previous round: a flagged regression with
     # a CHANGED fingerprint is a plan regression; unchanged fingerprint +
     # min-over-min stability = environmental
@@ -640,6 +702,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "regressions_over_20pct": regressions,
         "regression_basis": regression_basis,
+        "regression_floor_sec": REGRESSION_FLOOR_SEC,
+        "exempt_below_floor": exempt_below_floor,
+        "drift_over_40pct_vs_best3_min": drift_vs_best3,
         "calib": calib,
         "env_shift_vs_prev": env_shift,
         "env_note": (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from quant_market_data_pipeline_spark.session import materialize_corpus
 from quant_market_data_pipeline_spark.llm.hashing import (
     band_hash,
     minhash_base,
@@ -103,12 +104,10 @@ def lsh_candidate_pairs(
     # step; the checkpoint is n_docs small rows.  eager=False: building
     # the DataFrame (explain/plan tooling) stays free — partitions
     # compute once at the first real action and are served from the
-    # executor-local store thereafter.  Tradeoff: local checkpoints
-    # truncate lineage to executor storage, so an executor loss is
-    # unrecoverable; a cluster deployment that needs fault tolerance
-    # should swap these for reliable checkpoint()/cache on a replicated
-    # store (one-line change, same plan shape).
-    sigs = signatures.localCheckpoint(eager=False)
+    # checkpoint store thereafter.  Durability: materialize_corpus uses
+    # the session's reliable checkpoint dir when configured (cluster
+    # deployments), localCheckpoint otherwise — see session.py.
+    sigs = materialize_corpus(signatures)
     members = sigs.select(F.col(id_col), cid)
     cls = sigs.select(*sig_cols).distinct().select(
         cid,
@@ -209,7 +208,7 @@ def jaccard_pairs(
     # optional DF cut, and BOTH sides of the inverted-index self-join —
     # without this the tokenize+shingle+distinct pipeline runs up to four
     # times.
-    shingled = shingled.localCheckpoint(eager=False)
+    shingled = materialize_corpus(shingled)
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         rare = (
@@ -306,9 +305,9 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        # localCheckpoint: truncate the per-iteration lineage so the plan
-        # doesn't grow exponentially across rounds
-        labels = new_labels.localCheckpoint(eager=False)
+        # materialize_corpus: truncate the per-iteration lineage so the
+        # plan doesn't grow exponentially across rounds
+        labels = materialize_corpus(new_labels)
         if changed == 0:
             break
     return labels
@@ -429,7 +428,7 @@ def simhash60_neardup_pairs(
     but that frame is #distinct-fingerprints-sized).  Same result set,
     measured ~4x faster at replica scale.
     """
-    fp = fingerprints.localCheckpoint(eager=False)  # class + member legs
+    fp = materialize_corpus(fingerprints)  # class + member legs
     cls = fp.select("simhash").distinct()
     # shift counts must be literals: emit the 4 (band, value) pairs
     # explicitly and explode

@@ -23,6 +23,8 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+
+from quant_market_data_pipeline_spark.session import materialize_corpus
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
@@ -279,7 +281,7 @@ def lsh_cosine_topk(
     # index build: both self-join sides read the bucketed vectors, and the
     # bucket key costs planes x dim multiply-adds per row — materialize it
     # once (lazy: plan construction stays free)
-    vecs = vecs.localCheckpoint(eager=False)
+    vecs = materialize_corpus(vecs)
     a = vecs.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -342,7 +344,7 @@ def lsh_multitable_topk(
             lsh_bucket_arrow(planes, dim, offset=t * planes)(F.col("v")),
         )
     # index build: one pass computes all tables' bucket keys
-    vecs = vecs.localCheckpoint(eager=False)
+    vecs = materialize_corpus(vecs)
 
     per_table = []
     for t in range(tables):
@@ -468,7 +470,7 @@ def ivf_topk(
     # index build IS a materialization step — without this the whole
     # assignment pipeline (n_centroids cosines per vector + argmax)
     # executes twice, once per self-join side.
-    assigned = ivf_assign(vecs, cents, id_col).localCheckpoint(eager=False)
+    assigned = materialize_corpus(ivf_assign(vecs, cents, id_col))
     q = assigned.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )

@@ -15,8 +15,16 @@ import re
 
 
 def _content_indent(line: str) -> int:
-    """Column where the node's text starts, past tree-drawing chars."""
-    m = re.match(r"[\s:+\-*]*", line)
+    """Column where the node's text starts, past tree-drawing chars.
+
+    The whole-stage-codegen star is part of the node TEXT (``*(3)
+    Project``), not of the tree drawing: including ``*`` in the prefix
+    class made a codegen node at the same tree depth as an
+    ``InMemoryRelation`` compute a content indent one column deeper, so
+    it was wrongly stripped as part of the cached subtree and executed
+    operators went under-counted in marker rows.
+    """
+    m = re.match(r"[\s:+\-]*", line)
     return m.end() if m else 0
 
 

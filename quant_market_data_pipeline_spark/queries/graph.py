@@ -26,7 +26,10 @@ from quant_market_data_pipeline_spark.plans.incremental import (
     refresh_bars_incremental,
 )
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_corpus,
+)
 from quant_market_data_pipeline_spark.sources.sink import write_partitioned
 from quant_market_data_pipeline_spark.sources.tables import load_table
 
@@ -66,7 +69,7 @@ LIMIT 100
     "the bound every scalable graph build needs.  The step itself is "
     "two hash shuffles (out-degree agg on src, contribution agg on dst) "
     "— the Pregel superstep shape; a full PageRank loops this with the "
-    "localCheckpoint-per-round convention dedup_components uses.  "
+    "materialize_corpus-per-round convention dedup_components uses.  "
     "Top-100 plans as TakeOrderedAndProject, no global sort.",
 )
 def q_pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +79,7 @@ def q_pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    li = li.localCheckpoint(eager=False)  # both self-join sides
+    li = materialize_corpus(li)  # both self-join sides
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     edges = (
@@ -85,7 +88,7 @@ def q_pagerank_one_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
-    edges = edges.localCheckpoint(eager=False)  # outdeg + contribution
+    edges = materialize_corpus(edges)  # outdeg + contribution
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("total_w"))
     pr = (
         edges.join(outdeg, "src")
@@ -236,7 +239,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    li = li.localCheckpoint(eager=False)  # both self-join sides
+    li = materialize_corpus(li)  # both self-join sides
     a = li.select("l_orderkey", F.col("l_partkey").alias("lo"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("hi"))
     edges = (
@@ -247,7 +250,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= 2)
         .drop("support")
     )
-    edges = edges.localCheckpoint(eager=False)  # three join legs + degrees
+    edges = materialize_corpus(edges)  # three join legs + degrees
     deg = (
         edges.select(F.col("lo").alias("v"))
         .unionAll(edges.select(F.col("hi").alias("v")))

@@ -37,7 +37,10 @@ from quant_market_data_pipeline_spark.llm.text import (
     tokens_column,
 )
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_corpus,
+)
 from quant_market_data_pipeline_spark.sources.tables import (
     load_table,
     repartition_for_compute,
@@ -1224,7 +1227,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize: both self-join sides, else the token-vote pipeline
     # (the expensive part) executes twice
-    fp = fp.localCheckpoint(eager=False)
+    fp = materialize_corpus(fp)
     a = fp.select(
         F.col("doc_id").alias("doc_lo"),
         F.col("simhash").alias("sh_a"),
@@ -1280,7 +1283,7 @@ SELECT node, min(comp) AS component FROM reach GROUP BY node
 """,
     doc="Connected components over the (source,lang)-blocked Levenshtein "
     "near-dup graph: iterative min-label propagation (join+groupBy per "
-    "round, localCheckpoint lineage truncation) -> (node, component) "
+    "round, materialize_corpus lineage truncation) -> (node, component) "
     "cluster assignment.  The fixpoint is deterministic (component = min "
     "node id reachable), so the oracle is a DuckDB WITH RECURSIVE "
     "reachability twin — hash-checked, upgraded from round 2's rows-only; "
@@ -1672,7 +1675,7 @@ def q_simhash32_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash"),
     )
-    fp = fp.localCheckpoint(eager=False)  # both self-join sides
+    fp = materialize_corpus(fp)  # both self-join sides
     blocked = fp.withColumn(
         "blk", (F.col("simhash") / 65536).cast("long")
     )
@@ -1745,7 +1748,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # df derives from tf; materialize so the corpus is tokenized once, not
     # once per consumer (index-build convention, PLANS.md).
-    tf = tf.localCheckpoint(eager=False)
+    tf = materialize_corpus(tf)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1975,16 +1978,15 @@ JOIN sizes sb ON sb.source = source_b
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # hashed shingle keys: distinct + self-join shuffle longs, not strings
-    sh = (
+    # index-build convention (PLANS.md): both self-join sides and the
+    # size aggregate reference this tokenize+distinct build
+    sh = materialize_corpus(
         d.select(
             "source",
             F.explode(word_shingles(word_tokens("text"))).alias("__s"),
         )
         .select("source", seeded_md5_long("ovl", F.col("__s")).alias("sh"))
         .distinct()
-        # index-build convention (PLANS.md): both self-join sides and the
-        # size aggregate reference this tokenize+distinct build
-        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("source").alias("source_a"), "sh")
@@ -2728,7 +2730,7 @@ FROM scored GROUP BY hamming
 def q_neardup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_simhash60(spark, sf_dir)
     sh = _planted_shingled(spark, sf_dir).select("doc_id", "sh")
-    sh = sh.localCheckpoint(eager=False)  # sizes + both shared-join legs
+    sh = materialize_corpus(sh)  # sizes + both shared-join legs
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_lo"), "sh")
     b = sh.select(F.col("doc_id").alias("doc_hi"), "sh")
@@ -3366,7 +3368,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("bucket", lsh_bucket_arrow(4, 64)(F.col("v")))
     # index build: both pair sides reuse the bucketed vectors (lazy, same
     # rationale as lsh_cosine_topk)
-    vecs = vecs.localCheckpoint(eager=False)
+    vecs = materialize_corpus(vecs)
     packed = (F.col("vec_id") * 16 + F.col("label")).cast("long")
     a = vecs.select(
         packed.alias("query_id"), F.col("v").alias("qv"), "bucket"

@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.operators.bars import build_bars
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_corpus,
+)
 from quant_market_data_pipeline_spark.sources.tables import load_table
 
 
@@ -261,7 +264,7 @@ def q_pair_return_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both self-join sides reference the bar+window build; materialize it
     # once (index-build convention, PLANS.md) instead of running the tick
     # scan and window twice.
-    rets = rets.localCheckpoint(eager=False)
+    rets = materialize_corpus(rets)
     a = rets.select(
         F.col("symbol").alias("sym_a"), "bar_ts", F.col("r").alias("ra")
     )

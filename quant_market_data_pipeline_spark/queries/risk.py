@@ -26,6 +26,7 @@ from quant_market_data_pipeline_spark.operators.bars import build_bars
 from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import (
     configure_runtime,
+    materialize_corpus,
     materialize_dim,
 )
 from quant_market_data_pipeline_spark.sources.tables import load_table
@@ -346,7 +347,7 @@ def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _daily_ohlc(spark, sf_dir).select(
         "symbol", "trading_day", F.log("close").alias("lp")
     )
-    d = d.localCheckpoint(eager=False)  # both self-join sides
+    d = materialize_corpus(d)  # both self-join sides
     a = d.select(
         F.col("symbol").alias("sym_a"), "trading_day", F.col("lp").alias("x")
     )
@@ -354,7 +355,7 @@ def q_engle_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("symbol").alias("sym_b"), "trading_day", F.col("lp").alias("y")
     )
     aligned = a.join(b, "trading_day").filter(F.col("sym_a") < F.col("sym_b"))
-    aligned = aligned.localCheckpoint(eager=False)  # reused below
+    aligned = materialize_corpus(aligned)  # reused below
     beta_raw = F.covar_samp("y", "x") / F.nullif(
         F.var_samp("x"), F.lit(0.0)
     )
@@ -528,7 +529,7 @@ def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r").isNotNull())
         .withColumn("r_prev", F.lag("r").over(w))
     )
-    rr = rr.localCheckpoint(eager=False)  # both self-join sides
+    rr = materialize_corpus(rr)  # both self-join sides
     a = rr.select(
         F.col("symbol").alias("sym_a"),
         "bar_ts",

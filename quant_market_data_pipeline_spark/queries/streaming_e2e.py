@@ -416,6 +416,18 @@ def _land_time_sliced(
         ).collect()[0]["b"]
     ]
     edges = [None, *bounds, None]
+    # The file source replays files in mtime order; on filesystems with
+    # coarse mtime granularity two back-to-back writes can share an
+    # mtime and be picked up out of event-time order, breaking the
+    # per-key ordering the stateful ring buffers require.  Stamp each
+    # slice's files with an explicit strictly-increasing mtime (1 s
+    # apart, anchored 1 h in the past so restamped files never sort
+    # after genuinely newer ones).
+    import os
+    import time
+
+    t0 = time.time() - 3600.0
+    seen: set[str] = set()
     for i in range(n_slices):
         sl = df
         if edges[i] is not None:
@@ -423,6 +435,11 @@ def _land_time_sliced(
         if edges[i + 1] is not None:
             sl = sl.filter(us < F.lit(edges[i + 1]))
         sl.coalesce(1).write.mode("append").parquet(landing)
+        for fname in os.listdir(landing):
+            path = os.path.join(landing, fname)
+            if fname.endswith(".parquet") and path not in seen:
+                os.utime(path, (t0 + i, t0 + i))
+                seen.add(path)
 
 
 def _kill_after_batches(query, min_batches: int = 2, deadline_s: int = 180) -> int:

@@ -21,7 +21,10 @@ from quant_market_data_pipeline_spark.queries.llm import (
     _embeddings,
     _planted_shingled,
 )
-from quant_market_data_pipeline_spark.session import materialize_dim
+from quant_market_data_pipeline_spark.session import (
+    materialize_corpus,
+    materialize_dim,
+)
 
 # ---------------------------------------------------------------------------
 # Quality-gate threshold sweep: one scan, the whole operating curve.
@@ -181,7 +184,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _planted_shingled(spark, sf_dir).select(
         "doc_id", "source", seeded_md5_long("cont", F.col("sh")).alias("sh")
     )
-    sh = sh.localCheckpoint(eager=False)  # both join sides + sizes
+    sh = materialize_corpus(sh)  # both join sides + sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(
         F.col("doc_id").alias("doc_lo"), "source", F.col("sh").alias("s")
@@ -611,7 +614,7 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = doc_shingles(d, n=3, distinct=True).select(
         "doc_id", seeded_md5_long("nov", F.col("sh")).alias("h")
     )
-    sh = sh.localCheckpoint(eager=False)  # first-seen agg + join-back side
+    sh = materialize_corpus(sh)  # first-seen agg + join-back side
     first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = F.count(
         F.when(F.col("doc_id") == F.col("first_doc"), F.lit(1))
