@@ -171,7 +171,9 @@ def load_all() -> dict[str, QuerySpec]:
     """
     from quant_market_data_pipeline_spark.queries import (  # noqa: F401
         core,
+        curation,
         drift,
+        execution,
         graph,
         llm,
         pipeline_ops,

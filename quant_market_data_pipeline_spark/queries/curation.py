@@ -1,0 +1,568 @@
+"""Round-8 training-data curation audits over the documents corpus.
+
+The curation layer a 100 TB pretraining pipeline runs between raw docs
+and the tokenizer: global quality-quantile curriculum assignment WITHOUT
+a global sort, per-source dataset cards, shard-planning leakage audits
+(does shard-local dedup miss cross-shard duplicates?), the quality x
+duplication interaction, and MinHash banding parameter sensitivity
+measured against planted ground truth (the S-curve knob, audited rather
+than assumed).
+
+All ground-truth machinery (planted twins, the 16-slot mixed MinHash
+family, the quality expressions) is shared verbatim with queries/llm.py
+so these audits measure the PRODUCTION operators, not lookalikes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.llm.dedup import minhash_signatures
+from quant_market_data_pipeline_spark.llm.hashing import (
+    band_hash,
+    seeded_md5_long,
+    word_tokens,
+)
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.queries.llm import (
+    _MIN_EXPRS,
+    _MINHASH_BASE_SQL,
+    _PLANTED_SHINGLE_CTE,
+    _TWIN_OFF_SQL,
+    _docs_wide,
+    _planted_shingled,
+)
+from quant_market_data_pipeline_spark.session import materialize_corpus
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_wide(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum stages from exact histogram quantiles (no global sort).
+# ---------------------------------------------------------------------------
+_CURR_STAGES = 4
+# portable in-row quality score (same regex family as quality_filter_verdicts)
+_SCORE_SQL = """
+  ln(1 + len(regexp_extract_all(text, '\\S+')))
+  - 5.0 * (len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE
+           / NULLIF(length(text), 0))
+  - 3.0 * (len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+           / NULLIF(length(text), 0))
+"""
+
+
+def _score_col() -> F.Column:
+    n_tok = F.size(word_tokens("text"))
+    n_char = F.length("text")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit("[\\p{Punct}]"), 0))
+    n_digit = F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0))
+    return (
+        F.log(1 + n_tok)
+        - 5.0 * (n_punct.cast("double") / F.nullif(n_char, F.lit(0)))
+        - 3.0 * (n_digit.cast("double") / F.nullif(n_char, F.lit(0)))
+    )
+
+
+@register(
+    "curriculum_stage_plan",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         round({_SCORE_SQL}, 3) AS b
+  FROM documents
+), bins AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n, sum(count(*)) OVER () AS total,
+         sum(count(*)) OVER (ORDER BY b
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+  FROM scored GROUP BY b
+), staged AS (
+  SELECT b, CAST(least({_CURR_STAGES},
+             1 + floor({_CURR_STAGES}.0 * (cum - n) / total)) AS INTEGER)
+           AS stage
+  FROM bins
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(scored.b), 6) AS mean_score,
+       min(scored.b) AS min_score, max(scored.b) AS max_score
+FROM scored JOIN staged USING (b)
+GROUP BY stage
+""",
+    doc="Curriculum-learning stage assignment by quality-score quartile, "
+    "computed WITHOUT a global sort: scores quantize to 3dp bins, ONE "
+    "aggregation builds the exact bin histogram, a running sum over the "
+    "(dimension-sized) bin table converts cumulative share to stage, "
+    "and stages join back to docs BROADCAST.  This is the scalable "
+    "exact-quantile pattern — a global ntile() would single-partition "
+    "100 TB; the histogram costs one fact exchange and assigns every "
+    "boundary doc deterministically by bin.  Score = ln(1+tokens) - 5*"
+    "punct_ratio - 3*digit_ratio (the quality_filter_verdicts regex "
+    "family).",
+)
+def q_curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        F.size(word_tokens("text")).alias("n_tokens"),
+        F.round(_score_col(), 3).alias("b"),
+    )
+    bins = scored.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = bins.select(
+        "b",
+        F.least(
+            F.lit(_CURR_STAGES),
+            1
+            + F.floor(
+                _CURR_STAGES
+                * (F.sum("n").over(wcum) - F.col("n")).cast("double")
+                / F.sum("n").over(wall)
+            ),
+        )
+        .cast("integer")
+        .alias("stage"),
+    )
+    joined = scored.join(F.broadcast(staged), "b")
+    return joined.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("b"), 6).alias("mean_score"),
+        F.min("b").alias("min_score"),
+        F.max("b").alias("max_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dataset card.
+# ---------------------------------------------------------------------------
+@register(
+    "dataset_card_by_source",
+    oracle="""
+WITH base AS (
+  SELECT source, doc_id, lang, length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         md5(text) AS fp
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         round(avg(n_chars), 2) AS avg_chars,
+         round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+           AS exact_dup_rate,
+         round(avg(CASE WHEN n_chars < 80 THEN 1.0 ELSE 0.0 END), 6)
+           AS short_doc_rate,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM base GROUP BY source
+), lang_counts AS (
+  SELECT source, lang, count(*) AS c FROM base GROUP BY 1, 2
+), top_lang AS (
+  SELECT source, lang AS top_lang, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, lang) AS rn
+    FROM lang_counts) WHERE rn = 1
+)
+SELECT a.source, n_docs, total_tokens, avg_chars, exact_dup_rate,
+       short_doc_rate, n_langs, t.top_lang,
+       round(CAST(t.c AS DOUBLE) / a.n_docs, 6) AS top_lang_share
+FROM agg a JOIN top_lang t ON a.source = t.source
+""",
+    doc="The dataset card a release pipeline publishes per source: doc/"
+    "token counts, exact-duplicate rate (distinct md5(text) vs rows), "
+    "short-doc rate, language breadth and the dominant language's "
+    "share.  One fact aggregation + a (source, lang) rollup whose "
+    "top-1 cut is a dimension window — every number is reproducible "
+    "from the same expressions the dedup and quality operators use.",
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "source",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(word_tokens("text")).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round(
+            1.0
+            - F.countDistinct("fp").cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.avg(F.when(F.col("n_chars") < 80, 1.0).otherwise(0.0)), 6
+        ).alias("short_doc_rate"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    lang_counts = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("c").desc(), "lang")
+    top = (
+        lang_counts.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "c")
+    )
+    return agg.join(F.broadcast(top), "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_chars",
+        "exact_dup_rate",
+        "short_doc_rate",
+        "n_langs",
+        "top_lang",
+        F.round(F.col("c").cast("double") / F.col("n_docs"), 6).alias(
+            "top_lang_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard-planning audit: cross-shard duplicate leakage.
+# ---------------------------------------------------------------------------
+_N_SHARDS = 8
+_SHARD_SQL = (
+    f"('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 15))::BIGINT"
+    f" % {_N_SHARDS}"
+)
+
+
+@register(
+    "shard_dedup_leakage",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- planted exact replicas (every 3rd doc), data-derived id offset:
+  -- the corpus carries no organic byte-identical dups, so the audit
+  -- plants its own ground truth like the twin machinery does
+  SELECT doc_id + {_TWIN_OFF_SQL}, text FROM documents WHERE doc_id % 3 = 0
+), base AS (
+  SELECT doc_id, {_SHARD_SQL} AS shard, md5(text) AS fp FROM corpus
+), groups AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
+         CAST(count(DISTINCT shard) AS BIGINT) AS n_shards
+  FROM base GROUP BY fp
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN group_size > 1 AND n_shards > 1
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+       round(CAST(sum(CASE WHEN group_size > 1 AND n_shards > 1
+                      THEN 1 ELSE 0 END) AS DOUBLE) /
+             NULLIF(sum(CASE WHEN group_size > 1 THEN 1 ELSE 0 END), 0), 6)
+         AS leak_rate
+FROM base JOIN groups USING (fp)
+GROUP BY shard
+""",
+    doc="Shard-local-dedup feasibility audit: docs hash into "
+    f"{_N_SHARDS} shards (seeded md5 — the shard assignment a "
+    "distributed writer would use); for each exact-duplicate group, "
+    "does it stay within one shard?  A duplicate doc whose group spans "
+    "shards is LEAKED — shard-local dedup keeps one copy per shard "
+    "and misses it.  Ground truth is planted (every 3rd doc gets a "
+    "byte-identical replica at a data-derived id offset — the corpus "
+    "has no organic exact dups), and id-hash sharding scatters "
+    "replicas, so leak_rate ~ 7/8 is the EXPECTED measurement: the "
+    "quantified argument for the global content-hash-partitioned "
+    "dedup the engine implements (sharding BY fp drives it to 0).  "
+    "One group-by over the fact + a broadcast-joinable group table.",
+)
+def q_shard_dedup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    from quant_market_data_pipeline_spark.queries.llm import (
+        _with_twin_offset,
+    )
+
+    replicas = (
+        _with_twin_offset(d)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"), "text"
+        )
+    )
+    corpus = d.unionByName(replicas)
+    base = corpus.select(
+        "doc_id",
+        (
+            seeded_md5_long("shard", F.col("doc_id").cast("string"))
+            % _N_SHARDS
+        ).alias("shard"),
+        F.md5("text").alias("fp"),
+    )
+    base = materialize_corpus(base)  # group build + membership join
+    groups = base.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size"),
+        F.countDistinct("shard").cast("bigint").alias("n_shards"),
+    )
+    is_dup = F.when(F.col("group_size") > 1, 1).otherwise(0)
+    is_leak = F.when(
+        (F.col("group_size") > 1) & (F.col("n_shards") > 1), 1
+    ).otherwise(0)
+    return (
+        base.join(groups, "fp")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_dup_docs"),
+            F.sum(is_leak).cast("bigint").alias("n_leaked_docs"),
+            F.round(
+                F.sum(is_leak).cast("double")
+                / F.nullif(F.sum(is_dup), F.lit(0)),
+                6,
+            ).alias("leak_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality x duplication interaction.
+# ---------------------------------------------------------------------------
+@register(
+    "quality_dup_interaction",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  -- planted replicas with a KNOWN length-conditional rate: every 3rd
+  -- short doc, every 6th long doc -> true short/long dup lift = 2.
+  -- The corpus has no organic exact dups, so this calibrates the
+  -- lift arithmetic against planted ground truth (the
+  -- neardup_calibration pattern).
+  SELECT doc_id + {_TWIN_OFF_SQL}, source, text FROM documents
+  WHERE (length(text) < 80 AND doc_id % 3 = 0)
+     OR (length(text) >= 80 AND doc_id % 6 = 0)
+), base AS (
+  SELECT source, md5(text) AS fp,
+         CASE WHEN length(text) >= 80 THEN 1 ELSE 0 END AS len_ok
+  FROM corpus
+), groups AS (
+  SELECT fp, count(*) AS gs FROM base GROUP BY fp
+), flagged AS (
+  SELECT source, len_ok, CASE WHEN gs > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM base JOIN groups USING (fp)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CASE WHEN len_ok = 1 THEN CAST(is_dup AS DOUBLE) END), 6)
+         AS dup_rate_long_docs,
+       round(avg(CASE WHEN len_ok = 0 THEN CAST(is_dup AS DOUBLE) END), 6)
+         AS dup_rate_short_docs,
+       round(avg(CASE WHEN len_ok = 0 THEN CAST(is_dup AS DOUBLE) END) /
+             NULLIF(avg(CASE WHEN len_ok = 1
+                        THEN CAST(is_dup AS DOUBLE) END), 0), 4)
+         AS short_over_long_lift
+FROM flagged GROUP BY source
+""",
+    doc="Does duplication concentrate in low-quality docs?  Per source: "
+    "exact-dup rate among length-passing vs length-failing docs and "
+    "the short/long lift — lift >> 1 means dedup disproportionately "
+    "removes junk (quality filtering and dedup overlap), lift ~ 1 "
+    "means they are independent cuts and BOTH passes earn their cost.  "
+    "Ground truth is PLANTED at a known conditional rate (replicas for "
+    "every 3rd short doc, every 6th long doc -> true lift 2, the "
+    "neardup_calibration pattern), so the lift arithmetic is value-"
+    "gated, not vacuously zero on the dup-free corpus.  Same fp/group "
+    "machinery as the dedup family; one extra conditional aggregation.",
+)
+def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.queries.llm import (
+        _with_twin_offset,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    short = F.length("text") < 80
+    replicas = (
+        _with_twin_offset(d)
+        .filter(
+            (short & (F.col("doc_id") % 3 == 0))
+            | (~short & (F.col("doc_id") % 6 == 0))
+        )
+        .select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+            "source",
+            "text",
+        )
+    )
+    corpus = d.unionByName(replicas)
+    base = corpus.select(
+        "source",
+        F.md5("text").alias("fp"),
+        F.when(F.length("text") >= 80, 1).otherwise(0).alias("len_ok"),
+    )
+    groups = base.groupBy("fp").agg(F.count(F.lit(1)).alias("gs"))
+    flagged = base.join(groups, "fp").select(
+        "source",
+        "len_ok",
+        F.when(F.col("gs") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    dup_long = F.avg(
+        F.when(F.col("len_ok") == 1, F.col("is_dup").cast("double"))
+    )
+    dup_short = F.avg(
+        F.when(F.col("len_ok") == 0, F.col("is_dup").cast("double"))
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(dup_long, 6).alias("dup_rate_long_docs"),
+        F.round(dup_short, 6).alias("dup_rate_short_docs"),
+        F.round(
+            dup_short / F.nullif(dup_long, F.lit(0.0)), 4
+        ).alias("short_over_long_lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash banding parameter sweep vs planted ground truth.
+# ---------------------------------------------------------------------------
+_SWEEP_CONFIGS = ((16, 1), (8, 2), (4, 4))  # (bands, rows_per_band), b*r=16
+_SWEEP_SAMPLE = 100  # query docs: doc_id < 100 (the recall-audit contract)
+
+
+def _sweep_band_sql(bands: int, rows: int) -> str:
+    legs = []
+    for b in range(bands):
+        cols = " || ',' || ".join(
+            f"h{b * rows + i}::VARCHAR" for i in range(rows)
+        )
+        legs.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS bh FROM sig"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+_SWEEP_ROWS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT {bands} AS bands, {rows} AS rows_per_band,
+       CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+       CAST(sum(CASE WHEN doc_hi = doc_lo + {_TWIN_OFF_SQL}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_twins_caught
+FROM (
+  SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+  FROM (
+{_sweep_band_sql(bands, rows)}
+  ) a JOIN (
+{_sweep_band_sql(bands, rows)}
+  ) b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {_SWEEP_SAMPLE}
+)"""
+    for bands, rows in _SWEEP_CONFIGS
+)
+
+
+@register(
+    "minhash_band_sweep",
+    oracle=f"""
+WITH {_PLANTED_SHINGLE_CTE}, shb AS (
+  SELECT doc_id, {_MINHASH_BASE_SQL} AS bh FROM sh
+), sig AS (
+  SELECT doc_id,
+       {_MIN_EXPRS}
+  FROM shb GROUP BY doc_id
+), sweep AS (
+{_SWEEP_ROWS_SQL}
+)
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       n_candidate_pairs, n_twins_caught,
+       round(CAST(n_twins_caught AS DOUBLE) /
+             (SELECT count(*) FROM documents
+              WHERE doc_id < {_SWEEP_SAMPLE}), 6) AS twin_catch_rate
+FROM sweep
+""",
+    doc="Banding-parameter sensitivity of the production MinHash-LSH "
+    "index, measured not assumed: ONE 16-slot signature build (the "
+    "production mixed family, computed once and reused by all "
+    "configs), then for (bands x rows) in {16x1, 8x2, 4x4} the "
+    "candidate-pair count and the planted-twin catch rate on the "
+    "100-doc query sample.  This is the S-curve made empirical: more "
+    "rows/band sharpens the threshold (fewer candidates, misses "
+    "weaker twins), 16x1 catches everything but floods downstream "
+    "verification.  The numbers justify the 8x2 production choice "
+    "(minhash_lsh_pairs).  Scale: candidates are sample-bounded here; "
+    "the production path adds the class-collapse + probe caps.",
+)
+def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _planted_shingled(spark, sf_dir).select("doc_id", "sh")
+    sig = materialize_corpus(minhash_signatures(sh))
+    sig_cols = [f"h{i}" for i in range(16)]
+
+    # data-derived twin offset (broadcast 1-row agg over documents)
+    docs = _docs(spark, sf_dir)
+    off_frame = docs.groupBy().agg(
+        F.coalesce(F.max("doc_id") + F.lit(1), F.lit(0)).alias("__off"),
+        F.sum(
+            F.when(F.col("doc_id") < _SWEEP_SAMPLE, 1).otherwise(0)
+        ).alias("__n_sample"),
+    )
+
+    rows_out = []
+    for bands, rows in _SWEEP_CONFIGS:
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    band_hash(sig_cols, b, rows).alias("bh"),
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = sig.select(
+            "doc_id", F.explode(band_structs).alias("b")
+        ).select("doc_id", "b.band_id", "b.bh")
+        pairs = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(F.col("a.doc_id") < _SWEEP_SAMPLE)
+            .select(
+                F.col("a.doc_id").alias("doc_lo"),
+                F.col("b.doc_id").alias("doc_hi"),
+            )
+            .distinct()
+        )
+        rows_out.append(
+            pairs.crossJoin(F.broadcast(off_frame)).agg(
+                F.lit(bands).cast("integer").alias("bands"),
+                F.lit(rows).cast("integer").alias("rows_per_band"),
+                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+                F.sum(
+                    F.when(
+                        F.col("doc_hi") == F.col("doc_lo") + F.col("__off"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_twins_caught"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("doc_hi")
+                            == F.col("doc_lo") + F.col("__off"),
+                            1.0,
+                        ).otherwise(0.0)
+                    )
+                    / F.first("__n_sample"),
+                    6,
+                ).alias("twin_catch_rate"),
+            )
+        )
+    out = rows_out[0]
+    for extra in rows_out[1:]:
+        out = out.unionByName(extra)
+    return out

@@ -1,0 +1,691 @@
+"""Round-8 research layer: execution scheduling, signal evaluation and
+portfolio accounting over the tick fact.
+
+Reference parity: the reference pipeline (MashooqRS/quant-market-data-
+pipeline) ends at the z-score signal (transform.py:58-91); this module is
+part of the mandated research-layer extension — the queries a desk runs
+AFTER the signal exists: is return autocorrelation exploitable (Ljung-
+Box), how much to bet (Kelly), how to schedule the execution (Almgren-
+Chriss), how fast the signal decays (IC horizon), what the strategy costs
+to hold (turnover/cost accounting), and how returns co-crash (tail
+dependence).
+
+Scale notes common to all queries here: every one reduces the tick fact
+to a (symbol, day) dimension frame FIRST (one hash-agg exchange), then
+does its math on the dimension — at 100 TB the cost is the fact scan;
+the research math is free.  No query joins fact-to-fact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from quant_market_data_pipeline_spark.queries import register
+from quant_market_data_pipeline_spark.queries.risk import (
+    _DAILY_CTE,
+    _daily_ohlc,
+)
+from quant_market_data_pipeline_spark.session import materialize_dim
+
+# daily close log returns, shared by every query below
+_RETS_CTE = f"""{_DAILY_CTE},
+rets AS (
+  SELECT symbol, trading_day,
+         ln(close) - ln(lag(close) OVER (PARTITION BY symbol
+                                         ORDER BY trading_day)) AS r
+  FROM daily
+), rr AS (SELECT * FROM rets WHERE r IS NOT NULL)"""
+
+
+def _daily_rets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    return d.select(
+        "symbol",
+        "trading_day",
+        "close",
+        (F.log("close") - F.log(F.lag("close").over(w))).alias("r"),
+    ).filter(F.col("r").isNotNull())
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test on daily returns (lags 1..5).
+# ---------------------------------------------------------------------------
+_LB_LAGS = 5
+
+
+@register(
+    "ljung_box_returns",
+    oracle=f"""
+WITH {_RETS_CTE},
+m AS (
+  SELECT symbol, avg(r) AS rbar FROM rr GROUP BY symbol
+), c AS (
+  SELECT rr.symbol, trading_day, r - rbar AS c
+  FROM rr JOIN m ON rr.symbol = m.symbol
+), l AS (
+  SELECT symbol, c,
+         {", ".join(f"lag(c, {k}) OVER (PARTITION BY symbol ORDER BY trading_day) AS c{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM c
+), s AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n, sum(c * c) AS denom,
+         {", ".join(f"sum(c * c{k}) AS num{k}" for k in range(1, _LB_LAGS + 1))}
+  FROM l GROUP BY symbol
+)
+SELECT symbol, n AS n_days,
+       {", ".join(f"round(num{k} / denom, 6) AS rho_{k}" for k in range(1, _LB_LAGS + 1))},
+       round(n * (n + 2) * ({" + ".join(f"(num{k} / denom) * (num{k} / denom) / (n - {k})" for k in range(1, _LB_LAGS + 1))}), 4) AS q_lb
+FROM s
+""",
+    doc="Ljung-Box portmanteau statistic on daily close log returns, "
+    "lags 1-5: Q = n(n+2) * sum_k rho_k^2/(n-k), with rho_k the full-"
+    "sample-mean autocorrelation (two-pass: per-symbol mean joins back "
+    "broadcast, lagged co-products from ONE symbol-keyed window).  The "
+    "standard is-there-anything-to-trade test before fitting any serial "
+    "model.  Q >> chi2(5) quantile rejects white noise.  Scale: all math on "
+    "the (symbol, day) dimension; one fact exchange + one window "
+    "exchange.",
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    m = rr.groupBy("symbol").agg(F.avg("r").alias("rbar"))
+    c = rr.join(F.broadcast(m), "symbol").select(
+        "symbol", "trading_day", (F.col("r") - F.col("rbar")).alias("c")
+    )
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    lagged = c.select(
+        "symbol",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _LB_LAGS + 1)],
+    )
+    s = lagged.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("denom"),
+        *[
+            F.sum(F.col("c") * F.col(f"c{k}")).alias(f"num{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    n = F.col("n").cast("double")
+    q = n * (n + 2) * sum(
+        (F.col(f"num{k}") / F.col("denom"))
+        * (F.col(f"num{k}") / F.col("denom"))
+        / (n - k)
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return s.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        *[
+            F.round(F.col(f"num{k}") / F.col("denom"), 6).alias(f"rho_{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+        F.round(q, 4).alias("q_lb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kelly criterion sizing from the daily return distribution.
+# ---------------------------------------------------------------------------
+@register(
+    "kelly_sizing_daily",
+    oracle=f"""
+WITH {_RETS_CTE}
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(r) / NULLIF(var_samp(r), 0), 4) AS kelly_continuous,
+       round(avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END), 6) AS win_rate,
+       round(avg(CASE WHEN r > 0 THEN r END) /
+             NULLIF(abs(avg(CASE WHEN r <= 0 THEN r END)), 0), 6)
+         AS payoff_ratio,
+       round(avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END)
+             - (1.0 - avg(CASE WHEN r > 0 THEN 1.0 ELSE 0.0 END))
+               / NULLIF(avg(CASE WHEN r > 0 THEN r END) /
+                        NULLIF(abs(avg(CASE WHEN r <= 0 THEN r END)), 0), 0),
+             6) AS kelly_discrete
+FROM rr GROUP BY symbol
+""",
+    doc="Kelly position sizing per symbol from daily log returns: the "
+    "continuous approximation f* = mu/sigma^2 and the discrete win/loss "
+    "form f* = p - (1-p)/b with b the payoff ratio avg_win/|avg_loss|.  "
+    "One dimension-sized aggregation; every branch NULL-guarded so a "
+    "symbol with no losing (or no winning) days yields NULL rather than "
+    "a division blow-up.",
+)
+def q_kelly_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    win = F.avg(F.when(F.col("r") > 0, 1.0).otherwise(0.0))
+    avg_win = F.avg(F.when(F.col("r") > 0, F.col("r")))
+    avg_loss = F.abs(F.avg(F.when(F.col("r") <= 0, F.col("r"))))
+    payoff = avg_win / F.nullif(avg_loss, F.lit(0.0))
+    return rr.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(
+            F.avg("r") / F.nullif(F.var_samp("r"), F.lit(0.0)), 4
+        ).alias("kelly_continuous"),
+        F.round(win, 6).alias("win_rate"),
+        F.round(payoff, 6).alias("payoff_ratio"),
+        F.round(
+            win - (F.lit(1.0) - win) / F.nullif(payoff, F.lit(0.0)), 6
+        ).alias("kelly_discrete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Almgren-Chriss optimal execution schedule (closed-form sinh trajectory).
+# ---------------------------------------------------------------------------
+_AC_SHARES = 10_000.0  # parent order size
+_AC_BUCKETS = 12  # execution horizon in buckets
+_AC_KAPPA_SCALE = 2.0**0.5  # kappa = sigma * sqrt(lambda/eta), lambda/eta=2
+
+
+@register(
+    "almgren_chriss_schedule",
+    oracle=f"""
+WITH {_RETS_CTE},
+vol AS (
+  SELECT symbol, stddev_samp(r) * {_AC_KAPPA_SCALE!r} AS kappa
+  FROM rr GROUP BY symbol
+), grid AS (
+  SELECT symbol, kappa, j
+  FROM vol CROSS JOIN (SELECT unnest(generate_series(0, {_AC_BUCKETS - 1}))
+                       AS j)
+), sched AS (
+  SELECT symbol, CAST(j AS INTEGER) AS bucket_idx,
+         {_AC_SHARES!r} *
+           ((exp(kappa * ({_AC_BUCKETS} - j))
+             - exp(-kappa * ({_AC_BUCKETS} - j))) / 2) /
+           ((exp(kappa * {_AC_BUCKETS}) - exp(-kappa * {_AC_BUCKETS})) / 2)
+           AS holdings,
+         {_AC_SHARES!r} *
+           ((exp(kappa * ({_AC_BUCKETS} - j))
+             - exp(-kappa * ({_AC_BUCKETS} - j))) / 2
+            - (exp(kappa * ({_AC_BUCKETS} - j - 1))
+               - exp(-kappa * ({_AC_BUCKETS} - j - 1))) / 2) /
+           ((exp(kappa * {_AC_BUCKETS}) - exp(-kappa * {_AC_BUCKETS})) / 2)
+           AS trade
+  FROM grid
+)
+SELECT symbol, bucket_idx, round(holdings, 4) AS holdings,
+       round(trade, 4) AS trade
+FROM sched
+""",
+    doc="Almgren-Chriss optimal liquidation schedule per symbol: the "
+    "closed-form risk-averse trajectory x_j = X sinh(kappa(T-j))/"
+    "sinh(kappa T) with kappa proportional to the symbol's daily return "
+    "volatility (lambda/eta = 2) — higher-vol names front-load "
+    "execution.  sinh is spelled (exp(x)-exp(-x))/2 IDENTICALLY on both "
+    "engines so the only float divergence is 1-ulp exp noise, hidden by "
+    "4dp rounding.  Scale: per-symbol sigma is one dimension agg; the "
+    "schedule is a broadcast cross join against a 12-row literal grid.",
+)
+def q_almgren_chriss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    vol = rr.groupBy("symbol").agg(
+        (F.stddev_samp("r") * _AC_KAPPA_SCALE).alias("kappa")
+    )
+    spark_ = rr.sparkSession
+    grid = spark_.range(_AC_BUCKETS).select(
+        F.col("id").cast("integer").alias("bucket_idx")
+    )
+
+    def sinh(x):
+        return (F.exp(x) - F.exp(-x)) / 2
+
+    k = F.col("kappa")
+    j = F.col("bucket_idx").cast("double")
+    denom = sinh(k * _AC_BUCKETS)
+    holdings = _AC_SHARES * sinh(k * (_AC_BUCKETS - j)) / denom
+    trade = (
+        _AC_SHARES
+        * (sinh(k * (_AC_BUCKETS - j)) - sinh(k * (_AC_BUCKETS - j - 1)))
+        / denom
+    )
+    return (
+        vol.crossJoin(F.broadcast(grid))
+        .select(
+            "symbol",
+            "bucket_idx",
+            F.round(holdings, 4).alias("holdings"),
+            F.round(trade, 4).alias("trade"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Realized skewness / excess kurtosis from explicit central power sums.
+# ---------------------------------------------------------------------------
+@register(
+    "realized_skew_kurtosis",
+    oracle=f"""
+WITH {_RETS_CTE},
+m AS (
+  SELECT symbol, avg(r) AS rbar FROM rr GROUP BY symbol
+), p AS (
+  SELECT rr.symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         sum((r - rbar) * (r - rbar)) AS m2,
+         sum((r - rbar) * (r - rbar) * (r - rbar)) AS m3,
+         sum((r - rbar) * (r - rbar) * (r - rbar) * (r - rbar)) AS m4
+  FROM rr JOIN m ON rr.symbol = m.symbol
+  GROUP BY rr.symbol
+)
+SELECT symbol, n AS n_days,
+       round((m3 / n) / ((m2 / n) ^ 1.5), 6) AS skewness,
+       round((m4 / n) / ((m2 / n) * (m2 / n)) - 3.0, 6) AS excess_kurtosis
+FROM p
+""",
+    doc="Realized skewness g1 = m3/m2^1.5 and excess kurtosis g2 = "
+    "m4/m2^2 - 3 of daily returns, computed from EXPLICIT central power "
+    "sums (two-pass, mean broadcast back) rather than each engine's "
+    "skewness()/kurtosis() builtins — the builtins disagree on bias "
+    "correction (Spark is population-moment, DuckDB applies the sample "
+    "correction), so the portable formulation is the raw moments.  "
+    "Fat tails + negative skew here = the crash-risk profile VaR "
+    "understates.",
+)
+def q_realized_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    m = rr.groupBy("symbol").agg(F.avg("r").alias("rbar"))
+    c = rr.join(F.broadcast(m), "symbol").select(
+        "symbol", (F.col("r") - F.col("rbar")).alias("c")
+    )
+    p = c.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("m2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("m3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("m4"),
+    )
+    n = F.col("n").cast("double")
+    return p.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        F.round(
+            (F.col("m3") / n) / F.pow(F.col("m2") / n, 1.5), 6
+        ).alias("skewness"),
+        F.round(
+            (F.col("m4") / n) / ((F.col("m2") / n) * (F.col("m2") / n))
+            - 3.0,
+            6,
+        ).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality with a Welch t-test vs the rest of the week.
+# ---------------------------------------------------------------------------
+@register(
+    "dow_seasonality_welch",
+    oracle=f"""
+WITH {_RETS_CTE},
+d AS (
+  SELECT symbol, EXTRACT(dow FROM trading_day) AS dow, r FROM rr
+), g AS (
+  SELECT symbol, dow, CAST(count(*) AS BIGINT) AS n_d,
+         sum(r) AS s_d, sum(r * r) AS ss_d
+  FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT symbol, CAST(count(*) AS BIGINT) AS n, sum(r) AS s,
+         sum(r * r) AS ss
+  FROM d GROUP BY 1
+), j AS (
+  SELECT g.symbol, CAST(g.dow AS INTEGER) AS dow, n_d, s_d, ss_d,
+         n - n_d AS n_c, s - s_d AS s_c, ss - ss_d AS ss_c
+  FROM g JOIN tot ON g.symbol = tot.symbol
+)
+SELECT symbol, dow, n_d AS n_days,
+       round(s_d / n_d, 6) AS mean_ret,
+       round((s_d / n_d - s_c / n_c) /
+             NULLIF(sqrt(((ss_d - s_d * s_d / n_d) / (n_d - 1)) / n_d
+                         + ((ss_c - s_c * s_c / n_c) / (n_c - 1)) / n_c),
+                    0), 4) AS welch_t
+FROM j
+WHERE n_d >= 2 AND n_c >= 2
+""",
+    doc="Day-of-week return seasonality per symbol with a Welch t-stat "
+    "of each weekday against the REST of the week.  One trick makes it "
+    "a single-pass plan: the complement group's (n, sum, sumsq) are "
+    "derived by SUBTRACTION from the per-symbol totals, so there is no "
+    "anti-join — one (symbol, dow) agg + one symbol agg joined back "
+    "broadcast.  dow convention: 0=Sunday (Spark dayofweek()-1 == "
+    "DuckDB EXTRACT(dow)).",
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    d = rr.select(
+        "symbol",
+        (F.dayofweek("trading_day") - 1).alias("dow"),
+        "r",
+    )
+    g = d.groupBy("symbol", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("r").alias("s_d"),
+        F.sum(F.col("r") * F.col("r")).alias("ss_d"),
+    )
+    tot = d.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r") * F.col("r")).alias("ss"),
+    )
+    j = g.join(F.broadcast(tot), "symbol").select(
+        "symbol",
+        F.col("dow").cast("integer").alias("dow"),
+        "n_d",
+        "s_d",
+        "ss_d",
+        (F.col("n") - F.col("n_d")).alias("n_c"),
+        (F.col("s") - F.col("s_d")).alias("s_c"),
+        (F.col("ss") - F.col("ss_d")).alias("ss_c"),
+    )
+    n_d = F.col("n_d").cast("double")
+    n_c = F.col("n_c").cast("double")
+    var_d = (F.col("ss_d") - F.col("s_d") * F.col("s_d") / n_d) / (n_d - 1)
+    var_c = (F.col("ss_c") - F.col("s_c") * F.col("s_c") / n_c) / (n_c - 1)
+    welch = (F.col("s_d") / n_d - F.col("s_c") / n_c) / F.nullif(
+        F.sqrt(var_d / n_d + var_c / n_c), F.lit(0.0)
+    )
+    return (
+        j.filter((F.col("n_d") >= 2) & (F.col("n_c") >= 2))
+        .select(
+            "symbol",
+            "dow",
+            F.col("n_d").alias("n_days"),
+            F.round(F.col("s_d") / n_d, 6).alias("mean_ret"),
+            F.round(welch, 4).alias("welch_t"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Information-coefficient decay across forward horizons.
+# ---------------------------------------------------------------------------
+_IC_HORIZONS = (1, 3, 5)
+_IC_UNIVERSE = 5  # the full symbol universe must report, else skip the day
+
+
+@register(
+    "ic_decay_horizons",
+    oracle=f"""
+WITH {_DAILY_CTE},
+lp AS (
+  SELECT symbol, trading_day, ln(close) AS lc FROM daily
+), sig AS (
+  SELECT symbol, trading_day,
+         lc - lag(lc, 5) OVER w AS signal,
+         {", ".join(f"lead(lc, {h}) OVER w - lc AS f{h}" for h in _IC_HORIZONS)}
+  FROM lp
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), long AS (
+  {" UNION ALL ".join(f"SELECT trading_day, {h} AS horizon, signal, f{h} AS fwd FROM sig WHERE signal IS NOT NULL AND f{h} IS NOT NULL" for h in _IC_HORIZONS)}
+), daily_ic AS (
+  SELECT trading_day, horizon, corr(signal, fwd) AS ic
+  FROM long GROUP BY 1, 2
+  HAVING count(*) = {_IC_UNIVERSE} AND corr(signal, fwd) IS NOT NULL
+)
+SELECT CAST(horizon AS INTEGER) AS horizon,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(ic), 6) AS mean_ic,
+       round(avg(ic) / NULLIF(stddev_samp(ic), 0), 4) AS ic_ir
+FROM daily_ic GROUP BY horizon
+""",
+    doc="Signal half-life measurement: cross-sectional Pearson IC of the "
+    "5-day momentum signal against forward returns at horizons 1/3/5 "
+    "days, averaged over days (mean IC + IC information ratio).  A "
+    "signal whose IC dies by horizon 3 cannot pay for slow execution — "
+    "this is the companion number to the Almgren-Chriss schedule.  "
+    "Days with an incomplete universe are skipped (count = 5 gate) so "
+    "the cross-section is always the same breadth.  One window over "
+    "the dimension frame computes signal and ALL horizons' forward "
+    "returns; the horizon long-form is an in-row explode, not a "
+    "re-scan.",
+)
+def q_ic_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select(
+        "symbol", "trading_day", F.log("close").alias("lc")
+    )
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    sig = d.select(
+        "symbol",
+        "trading_day",
+        (F.col("lc") - F.lag("lc", 5).over(w)).alias("signal"),
+        *[
+            (F.lead("lc", h).over(w) - F.col("lc")).alias(f"f{h}")
+            for h in _IC_HORIZONS
+        ],
+    )
+    long = sig.select(
+        "trading_day",
+        "signal",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("horizon"), F.col(f"f{h}").alias("fwd")
+                    )
+                    for h in _IC_HORIZONS
+                ]
+            )
+        ).alias("hf"),
+    ).select(
+        "trading_day",
+        F.col("hf.horizon").alias("horizon"),
+        "signal",
+        F.col("hf.fwd").alias("fwd"),
+    ).filter(F.col("signal").isNotNull() & F.col("fwd").isNotNull())
+    daily_ic = (
+        long.groupBy("trading_day", "horizon")
+        .agg(
+            F.count(F.lit(1)).alias("n_sym"),
+            F.corr("signal", "fwd").alias("ic"),
+        )
+        .filter(
+            (F.col("n_sym") == _IC_UNIVERSE) & F.col("ic").isNotNull()
+        )
+    )
+    return daily_ic.groupBy(
+        F.col("horizon").cast("integer").alias("horizon")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.avg("ic"), 6).alias("mean_ic"),
+        F.round(
+            F.avg("ic") / F.nullif(F.stddev_samp("ic"), F.lit(0.0)), 4
+        ).alias("ic_ir"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lower-tail dependence between symbol pairs.
+# ---------------------------------------------------------------------------
+_TAIL_Q = 0.2
+
+
+@register(
+    "tail_dependence_pairs",
+    oracle=f"""
+WITH {_RETS_CTE},
+pr AS (
+  SELECT symbol, trading_day, r,
+         percent_rank() OVER (PARTITION BY symbol ORDER BY r, trading_day)
+           AS pct
+  FROM rr
+), flagged AS (
+  SELECT symbol, trading_day,
+         CASE WHEN pct <= {_TAIL_Q!r} THEN 1.0 ELSE 0.0 END AS lo
+  FROM pr
+)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(avg(a.lo * b.lo), 6) AS joint_lo_rate,
+       round(avg(a.lo * b.lo) / {_TAIL_Q!r}, 6) AS tail_dependence
+FROM flagged a JOIN flagged b
+  ON a.trading_day = b.trading_day AND a.symbol < b.symbol
+GROUP BY 1, 2
+""",
+    doc="Lower-tail dependence lambda_L = P(B in worst quintile | A in "
+    "worst quintile) for every symbol pair — the co-crash measure "
+    "correlation misses (Gaussian copulas have lambda_L = 0).  Tail "
+    "membership is percent_rank <= 0.2 with a (r, day) deterministic "
+    "ordering so both engines cut identical quintiles.  The pair join "
+    "runs on the (symbol, day) DIMENSION frame (materialized once), "
+    "never on ticks: |symbols|^2/2 x days rows, trivially bounded.",
+)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    wp = Window.partitionBy("symbol").orderBy("r", "trading_day")
+    flagged = rr.select(
+        "symbol",
+        "trading_day",
+        F.when(F.percent_rank().over(wp) <= _TAIL_Q, 1.0)
+        .otherwise(0.0)
+        .alias("lo"),
+    )
+    flagged = materialize_dim(flagged, partitions=1)
+    a = flagged.select(
+        F.col("symbol").alias("sym_a"),
+        "trading_day",
+        F.col("lo").alias("lo_a"),
+    )
+    b = flagged.select(
+        F.col("symbol").alias("sym_b"),
+        "trading_day",
+        F.col("lo").alias("lo_b"),
+    )
+    return (
+        a.join(b, "trading_day")
+        .filter(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.avg(F.col("lo_a") * F.col("lo_b")), 6).alias(
+                "joint_lo_rate"
+            ),
+            F.round(
+                F.avg(F.col("lo_a") * F.col("lo_b")) / _TAIL_Q, 6
+            ).alias("tail_dependence"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Long-short momentum portfolio: turnover and net-of-cost accounting.
+# ---------------------------------------------------------------------------
+_PT_COST = 0.001  # 10 bps per unit turnover
+
+
+@register(
+    "portfolio_turnover_cost",
+    oracle=f"""
+WITH {_DAILY_CTE},
+lp AS (
+  SELECT symbol, trading_day, ln(close) AS lc,
+         ln(close) - lag(ln(close)) OVER w AS r,
+         ln(close) - lag(ln(close), 5) OVER w AS mom
+  FROM daily
+  WINDOW w AS (PARTITION BY symbol ORDER BY trading_day)
+), full_days AS (
+  SELECT trading_day FROM lp
+  WHERE mom IS NOT NULL AND r IS NOT NULL
+  GROUP BY 1 HAVING count(*) = {_IC_UNIVERSE}
+), ranked AS (
+  SELECT lp.symbol, lp.trading_day, lp.r,
+         row_number() OVER (PARTITION BY lp.trading_day
+                            ORDER BY mom DESC, lp.symbol) AS rk
+  FROM lp JOIN full_days USING (trading_day)
+), wts AS (
+  SELECT symbol, trading_day, r,
+         CASE WHEN rk <= 2 THEN 0.25
+              WHEN rk >= {_IC_UNIVERSE - 1} THEN -0.25
+              ELSE 0.0 END AS w,
+         lag(CASE WHEN rk <= 2 THEN 0.25
+                  WHEN rk >= {_IC_UNIVERSE - 1} THEN -0.25
+                  ELSE 0.0 END)
+           OVER (PARTITION BY symbol ORDER BY trading_day) AS w_prev
+  FROM ranked
+), per_day AS (
+  SELECT trading_day,
+         sum(abs(w - coalesce(w_prev, 0.0))) AS turnover,
+         sum(coalesce(w_prev, 0.0) * r) AS gross_ret
+  FROM wts GROUP BY 1
+)
+SELECT trading_day,
+       round(turnover, 6) AS turnover,
+       round(gross_ret, 6) AS gross_ret,
+       round(gross_ret - {_PT_COST!r} * turnover, 6) AS net_ret,
+       round(sum(gross_ret - {_PT_COST!r} * turnover)
+               OVER (ORDER BY trading_day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS cum_net_ret
+FROM per_day
+""",
+    doc="Daily long-short momentum portfolio accounting: rank symbols "
+    "by 5-day momentum (deterministic symbol tiebreak), hold +25bp "
+    "top-2 / -25bp bottom-2 weights, then charge 10 bps per unit of "
+    "one-way turnover |w_t - w_{{t-1}}|.  Returns accrue to YESTERDAY's "
+    "weights (no look-ahead).  Days with an incomplete universe are "
+    "skipped before ranking so the portfolio is always fully formed.  "
+    "The cumulative sum is an ordered running window — identical "
+    "accumulation order on both engines, so 6dp-rounded equality is "
+    "exact.  Scale: everything after the daily rollup is dimension-"
+    "sized; ranking is a day-keyed window over |symbols| rows.",
+)
+def q_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _daily_ohlc(spark, sf_dir).select(
+        "symbol", "trading_day", F.log("close").alias("lc")
+    )
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    lp = d.select(
+        "symbol",
+        "trading_day",
+        (F.col("lc") - F.lag("lc").over(w)).alias("r"),
+        (F.col("lc") - F.lag("lc", 5).over(w)).alias("mom"),
+    )
+    full_days = (
+        lp.filter(F.col("mom").isNotNull() & F.col("r").isNotNull())
+        .groupBy("trading_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == _IC_UNIVERSE)
+        .select("trading_day")
+    )
+    ranked = lp.join(F.broadcast(full_days), "trading_day").select(
+        "symbol",
+        "trading_day",
+        "r",
+        F.row_number()
+        .over(
+            Window.partitionBy("trading_day").orderBy(
+                F.col("mom").desc(), "symbol"
+            )
+        )
+        .alias("rk"),
+    )
+    wexpr = (
+        F.when(F.col("rk") <= 2, 0.25)
+        .when(F.col("rk") >= _IC_UNIVERSE - 1, -0.25)
+        .otherwise(0.0)
+    )
+    wts = ranked.select(
+        "symbol",
+        "trading_day",
+        "r",
+        wexpr.alias("w"),
+        F.lag(wexpr).over(w).alias("w_prev"),
+    )
+    per_day = wts.groupBy("trading_day").agg(
+        F.sum(
+            F.abs(F.col("w") - F.coalesce(F.col("w_prev"), F.lit(0.0)))
+        ).alias("turnover"),
+        F.sum(F.coalesce(F.col("w_prev"), F.lit(0.0)) * F.col("r")).alias(
+            "gross_ret"
+        ),
+    )
+    net = F.col("gross_ret") - _PT_COST * F.col("turnover")
+    wcum = Window.orderBy("trading_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "trading_day",
+        F.round("turnover", 6).alias("turnover"),
+        F.round("gross_ret", 6).alias("gross_ret"),
+        F.round(net, 6).alias("net_ret"),
+        F.round(F.sum(net).over(wcum), 6).alias("cum_net_ret"),
+    )

@@ -1,0 +1,296 @@
+"""Semantic pins for the round-8 execution/curation batch.
+
+Oracle equivalence is the DuckDB gate's job; these tests pin the math on
+constructed inputs with closed-form answers (Ljung-Box on an alternating
+series, Kelly on a known win/loss mix, Almgren-Chriss conservation) and
+the structural invariants the docstrings promise (band-sweep nesting,
+planted leakage arithmetic, curriculum stage partitioning).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import types as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(rows, schema=_EVENTS_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+def _one_tick_per_day(prices, symbol="x"):
+    """One noon tick per day -> daily close == the given price."""
+    base = dt.datetime(2024, 1, 1, 12)
+    return [
+        (i, base + dt.timedelta(days=i), 1, symbol, float(p), None)
+        for i, p in enumerate(prices)
+    ]
+
+
+def test_ljung_box_alternating_series_closed_form(spark, tmp_path):
+    """Prices exp(0), exp(1), exp(0), ... give alternating returns
+    r = +1, -1, ...; the centered autocorrelations and Q statistic have
+    a closed sequential replication."""
+    n_prices = 41
+    prices = [math.exp(i % 2) for i in range(n_prices)]
+    sf = _write_events(spark, tmp_path, _one_tick_per_day(prices))
+
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_ljung_box,
+    )
+
+    row = q_ljung_box(spark, sf).collect()[0]
+    # sequential replication
+    rets = [
+        math.log(prices[i + 1]) - math.log(prices[i])
+        for i in range(n_prices - 1)
+    ]
+    n = len(rets)
+    rbar = sum(rets) / n
+    c = [r - rbar for r in rets]
+    denom = sum(x * x for x in c)
+    rhos = [
+        sum(c[t] * c[t - k] for t in range(k, n)) / denom
+        for k in range(1, 6)
+    ]
+    q = n * (n + 2) * sum(rhos[k - 1] ** 2 / (n - k) for k in range(1, 6))
+    assert row.n_days == n
+    for k in range(1, 6):
+        assert abs(getattr(row, f"rho_{k}") - round(rhos[k - 1], 6)) <= 1e-6
+    assert abs(row.q_lb - round(q, 4)) <= 2e-4
+    # alternating series: rho_1 strongly negative, rho_2 positive
+    assert row.rho_1 < -0.9
+    assert row.rho_2 > 0.9
+
+
+def test_kelly_closed_form_two_outcome_mix(spark, tmp_path):
+    """60 days alternating +ln2 (36 days) and -ln2-ish pattern: build a
+    known p / b mix and check both Kelly forms."""
+    # 3-day cycle: up, up, down with exact dyadic-exp prices
+    prices = [1.0]
+    for i in range(60):
+        prices.append(
+            prices[-1] * (2.0 if i % 3 != 2 else 0.25)
+        )  # r = +ln2, +ln2, -2ln2
+    sf = _write_events(spark, tmp_path, _one_tick_per_day(prices))
+
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_kelly_sizing,
+    )
+
+    row = q_kelly_sizing(spark, sf).collect()[0]
+    p = 2.0 / 3.0
+    b = math.log(2) / (2 * math.log(2))  # avg win / |avg loss| = 0.5
+    assert row.n_days == 60
+    assert abs(row.win_rate - round(p, 6)) <= 1e-6
+    assert abs(row.payoff_ratio - round(b, 6)) <= 1e-6
+    assert abs(row.kelly_discrete - round(p - (1 - p) / b, 6)) <= 1e-6
+    # continuous form: mu/var from the same series
+    rets = [
+        math.log(prices[i + 1] / prices[i]) for i in range(len(prices) - 1)
+    ]
+    mu = sum(rets) / len(rets)
+    var = sum((r - mu) ** 2 for r in rets) / (len(rets) - 1)
+    assert abs(row.kelly_continuous - round(mu / var, 4)) <= 1e-3
+
+
+def test_almgren_chriss_conservation_and_shape(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_almgren_chriss,
+    )
+
+    rows = q_almgren_chriss(spark, SF_DIR).collect()
+    by_sym: dict[str, list] = {}
+    for r in rows:
+        by_sym.setdefault(r.symbol, []).append(r)
+    assert len(by_sym) == 5
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: r.bucket_idx)
+        assert len(rs) == 12
+        # starts fully invested, holdings non-increasing (high-vol
+        # symbols decay below the 4dp rounding quantum by mid-horizon,
+        # so the rounded tail can tie at 0.0)
+        assert abs(rs[0].holdings - 10_000.0) < 1e-6
+        for a, b in zip(rs, rs[1:]):
+            assert a.holdings >= b.holdings
+        assert rs[0].holdings > rs[-1].holdings
+        # trades liquidate the whole parent order: sum == x_0 - x_T = X
+        assert abs(sum(r.trade for r in rs) - 10_000.0) < 2e-3
+        # risk-averse trajectory front-loads: first trade >= last trade
+        assert rs[0].trade >= rs[-1].trade
+        # consistency: trade_j == holdings_j - holdings_{j+1}
+        for a, b in zip(rs, rs[1:]):
+            assert abs(a.trade - (a.holdings - b.holdings)) <= 2e-4
+
+
+def test_realized_moments_match_python_on_fixture(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        _daily_rets,
+        q_realized_skew_kurt,
+    )
+
+    got = {r.symbol: r for r in q_realized_skew_kurt(spark, SF_DIR).collect()}
+    rets: dict[str, list] = {}
+    for r in _daily_rets(spark, SF_DIR).collect():
+        rets.setdefault(r.symbol, []).append(r.r)
+    assert set(got) == set(rets)
+    for sym, rs in rets.items():
+        n = len(rs)
+        mean = sum(rs) / n
+        m2 = sum((x - mean) ** 2 for x in rs) / n
+        m3 = sum((x - mean) ** 3 for x in rs) / n
+        m4 = sum((x - mean) ** 4 for x in rs) / n
+        assert got[sym].n_days == n
+        assert abs(got[sym].skewness - round(m3 / m2**1.5, 6)) <= 2e-6
+        assert (
+            abs(got[sym].excess_kurtosis - round(m4 / m2**2 - 3, 6)) <= 2e-6
+        )
+
+
+def test_ic_bounds_and_universe_gate(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_ic_decay,
+    )
+
+    rows = q_ic_decay(spark, SF_DIR).collect()
+    assert {r.horizon for r in rows} <= {1, 3, 5}
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.mean_ic <= 1.0 + 1e-9
+        assert r.n_days >= 1
+
+
+def test_tail_dependence_bounds(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_tail_dependence,
+    )
+
+    rows = q_tail_dependence(spark, SF_DIR).collect()
+    assert len(rows) == 10  # C(5,2) pairs
+    for r in rows:
+        assert 0.0 <= r.joint_lo_rate <= 0.2 + 1e-9
+        assert 0.0 <= r.tail_dependence <= 1.0 + 1e-9 or (
+            # small-sample quantile granularity can push slightly past 1
+            r.tail_dependence <= 1.5
+        )
+
+
+def test_portfolio_accounting_identities(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_portfolio_turnover,
+    )
+
+    rows = sorted(
+        q_portfolio_turnover(spark, SF_DIR).collect(),
+        key=lambda r: r.trading_day,
+    )
+    assert rows
+    # first formed day: 4 positions open from zero -> turnover exactly 1
+    assert abs(rows[0].turnover - 1.0) < 1e-9
+    cum = 0.0
+    for r in rows:
+        assert 0.0 <= r.turnover <= 2.0 + 1e-9
+        assert abs(r.net_ret - round(r.gross_ret - 0.001 * r.turnover, 6)) <= 2e-6
+        cum += r.gross_ret - 0.001 * r.turnover
+        assert abs(r.cum_net_ret - cum) <= 1e-4
+
+
+def test_curriculum_stages_partition_the_corpus(spark):
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_curriculum_stage_plan,
+    )
+    from quant_market_data_pipeline_spark.queries.llm import _docs_wide
+
+    rows = sorted(
+        q_curriculum_stage_plan(spark, SF_DIR).collect(),
+        key=lambda r: r.stage,
+    )
+    n_docs = _docs_wide(spark, SF_DIR).count()
+    assert [r.stage for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n_docs for r in rows) == n_docs
+    # quartiles up to bin granularity: each stage within 25% +/- 15%
+    for r in rows:
+        assert 0.05 * n_docs <= r.n_docs <= 0.45 * n_docs
+    # stages are ordered score ranges that do not overlap
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_score <= b.min_score
+
+
+def test_band_sweep_nesting_and_monotonicity(spark):
+    """r-row band collision implies every constituent 1-row band also
+    collides, so candidate sets nest: 4x4 <= 8x2 <= 16x1 — counts and
+    catch rates must be monotone."""
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_minhash_band_sweep,
+    )
+
+    rows = {r.bands: r for r in q_minhash_band_sweep(spark, SF_DIR).collect()}
+    assert set(rows) == {16, 8, 4}
+    assert (
+        rows[16].n_candidate_pairs
+        >= rows[8].n_candidate_pairs
+        >= rows[4].n_candidate_pairs
+    )
+    assert (
+        rows[16].n_twins_caught
+        >= rows[8].n_twins_caught
+        >= rows[4].n_twins_caught
+    )
+    assert rows[16].twin_catch_rate == 1.0  # 1-row bands catch every twin
+    for r in rows.values():
+        assert 0.0 <= r.twin_catch_rate <= 1.0
+
+
+def test_shard_leakage_planted_arithmetic(spark):
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_shard_dedup_leakage,
+    )
+    from quant_market_data_pipeline_spark.queries.llm import _docs_wide
+
+    rows = q_shard_dedup_leakage(spark, SF_DIR).collect()
+    n_docs = _docs_wide(spark, SF_DIR).count()
+    n_planted = len(
+        [1 for (d,) in _docs_wide(spark, SF_DIR).select("doc_id").collect()
+         if d % 3 == 0]
+    )
+    assert sum(r.n_docs for r in rows) == n_docs + n_planted
+    # every planted replica and its original are dup docs
+    assert sum(r.n_dup_docs for r in rows) == 2 * n_planted
+    # id-hash sharding scatters replicas: overall leak rate near 7/8
+    leaked = sum(r.n_leaked_docs for r in rows)
+    rate = leaked / (2 * n_planted)
+    assert 0.6 <= rate <= 1.0
+
+
+def test_quality_dup_lift_calibration(spark):
+    """Planted replica rates (1/3 short, 1/6 long) make the true lift 2;
+    the measured per-source lift must straddle it up to id-modulus
+    granularity."""
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_quality_dup_interaction,
+    )
+
+    rows = q_quality_dup_interaction(spark, SF_DIR).collect()
+    assert rows
+    tot = sum(r.n_docs for r in rows)
+    assert tot > 0
+    for r in rows:
+        if r.short_over_long_lift is not None and r.n_docs >= 50:
+            assert 1.0 <= r.short_over_long_lift <= 4.0
