@@ -121,6 +121,16 @@ DOCSCALE = [
     # matryoshka audit: sample-bounded exact sides like ann_recall_audit
     # — cost must move with the corpus side only
     "matryoshka_overlap_audit",
+    # r8: the banding sweep shares the recall audits' sample contract
+    # (candidates bounded by the 100-doc query side); the curriculum
+    # plan's histogram quantiles and the dataset card are single-pass
+    # corpus rollups, and the production-ANN recall audits inherit the
+    # 20-vector exact-side bound
+    "minhash_band_sweep",
+    "curriculum_stage_plan",
+    "dataset_card_by_source",
+    "ann_mt_recall_audit",
+    "ann_ivf_recall_audit",
 ]
 
 # Tick-side twin of the doc probe (round-4 judge directive): events is
@@ -156,6 +166,12 @@ TICKSCALE = [
     "event_study_car",
     "min_variance_pair_weights",
     "stl_decomposition_daily",
+    # r8 execution/signal-eval layer: all reduce ticks to the (symbol,
+    # day) dimension first — probe pins that cost moves with the scan
+    "ljung_box_returns",
+    "ic_decay_horizons",
+    "tail_dependence_pairs",
+    "portfolio_turnover_cost",
 ]
 
 
@@ -349,20 +365,21 @@ def _bench_history() -> list[tuple[int, dict]]:
     return rounds
 
 
-def _previous_bench() -> tuple[dict, dict, dict, dict, dict]:
-    """(steady, cold, min, plan_fp, calib) per-query data from the latest
-    BENCH_r{N}.json.
+def _previous_bench() -> tuple[dict, dict, dict, dict, dict, int]:
+    """(steady, cold, min, plan_fp, calib, plan_fp_version) per-query
+    data from the latest BENCH_r{N}.json.
 
     Rounds before r4 published cold-equivalent walls in `queries` only;
     for those the cold dict falls back to `queries` so the cold-to-cold
     continuity anchor never mixes methodologies silently.  `queries_min`,
     `plan_fp` and `calib` (machine-speed calibration samples) exist from
     r7 on — empty dicts before that (callers annotate the fallback
-    basis).
+    basis).  `plan_fp_version` defaults to 1 for artifacts that predate
+    the versioned normalizer.
     """
     rounds = _bench_history()
     if not rounds:
-        return {}, {}, {}, {}, {}
+        return {}, {}, {}, {}, {}, 1
     p = rounds[0][1]
     return (
         p["queries"],
@@ -370,6 +387,7 @@ def _previous_bench() -> tuple[dict, dict, dict, dict, dict]:
         p.get("queries_min") or {},
         p.get("plan_fp") or {},
         p.get("calib") or {},
+        int(p.get("plan_fp_version") or 1),
     )
 
 
@@ -416,7 +434,10 @@ def _calibrate(spark) -> dict[str, float]:
     return {"py_sha_ms": py_ms, "jvm_sum_ms": jvm_ms}
 
 
-def _plan_fingerprint(df) -> str | None:
+PLAN_FP_VERSION = 2
+
+
+def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
     """sha of the executed-plan string with run-varying ids normalized.
 
     Purpose (round-6 judge directive): a >20% timing flag on untouched
@@ -424,6 +445,14 @@ def _plan_fingerprint(df) -> str | None:
     fingerprint rules the latter in or out BY ARTIFACT.  Normalized:
     expression ids (#123), plan/stage/RDD ids, broadcast exchange ids —
     everything that differs between two executions of the SAME plan.
+
+    ``version``: v2 (current) rewrites only KNOWN analyzer-generated
+    name counters; v1 (r7) blanket-rewrote any ``_<digits>#`` suffix,
+    which could hash two genuinely different plans identically (ADVICE
+    r7).  v1 is kept so cross-round comparison against an artifact
+    recorded under v1 does not spuriously flag every query; the
+    artifact carries ``plan_fp_version`` so the next round picks the
+    right formula.
     """
     import hashlib
     import re
@@ -444,7 +473,12 @@ def _plan_fingerprint(df) -> str | None:
     # `_\d+#` also collapses genuinely distinct user columns that end in
     # _<digits> (d_1 vs d_2 lag columns), which could hash two DIFFERENT
     # plans identically and hide a real plan change.
-    s = re.sub(r"\b(lambda [A-Za-z]+|_common_expr|col|x)_\d+#", r"\1_n#", s)
+    if version >= 2:
+        s = re.sub(
+            r"\b(lambda [A-Za-z]+|_common_expr|col|x)_\d+#", r"\1_n#", s
+        )
+    else:
+        s = re.sub(r"_\d+#", "_n#", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=\d+\]", "[id=x]", s)
     s = re.sub(r"QueryStage \d+", "QueryStage x", s)
@@ -506,6 +540,7 @@ def main() -> None:
     spreads: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     plan_fps: dict[str, list[str | None]] = {}
+    plan_fps_v1: dict[str, str | None] = {}
     def _drop_dead_blocks() -> None:
         """Unpin defunct checkpoint/broadcast blocks between queries.
 
@@ -543,6 +578,9 @@ def main() -> None:
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
             fps.append(_plan_fingerprint(df))
+        # v1 fingerprint of the final plan, kept only for comparison
+        # against a previous round recorded under the v1 formula
+        plan_fps_v1[name] = _plan_fingerprint(df, version=1)
         samples[name] = runs
         plan_fps[name] = fps
         timings[name] = round(statistics.median(runs), 3)
@@ -630,7 +668,9 @@ def main() -> None:
     # min-over-min regression is a real plan/code cost, not noise.
     # Previous rounds (<= r6) published medians only; the first round
     # after this change falls back to prev median and says so.
-    prev, prev_cold, prev_min, prev_fp, prev_calib = _previous_bench()
+    prev, prev_cold, prev_min, prev_fp, prev_calib, prev_fp_ver = (
+        _previous_bench()
+    )
     # environment shift vs the previous round's recorded machine speed:
     # a >15% calibration move means the whole machine is slower/faster —
     # any same-direction flag below is environmental by artifact
@@ -685,12 +725,22 @@ def main() -> None:
     }
     # plan-fingerprint drift vs previous round: a flagged regression with
     # a CHANGED fingerprint is a plan regression; unchanged fingerprint +
-    # min-over-min stability = environmental
+    # min-over-min stability = environmental.  Compare under the FORMULA
+    # VERSION the previous artifact was recorded with (v1 artifacts get
+    # the v1 fingerprint of this round's plan) so a normalizer upgrade
+    # can never masquerade as a fleet-wide plan change.
+    def _cur_fp_for_compare(name: str):
+        if prev_fp_ver >= PLAN_FP_VERSION:
+            return plan_fps[name][-1]
+        return plan_fps_v1.get(name)
+
     plan_changed_vs_prev = [
         n
-        for n, fps in plan_fps.items()
-        if n in prev_fp and prev_fp[n] not in (None, "FLAP") and fps[-1] is not None
-        and fps[-1] != prev_fp[n]
+        for n in plan_fps
+        if n in prev_fp
+        and prev_fp[n] not in (None, "FLAP")
+        and _cur_fp_for_compare(n) is not None
+        and _cur_fp_for_compare(n) != prev_fp[n]
     ]
     shared = sorted(set(timings_cold) & set(prev_cold))
     shared_cold_total = round(sum(timings_cold[n] for n in shared), 3)
@@ -722,6 +772,8 @@ def main() -> None:
             n: ("FLAP" if n in plan_flaps else fps[-1])
             for n, fps in plan_fps.items()
         },
+        "plan_fp_version": PLAN_FP_VERSION,
+        "plan_fp_compare_version": min(prev_fp_ver, PLAN_FP_VERSION),
         "plan_flaps_within_round": plan_flaps,
         "plan_changed_vs_prev": plan_changed_vs_prev,
         "shared_cold_total": shared_cold_total,

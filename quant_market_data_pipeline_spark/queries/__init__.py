@@ -67,98 +67,97 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # remainder (sort by md5("r{N}:" + name), take 20) — the sample guards
 # against silent oracle drift that a touched-only window would miss.
 _PRIORITY = [
-    # --- round-7 window ---------------------------------------------
-    # (a) new this round: the mid-flight-kill / checkpoint-replay gates
-    # (bars chain + applyInPandasWithState ring-buffer state)
+    # --- round-8 window ---------------------------------------------
+    # (a) new this round: production-ANN recall audits (judge directive
+    #     #2 — the deployable indexes now ship measured recall)
+    "ann_mt_recall_audit",
+    "ann_ivf_recall_audit",
+    #     the execution/signal-evaluation research layer
+    "ljung_box_returns",
+    "kelly_sizing_daily",
+    "almgren_chriss_schedule",
+    "realized_skew_kurtosis",
+    "dow_seasonality_welch",
+    "ic_decay_horizons",
+    "tail_dependence_pairs",
+    "portfolio_turnover_cost",
+    #     and the training-data curation audits
+    "curriculum_stage_plan",
+    "dataset_card_by_source",
+    "shard_dedup_leakage",
+    "quality_dup_interaction",
+    "minhash_band_sweep",
+    #     late-r8: the Spark-4 Python DataSource seam, the runs-test /
+    #     tick-clock microstructure pair, and the vocabulary-statistics
+    #     trio (Heaps fit, bigram entropy rate, token Gini)
+    "pyds_synth_bars",
+    "runs_test_updown",
+    "tick_clock_bars",
+    "heaps_law_fit",
+    "bigram_entropy_rate",
+    "token_gini_concentration",
+    # (b) touched this round:
+    #     - attribution: collect_list window -> 32 bounded scalar counts
+    #       (judge directive #1)
+    "attribution_time_decay",
+    #     - multi-table LSH retuned 2x8 -> 4x4/cap64 after the recall
+    #       audit measured the old config below the single-table index
+    "ann_lsh_mt_topk",
+    #     - localCheckpoint -> materialize_corpus convention (directive
+    #       #6) across the dedup/similarity/index-build call sites
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_recall_audit",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "minhash_recall_audit",
+    "dedup_components",
+    "dedup_keeper_manifest",
+    "simhash60_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "jaccard_pairs_df_capped",
+    "kmeans_one_iteration",
+    "copurchase_triangles",
+    "pagerank_one_iter",
+    "hard_negative_mining",
+    "neardup_calibration",
+    "simhash32_neardup_pairs",
+    "simhash_neardup_pairs",
+    "source_overlap_matrix",
+    "tfidf_top_terms",
+    "pair_return_correlation",
+    "engle_granger_pair",
+    "lead_lag_xcorr",
+    "containment_neardup_pairs",
+    "shingle_novelty",
+    #     - time-sliced landing files now carry explicit strictly
+    #       increasing mtimes (ADVICE r7: coarse-mtime replay order)
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
     "stream_rsi_e2e",
-    #     plus the microstructure-toxicity / jump / signal-quality trio
-    "vpin_toxicity",
-    "bipower_jump_stats",
-    "signal_rank_ic",
-    #     and the research-layer trio: rescaled-range Hurst, event-study
-    #     CAR, time-decay multi-touch attribution (join-free window form)
-    "hurst_rs_exponent",
-    "event_study_car",
-    "attribution_time_decay",
-    #     and the exact-substring dedup report (Lee et al. 13-grams)
-    "dup_span_coverage",
-    #     plus the portfolio/seasonality/embedding-quality trio
-    "min_variance_pair_weights",
-    "stl_decomposition_daily",
-    "embedding_outlier_scores",
-    #     and the ANN index-quality measurement (recall@3 vs exact)
-    "ann_recall_audit",
-    #     plus the streaming VPIN state machine (tick-rule last price,
-    #     open-bucket fill and oi ring all carry across micro-batches)
     "stream_vpin_e2e",
-    #     and the MinHash-LSH recall audit (exact-Jaccard ground truth)
-    "minhash_recall_audit",
-    #     and the 2-state volatility-regime Markov diagnostic
-    "vol_regime_transitions",
-    #     plus the planted-PII redaction audit, the dedup ACTION stage,
-    #     cross-doc boilerplate detection and the variance-ratio test
-    "pii_scrub_audit",
-    "dedup_keeper_manifest",
-    "boilerplate_prefix_report",
-    "variance_ratio_test",
-    "yang_zhang_vol",
-    "triple_barrier_labels",
-    "vocab_coverage_curve",
-    #     plus roll_spread_estimator: covariance reworked onto exact
-    #     decimal sums after a round-to-6 boundary flake at sf0.001
-    "roll_spread_estimator",
-    #     and the late-r7 additions: leakage-free CV split assignment,
-    #     contrastive hard negatives, plus the quote-free high-low
-    #     spread estimator the earlier r7 window missed
-    "purged_kfold_splits",
-    "hard_negative_mining",
-    "corwin_schultz_spread",
-    #     and the training-prep trio: distributed power iteration,
-    #     HAC-robust significance, negative-sampling distribution
-    "pca_power_iteration",
-    "newey_west_tstat",
-    "unigram_negative_sampling_table",
-    "matryoshka_overlap_audit",
-    "fama_macbeth_momentum",
-    # (b) touched this round / targeted by the round-6 directives:
-    #     - ANN pair: exits `weak` via the dispersion-proof bench gate
-    #       (min-of-3 flags + plan fingerprints); re-confirm correctness
-    "ann_lsh_mt_topk",
-    "ann_ivf_topk",
-    #     - localCheckpoint -> materialize_dim (persist-with-lineage)
-    "ks_source_drift",
-    "js_divergence_sources",
-    "sampling_temperature_mix",
-    "var_historical_es",
-    #     - multimodal: sub-byte WAV guard + chunked frame sampling
-    "media_features",
-    "media_frame_sample",
-    "media_codec_roundtrip",
-    "binaryfile_media_scan_e2e",
-    # (c) seeded re-confirmation sample (md5("r7:" + name), first 20 of
+    # (c) seeded re-confirmation sample (md5("r8:" + name), first 20 of
     #     the untouched remainder)
-    "severity_classification",
+    "rollup_regional_revenue",
+    "psi_price_drift",
+    "temporal_features",
+    "bipower_jump_stats",
+    "flagship_pair_zscore",
+    "event_study_car",
+    "stream_attribution_e2e",
+    "asof_join_backward",
+    "small_qty_avg_revenue",
+    "atr_14",
+    "newey_west_tstat",
+    "bollinger_bands",
+    "range_join_view_purchase",
+    "freshness_staleness_audit",
+    "vocab_top_ngrams",
+    "bucketed_join_priority_revenue",
+    "return_autocorr",
     "stream_bars_5min_e2e",
-    "topk_latest",
-    "macd_12_26_9",
-    "bracket_revenue",
-    "repetition_profile",
-    "incremental_bar_refresh_e2e",
-    "above_avg_orders",
-    "doc_lm_surprise",
-    "window_rank_topn",
-    "bar_returns_daily_vol",
-    "variant_props_metrics",
-    "bpe_merge_candidates",
-    "market_share_q8",
-    "dedup_first_per_bucket",
-    "max_drawdown",
-    "pandas_udf_quality_score",
-    "shingle_novelty",
-    "tfidf_top_terms",
-    "salted_hot_key_stats",
+    "tick_rule_imbalance",
+    "vpin_toxicity",
 ]
 
 

@@ -566,3 +566,248 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in rows_out[1:]:
         out = out.unionByName(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit: vocabulary growth exponent from checkpointed counts.
+# ---------------------------------------------------------------------------
+_HEAPS_POINTS = 8
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+), first_seen AS (
+  SELECT w, min(doc_id) AS fs FROM tok GROUP BY w
+), nd AS (
+  SELECT max(doc_id) AS max_id FROM per_doc
+), cp AS (
+  SELECT j, CAST(ceil(max_id * j / {_HEAPS_POINTS}.0) AS BIGINT) AS cutoff
+  FROM nd CROSS JOIN (SELECT unnest(generate_series(1, {_HEAPS_POINTS}))
+                      AS j)
+), pts AS (
+  SELECT j,
+         (SELECT sum(n_tok) FROM per_doc WHERE doc_id <= cutoff) AS n_tokens,
+         (SELECT count(*) FROM first_seen WHERE fs <= cutoff) AS vocab
+  FROM cp
+), lg AS (
+  SELECT ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+  FROM pts WHERE n_tokens > 0 AND vocab > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       round((count(*) * sum(x * y) - sum(x) * sum(y)) /
+             NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0), 4)
+         AS heaps_beta,
+       round(exp((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y)) /
+                  NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0))
+                  * sum(x)) / count(*)), 4) AS heaps_k
+FROM lg
+""",
+    doc="Heaps'-law fit V = K * N^beta of vocabulary growth: token "
+    "first-seen positions (min doc_id per distinct token — ONE "
+    "corpus aggregation) turn cumulative vocabulary at "
+    f"{_HEAPS_POINTS} doc-id checkpoints into a log-log OLS slope.  "
+    "beta ~ 0.4-0.6 is natural text; beta near 1 screams synthetic or "
+    "id-like tokens (vocab grows linearly -> tokenizer training will "
+    "not converge), beta near 0 means heavy duplication.  The "
+    "checkpoint counts come from broadcast threshold joins against "
+    "dimension-sized (first_seen-histogram) frames, never a re-scan "
+    "per checkpoint.",
+)
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(word_tokens(F.lower("text"))).alias("w"),
+    )
+    tok = materialize_corpus(tok)  # per-doc counts + first-seen both scan
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("fs"))
+    max_id = per_doc.agg(F.max("doc_id").alias("max_id"))
+    spark_ = d.sparkSession
+    grid = spark_.range(1, _HEAPS_POINTS + 1).select(
+        F.col("id").alias("j")
+    )
+    cp = grid.crossJoin(F.broadcast(max_id)).select(
+        "j",
+        F.ceil(F.col("max_id") * F.col("j") / float(_HEAPS_POINTS))
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    # threshold joins: every (doc, checkpoint) / (token, checkpoint)
+    # pair with key <= cutoff, then one agg per checkpoint — the grid is
+    # 8 rows, broadcast, so this is a fan-out of 8, not a re-scan
+    toks_at = (
+        per_doc.crossJoin(F.broadcast(cp))
+        .filter(F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("j")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    vocab_at = (
+        first_seen.crossJoin(F.broadcast(cp))
+        .filter(F.col("fs") <= F.col("cutoff"))
+        .groupBy("j")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    lg = (
+        toks_at.join(vocab_at, "j")
+        .filter((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            F.log(F.col("n_tokens").cast("double")).alias("x"),
+            F.log(F.col("vocab").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        F.nullif(
+            n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"),
+            F.lit(0.0),
+        )
+    )
+    intercept = (F.sum("y") - slope * F.sum("x")) / n
+    return lg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.exp(intercept), 4).alias("heaps_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy rate per source.
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_entropy_rate",
+    oracle="""
+WITH toks AS (
+  SELECT source, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
+), big AS (
+  SELECT source, t.p['w1'] AS w1, t.p['w2'] AS w2 FROM (
+    SELECT source,
+           unnest([struct_pack(w1 := tokens[i], w2 := tokens[i+1])
+                   for i in generate_series(1, len(tokens) - 1)]) AS p
+    FROM toks) t
+), c12 AS (
+  SELECT source, w1, w2, count(*) AS c FROM big GROUP BY 1, 2, 3
+), c1 AS (
+  SELECT source, w1, CAST(sum(c) AS BIGINT) AS cx FROM c12 GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c12 GROUP BY 1
+)
+SELECT c12.source,
+       CAST(max(n) AS BIGINT) AS n_bigrams,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / cx)), 6)
+         AS cond_entropy_nats,
+       round(exp(-sum((CAST(c AS DOUBLE) / n)
+                      * ln(CAST(c AS DOUBLE) / cx))), 4) AS perplexity
+FROM c12
+JOIN c1 ON c1.source = c12.source AND c1.w1 = c12.w1
+JOIN tot ON tot.source = c12.source
+GROUP BY c12.source
+""",
+    doc="Bigram conditional entropy rate H(next|current) per source (and "
+    "its exp, the bigram perplexity): the cheapest corpus-level "
+    "predictability proxy — boilerplate-heavy or templated sources "
+    "score LOW (next token is predictable), natural prose scores high; "
+    "a sudden drop after a pipeline change means duplication crept in.  "
+    "One bigram aggregation; the context marginal is a rollup OF THE "
+    "BIGRAM COUNTS (no second corpus pass), joined back on the "
+    "dimension-sized (source, w1) key.",
+)
+def q_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("source", word_tokens(F.lower("text")).alias("tokens"))
+    n_tok = F.size("tokens")
+    pairs = (
+        toks.filter(n_tok >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tokens", 1, n_tok - 1).alias("w1"),
+                    F.slice("tokens", 2, n_tok - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = pairs.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    c12 = materialize_corpus(c12)  # marginal rollup + entropy both scan
+    c1 = c12.groupBy("source", "w1").agg(
+        F.sum("c").cast("bigint").alias("cx")
+    )
+    tot = c12.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    j = c12.join(c1, ["source", "w1"]).join(F.broadcast(tot), "source")
+    h_term = (F.col("c").cast("double") / F.col("n")) * F.log(
+        F.col("c").cast("double") / F.col("cx")
+    )
+    return j.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_bigrams"),
+        F.round(-F.sum(h_term), 6).alias("cond_entropy_nats"),
+        F.round(F.exp(-F.sum(h_term)), 4).alias("perplexity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of the token-frequency distribution per source.
+# ---------------------------------------------------------------------------
+@register(
+    "token_gini_concentration",
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), freq AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c, w) AS i
+  FROM freq
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round((2.0 * sum(i * c)) / (count(*) * sum(c))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY source
+""",
+    doc="Gini coefficient of the per-source token-frequency distribution "
+    "(exact rank formula G = 2*sum(i*c_i)/(n*sum c) - (n+1)/n over the "
+    "ascending-frequency ranking, token tiebreak for determinism).  "
+    "The single-number companion to zipf_slope_by_source: high Gini = "
+    "a few tokens dominate (templated/boilerplate text), low Gini = "
+    "flat vocabulary (id-like or shuffled junk).  Vocabulary is "
+    "dimension-sized after the frequency rollup, so the ranking window "
+    "runs on the reduction, not the corpus.",
+)
+def q_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", F.explode(word_tokens(F.lower("text"))).alias("w")
+    )
+    freq = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wr = Window.partitionBy("source").orderBy("c", "w")
+    ranked = freq.select(
+        "source", "c", F.row_number().over(wr).alias("i")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("c"))) / (n * F.sum("c"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -689,3 +689,142 @@ def q_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(net, 6).alias("net_ret"),
         F.round(F.sum(net).over(wcum), 6).alias("cum_net_ret"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on daily return signs.
+# ---------------------------------------------------------------------------
+@register(
+    "runs_test_updown",
+    oracle=f"""
+WITH {_RETS_CTE},
+signed AS (
+  SELECT symbol, trading_day,
+         CASE WHEN r > 0 THEN 1 ELSE 0 END AS s,
+         lag(CASE WHEN r > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY symbol ORDER BY trading_day) AS s_prev
+  FROM rr
+), agg AS (
+  SELECT symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(s) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(s) AS BIGINT) AS n_neg,
+         CAST(1 + sum(CASE WHEN s_prev IS NOT NULL AND s <> s_prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+  FROM signed GROUP BY symbol
+)
+SELECT symbol, n AS n_days, n_pos, n_neg, n_runs,
+       round(1.0 + 2.0 * n_pos * n_neg / n, 4) AS expected_runs,
+       round((n_runs - (1.0 + 2.0 * n_pos * n_neg / n)) /
+             NULLIF(sqrt((1.0 + 2.0 * n_pos * n_neg / n - 1.0)
+                         * (1.0 + 2.0 * n_pos * n_neg / n - 2.0)
+                         / (n - 1.0)), 0), 4) AS runs_z
+FROM agg
+""",
+    doc="Wald-Wolfowitz runs test on daily return signs per symbol: "
+    "observed up/down runs vs the exchangeability expectation mu = "
+    "1 + 2*n_pos*n_neg/n, z = (R - mu)/sqrt((mu-1)(mu-2)/(n-1)).  "
+    "z << 0 means fewer, longer runs (trending); z >> 0 means rapid "
+    "alternation (mean reversion) — the nonparametric companion to "
+    "ljung_box_returns that no distributional assumption can bias.  "
+    "One symbol-keyed window (the sign-change lag) + one aggregation.",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rr = _daily_rets(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("trading_day")
+    s = F.when(F.col("r") > 0, 1).otherwise(0)
+    signed = rr.select(
+        "symbol", "trading_day", s.alias("s"), F.lag(s).over(w).alias("s_prev")
+    )
+    agg = signed.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("bigint").alias("n_neg"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("s_prev").isNotNull()
+                    & (F.col("s") != F.col("s_prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    mu = 1.0 + 2.0 * F.col("n_pos") * F.col("n_neg") / n
+    sigma = F.sqrt((mu - 1.0) * (mu - 2.0) / (n - 1.0))
+    return agg.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        "n_pos",
+        "n_neg",
+        "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round(
+            (F.col("n_runs") - mu) / F.nullif(sigma, F.lit(0.0)), 4
+        ).alias("runs_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tick-clock bars (event-time bars: every K ticks, de Prado ch.2).
+# ---------------------------------------------------------------------------
+_TICK_BAR_K = 50
+
+
+@register(
+    "tick_clock_bars",
+    oracle=f"""
+WITH t0 AS (
+  SELECT event_type AS symbol, ts, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value > 0
+), t AS (
+  SELECT *, (rn - 1) // {_TICK_BAR_K} AS bar_idx FROM t0
+)
+SELECT symbol, CAST(bar_idx AS INTEGER) AS bar_idx,
+       CAST(count(*) AS BIGINT) AS n_ticks,
+       arg_min(value, rn) AS open,
+       max(value) AS high, min(value) AS low,
+       arg_max(value, rn) AS close,
+       round(date_diff('second', min(ts), max(ts)) / 60.0, 4)
+         AS span_minutes
+FROM t GROUP BY symbol, bar_idx
+""",
+    doc="Tick-clock bars: a bar every {K} ticks instead of every N "
+    "minutes (the information-driven sampling of Lopez de Prado ch.2 — "
+    "bar span SHRINKS when activity spikes, so each bar carries "
+    "comparable information).  span_minutes is the direct activity "
+    "read-out.  Deterministic: tick order is (ts, event_id) on both "
+    "engines, open/close are argmin/argmax over that composite key.  "
+    "One symbol-keyed window (the running tick counter) + one hash "
+    "agg — the same two exchanges as the time-clock bars."
+    .replace("{K}", str(_TICK_BAR_K)),
+)
+def q_tick_clock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.queries.risk import _ticks
+
+    t = _ticks(spark, sf_dir).select(
+        F.col("event_type").alias("symbol"), "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    t = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "bar_idx",
+        ((F.col("rn") - 1) / _TICK_BAR_K).cast("integer"),
+    )
+    return t.groupBy("symbol", "bar_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.min_by("value", "rn").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "rn").alias("close"),
+        F.round(
+            (F.unix_seconds(F.max("ts")) - F.unix_seconds(F.min("ts")))
+            / 60.0,
+            4,
+        ).alias("span_minutes"),
+    )

@@ -1085,3 +1085,65 @@ def q_purged_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.crossJoin(F.broadcast(bounds)).select(
         "trading_day", "eval_fold", role.alias("role")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark-4 Python DataSource surface (format("synthbars"), sources/pyds.py).
+# ---------------------------------------------------------------------------
+_PYDS_ROWS = 2000
+_PYDS_2_60 = "1152921504606846976.0"  # 2^60, the md5-unit denominator
+
+
+@register(
+    "pyds_synth_bars",
+    oracle=f"""
+WITH ids AS (
+  SELECT unnest(generate_series(0, {_PYDS_ROWS - 1})) AS i
+), bars AS (
+  SELECT ['click','error','purchase','signup','view'][(i % 5) + 1]
+           AS symbol,
+         100.0 + 50.0 * (('0x' || substr(md5('px|' || i::VARCHAR), 1, 15))
+                         ::BIGINT / {_PYDS_2_60}) AS close,
+         1 + CAST(floor((('0x' || substr(md5('vol|' || i::VARCHAR), 1, 15))
+                  ::BIGINT / {_PYDS_2_60}) * 1000.0) AS BIGINT) AS volume
+  FROM ids
+)
+SELECT symbol, CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       round(avg(close), 6) AS avg_close,
+       round(min(close), 6) AS min_close,
+       round(max(close), 6) AS max_close
+FROM bars GROUP BY symbol
+""",
+    doc="Spark-4 Python DataSource surface: format('synthbars') is a "
+    "custom pyspark.sql.datasource.DataSource (sources/pyds.py) whose "
+    "batch reader slices the tick-id keyspace into InputPartitions "
+    "(range parallelism, no driver bottleneck) and generates every "
+    "field deterministically from the seeded-md5 family — so the "
+    "DuckDB oracle re-derives the IDENTICAL rows from generate_series "
+    "+ md5 arithmetic and the whole plugin (partitioning, Arrow "
+    "transfer, schema) is value-gated end-to-end, the same discipline "
+    "as the JDBC/landing seams.  The source also ships a "
+    "SimpleDataSourceStreamReader whose offsets are tick-id ranges "
+    "(exactly-once replay is a pure function of the offsets; "
+    "tests/test_pyds.py drives it through a real streaming query).",
+)
+def q_pyds_synth_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.sources.pyds import (
+        register_synthbars,
+    )
+
+    register_synthbars(spark)
+    bars = (
+        spark.read.format("synthbars")
+        .option("rows", str(_PYDS_ROWS))
+        .option("rowsPerPartition", "250")
+        .load()
+    )
+    return bars.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum("volume").cast("bigint").alias("total_volume"),
+        F.round(F.avg("close"), 6).alias("avg_close"),
+        F.round(F.min("close"), 6).alias("min_close"),
+        F.round(F.max("close"), 6).alias("max_close"),
+    )

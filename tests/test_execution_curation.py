@@ -294,3 +294,144 @@ def test_quality_dup_lift_calibration(spark):
     for r in rows:
         if r.short_over_long_lift is not None and r.n_docs >= 50:
             assert 1.0 <= r.short_over_long_lift <= 4.0
+
+
+def test_runs_test_alternating_and_trending_closed_form(spark, tmp_path):
+    """Perfectly alternating returns -> R = n (every step is a sign
+    change); the z-statistic follows the closed form."""
+    n_prices = 31
+    prices = [math.exp(i % 2) for i in range(n_prices)]
+    sf = _write_events(spark, tmp_path, _one_tick_per_day(prices))
+
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_runs_test,
+    )
+
+    row = q_runs_test(spark, sf).collect()[0]
+    n = n_prices - 1
+    n_pos = n // 2
+    n_neg = n - n_pos
+    mu = 1 + 2 * n_pos * n_neg / n
+    sd = math.sqrt((mu - 1) * (mu - 2) / (n - 1))
+    assert row.n_runs == n  # alternating: every step changes sign
+    assert row.expected_runs == round(mu, 4)
+    assert abs(row.runs_z - round((n - mu) / sd, 4)) <= 1e-4
+    assert row.runs_z > 3  # far more runs than exchangeable
+
+
+def test_tick_clock_bars_invariants(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_tick_clock_bars,
+    )
+
+    rows = q_tick_clock_bars(spark, SF_DIR).collect()
+    assert rows
+    by_sym: dict[str, list] = {}
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.span_minutes >= 0
+        by_sym.setdefault(r.symbol, []).append(r)
+    for sym, rs in by_sym.items():
+        rs.sort(key=lambda r: r.bar_idx)
+        # contiguous bar indexes; every bar but the last holds exactly K
+        assert [r.bar_idx for r in rs] == list(range(len(rs)))
+        assert all(r.n_ticks == 50 for r in rs[:-1])
+        assert 1 <= rs[-1].n_ticks <= 50
+
+
+def test_token_gini_closed_form_two_token_corpus(spark, tmp_path):
+    """One source, vocabulary {a: 9, b: 1}: ranked ascending (b=1 at
+    rank 1, a=9 at rank 2), G = 2*(1*1+2*9)/(2*10) - 3/2 = 0.4."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["a a a a a a a a a b"],
+            "lang": ["en"],
+            "source": ["s1"],
+            "n_chars": [19],
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_token_gini,
+    )
+
+    row = q_token_gini(spark, str(tmp_path)).collect()[0]
+    assert row.vocab_size == 2
+    assert row.n_tokens == 10
+    assert row.gini == 0.4
+
+
+def test_bigram_entropy_zero_for_deterministic_chain(spark, tmp_path):
+    """'a b a b ...' makes every context deterministic (a->b, b->a), so
+    the conditional entropy is exactly 0 and perplexity 1."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b " * 20, "a b " * 5],
+            "lang": ["en", "en"],
+            "source": ["s1", "s1"],
+            "n_chars": [80, 20],
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_bigram_entropy_rate,
+    )
+
+    row = q_bigram_entropy_rate(spark, str(tmp_path)).collect()[0]
+    assert row.cond_entropy_nats == 0.0
+    assert row.perplexity == 1.0
+
+
+def test_heaps_fit_detects_saturated_fixture_vocab(spark):
+    """The synthetic corpus draws from a fixed 31-word vocabulary, so
+    vocabulary saturates by the first checkpoint: beta == 0 exactly and
+    K == the full vocab — precisely the 'synthetic/duplicated corpus'
+    signal the audit exists to raise."""
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_heaps_law_fit,
+    )
+
+    row = q_heaps_law_fit(spark, SF_DIR).collect()[0]
+    assert row.n_points == 8
+    assert row.heaps_beta == 0.0
+    assert row.heaps_k == 31.0
+
+
+def test_heaps_fit_near_one_for_linear_vocab_growth(spark, tmp_path):
+    """Each doc introduces 2 brand-new tokens plus fixed filler: vocab
+    grows linearly in tokens, so the fitted exponent approaches 1."""
+    import pandas as pd
+
+    texts = [
+        f"new{2 * i} new{2 * i + 1} " + "the of and " * 2
+        for i in range(64)
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(64),
+            "text": texts,
+            "lang": ["en"] * 64,
+            "source": ["s1"] * 64,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from quant_market_data_pipeline_spark.queries.curation import (
+        q_heaps_law_fit,
+    )
+
+    row = q_heaps_law_fit(spark, str(tmp_path)).collect()[0]
+    assert 0.8 <= row.heaps_beta <= 1.1

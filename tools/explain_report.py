@@ -142,6 +142,19 @@ QUERIES = [
     "stream_crash_recovery_e2e",
     "stream_zscore_crash_e2e",
     "stream_rsi_e2e",
+    # round 8: the reworked bounded-state attribution window, the
+    # production-ANN recall audits + retuned multi-table index, and the
+    # headline execution/curation additions
+    "attribution_time_decay",
+    "ann_mt_recall_audit",
+    "ann_ivf_recall_audit",
+    "minhash_band_sweep",
+    "curriculum_stage_plan",
+    "shard_dedup_leakage",
+    "almgren_chriss_schedule",
+    "tail_dependence_pairs",
+    "portfolio_turnover_cost",
+    "ljung_box_returns",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
