@@ -155,8 +155,26 @@ def materialize_dim(df, partitions: int = 1):
         evicted = []
         while len(_DIM_CACHE) > _DIM_CACHE_MAX:
             evicted.append(_DIM_CACHE.pop(0))
+        survivors = list(_DIM_CACHE)
     for frame in evicted:
-        frame.unpersist(blocking=False)
+        # Spark's CacheManager is keyed by the ANALYZED LOGICAL PLAN,
+        # not by DataFrame handle: unpersisting an evicted handle whose
+        # plan sameResult-matches a LIVE registry entry would uncache
+        # the live frame too (observed: a query re-built 16 queries
+        # after its first build lost its InMemoryRelation the moment
+        # its own fresh persist evicted the stale first-build handle).
+        # Skip the unpersist when any survivor shares the plan — the
+        # cache entry is shared, and the survivor still owns it.
+        try:
+            plan = frame._jdf.queryExecution().analyzed()
+            live = any(
+                plan.sameResult(o._jdf.queryExecution().analyzed())
+                for o in survivors
+            )
+        except Exception:
+            live = False
+        if not live:
+            frame.unpersist(blocking=False)
     return out
 
 

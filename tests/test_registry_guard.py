@@ -104,6 +104,39 @@ def test_materialize_corpus_uses_reliable_checkpoint_when_configured(
         assert sc.getCheckpointDir() is None
 
 
+def test_dim_cache_eviction_never_uncaches_live_identical_plan(spark):
+    """Spark's CacheManager is keyed by the analyzed logical plan, so
+    unpersisting an EVICTED handle whose plan equals a LIVE frame's plan
+    would uncache the live frame (the r8 suite flake: a query rebuilt 16
+    materialize_dim calls after its first build lost its
+    InMemoryRelation).  Eviction must skip plan-shared handles."""
+    from quant_market_data_pipeline_spark import session as S
+
+    spark.catalog.clearCache()
+    old_cache, old_max = S._DIM_CACHE[:], S._DIM_CACHE_MAX
+    S._DIM_CACHE.clear()
+    S._DIM_CACHE_MAX = 2
+    try:
+        def frame(k):
+            return spark.range(50).selectExpr(f"id + {k} AS v")
+
+        first = S.materialize_dim(frame(7))  # the stale handle
+        S.materialize_dim(frame(1))
+        # identical plan to `first` — shares its cache entry
+        again = S.materialize_dim(frame(7))
+        # cache now over capacity: `first` (same plan as `again`) evicts
+        S.materialize_dim(frame(2))
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert again.count() == 50
+    finally:
+        for f in S._DIM_CACHE:
+            f.unpersist(blocking=False)
+        S._DIM_CACHE.clear()
+        S._DIM_CACHE.extend(old_cache)
+        S._DIM_CACHE_MAX = old_max
+
+
 def test_plan_fingerprint_distinguishes_suffixed_columns():
     """ADVICE r7: the fingerprint normalizer must NOT collapse genuinely
     distinct user columns that end in _<digits> (d_1 vs d_2)."""
