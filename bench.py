@@ -172,6 +172,10 @@ TICKSCALE = [
     "ic_decay_horizons",
     "tail_dependence_pairs",
     "portfolio_turnover_cost",
+    # the Arrow-boundary recursions: groups are calendar-bounded, so
+    # x16 tick volume must move only the rollup, never the recursion
+    "kalman_hedge_beta",
+    "ewma_vol_riskmetrics",
 ]
 
 

@@ -96,6 +96,10 @@ _PRIORITY = [
     "heaps_law_fit",
     "bigram_entropy_rate",
     "token_gini_concentration",
+    #     and the sequential-recursion pair at the Arrow boundary
+    #     (RECURSIVE-CTE oracle twins)
+    "kalman_hedge_beta",
+    "ewma_vol_riskmetrics",
     # (b) touched this round:
     #     - attribution: collect_list window -> 32 bounded scalar counts
     #       (judge directive #1)

@@ -828,3 +828,136 @@ def q_tick_clock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("span_minutes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential recursions at the Arrow boundary (RECURSIVE-CTE oracles).
+# ---------------------------------------------------------------------------
+_KF_Q = 1e-5
+_KF_R = 1e-3
+_KF_Y_SYM = "click"
+_KF_X_SYM = "view"
+_EWMA_LAM = 0.94
+# spelled as ONE Python literal so both engines parse the identical
+# double (1 - 0.94 is NOT 0.06 in IEEE754)
+_EWMA_ONE_MINUS_LAM = 1.0 - _EWMA_LAM
+
+_KF_GAIN_SQL = (
+    f"(pr.p + {_KF_Q!r}) * s.x / "
+    f"((pr.p + {_KF_Q!r}) * s.x * s.x + {_KF_R!r})"
+)
+_KF_GAIN_REC_SQL = (
+    f"(r.p + {_KF_Q!r}) * s.x / "
+    f"((r.p + {_KF_Q!r}) * s.x * s.x + {_KF_R!r})"
+)
+
+
+@register(
+    "kalman_hedge_beta",
+    oracle=f"""
+WITH RECURSIVE {_DAILY_CTE},
+xy AS (
+  SELECT a.trading_day, ln(a.close) AS y, ln(b.close) AS x
+  FROM daily a JOIN daily b ON a.trading_day = b.trading_day
+  WHERE a.symbol = '{_KF_Y_SYM}' AND b.symbol = '{_KF_X_SYM}'
+), seq AS (
+  SELECT trading_day, x, y,
+         row_number() OVER (ORDER BY trading_day) AS rn
+  FROM xy
+), rec AS (
+  SELECT 0 AS rn, CAST(0.0 AS DOUBLE) AS beta, CAST(1.0 AS DOUBLE) AS p
+  UNION ALL
+  SELECT s.rn,
+         r.beta + ({_KF_GAIN_REC_SQL}) * (s.y - r.beta * s.x),
+         (1.0 - ({_KF_GAIN_REC_SQL}) * s.x) * (r.p + {_KF_Q!r})
+  FROM rec r JOIN seq s ON s.rn = r.rn + 1
+)
+SELECT '{_KF_Y_SYM}/{_KF_X_SYM}' AS pair_name, s.trading_day,
+       round(s.y - pr.beta * s.x, 6) AS innovation,
+       round({_KF_GAIN_SQL}, 6) AS gain,
+       round(cu.beta, 6) AS beta
+FROM seq s
+JOIN rec cu ON cu.rn = s.rn
+JOIN rec pr ON pr.rn = s.rn - 1
+""",
+    doc="Time-varying hedge ratio via a scalar-state Kalman filter over "
+    f"the {_KF_Y_SYM}/{_KF_X_SYM} daily pair: beta random-walks (state "
+    "noise Q=1e-5), y = beta*x + eps (obs noise R=1e-3); gain and "
+    "covariance carry the genuine recursion (the gain depends on the "
+    "previous OUTPUT, so no window frame can express it).  The adaptive "
+    "successor to the flagship's fixed log-spread: innovation is the "
+    "dynamically-hedged residual a pairs desk actually trades.  Runs at "
+    "the Arrow boundary (operators/sequential.py: applyInPandas over "
+    "the DIMENSION-sized aligned-days frame — bounded by calendar, not "
+    "volume); the oracle is a DuckDB RECURSIVE CTE performing the "
+    "identical IEEE op sequence, so 6dp equality holds with ~10 digits "
+    "of margin.",
+)
+def q_kalman_hedge_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.operators.sequential import (
+        kalman_hedge,
+    )
+
+    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    ya = d.filter(F.col("symbol") == _KF_Y_SYM).select(
+        "trading_day", F.log("close").alias("y")
+    )
+    xb = d.filter(F.col("symbol") == _KF_X_SYM).select(
+        "trading_day", F.log("close").alias("x")
+    )
+    aligned = ya.join(xb, "trading_day").select(
+        F.lit(f"{_KF_Y_SYM}/{_KF_X_SYM}").alias("pair_name"),
+        "trading_day",
+        "x",
+        "y",
+    )
+    out = kalman_hedge(aligned, q=_KF_Q, r=_KF_R)
+    return out.select(
+        "pair_name",
+        "trading_day",
+        F.round("innovation", 6).alias("innovation"),
+        F.round("gain", 6).alias("gain"),
+        F.round("beta", 6).alias("beta"),
+    )
+
+
+@register(
+    "ewma_vol_riskmetrics",
+    oracle=f"""
+WITH RECURSIVE {_RETS_CTE},
+seq AS (
+  SELECT symbol, trading_day, r,
+         row_number() OVER (PARTITION BY symbol ORDER BY trading_day) AS rn
+  FROM rr
+), rec AS (
+  SELECT symbol, 1 AS rn, r * r AS v FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.rn + 1,
+         {_EWMA_LAM!r} * x.v + {_EWMA_ONE_MINUS_LAM!r} * s.r * s.r
+  FROM rec x JOIN seq s ON s.symbol = x.symbol AND s.rn = x.rn + 1
+)
+SELECT s.symbol, s.trading_day, round(s.r, 6) AS r,
+       round(sqrt(rec.v), 6) AS ewma_vol
+FROM seq s JOIN rec ON rec.symbol = s.symbol AND rec.rn = s.rn
+""",
+    doc="RiskMetrics infinite-memory EWMA volatility (lambda = 0.94): "
+    "v_t = lam*v_(t-1) + (1-lam)*r_t^2, seeded at r_1^2 — the EXACT "
+    "recursion, complementing ewma_bounded's window-expressible K-lag "
+    "truncation.  (1-lam) is spelled as ONE Python literal on both "
+    "engines (1 - 0.94 != 0.06 in IEEE754).  Arrow-boundary recursion "
+    "over the per-symbol daily dimension; DuckDB RECURSIVE CTE twin "
+    "with the identical op order.",
+)
+def q_ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.operators.sequential import (
+        ewma_variance,
+    )
+
+    rr = _daily_rets(spark, sf_dir).select("symbol", "trading_day", "r")
+    out = ewma_variance(rr, lam=_EWMA_LAM)
+    return out.select(
+        "symbol",
+        "trading_day",
+        F.round("r", 6).alias("r"),
+        F.round(F.sqrt("ewma_var"), 6).alias("ewma_vol"),
+    )

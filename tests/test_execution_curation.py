@@ -435,3 +435,77 @@ def test_heaps_fit_near_one_for_linear_vocab_growth(spark, tmp_path):
 
     row = q_heaps_law_fit(spark, str(tmp_path)).collect()[0]
     assert 0.8 <= row.heaps_beta <= 1.1
+
+
+def test_kalman_converges_to_true_beta_constant_pair(spark, tmp_path):
+    """y-symbol price e^0.7, x-symbol price e (so x=1, y=0.7 in logs):
+    with beta0=0 the filter must converge to beta=0.7, innovations must
+    shrink to ~0, and the gain sequence must be strictly decreasing
+    (covariance contracts on a constant regressor)."""
+    rows = []
+    base = dt.datetime(2024, 1, 1, 12)
+    for i in range(40):
+        rows.append((2 * i, base + dt.timedelta(days=i), 1, "click",
+                     math.exp(0.7), None))
+        rows.append((2 * i + 1, base + dt.timedelta(days=i), 1, "view",
+                     math.e, None))
+    sf = _write_events(spark, tmp_path, rows)
+
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_kalman_hedge_beta,
+    )
+
+    out = sorted(
+        q_kalman_hedge_beta(spark, sf).collect(),
+        key=lambda r: r.trading_day,
+    )
+    assert len(out) == 40
+    assert abs(out[0].innovation - 0.7) < 1e-6  # first innovation = y
+    assert abs(out[-1].beta - 0.7) < 1e-3
+    assert abs(out[-1].innovation) < 1e-3
+    gains = [r.gain for r in out]
+    assert all(a > b for a, b in zip(gains, gains[1:]))
+
+
+def test_ewma_riskmetrics_fixed_point_constant_returns(spark, tmp_path):
+    """Prices doubling daily: r = ln2 every day, so r^2 is the EWMA
+    fixed point and ewma_vol == ln2 on every day (up to the 1-ulp
+    (lam + (1-lam)) != 1 drift, far under 6dp)."""
+    prices = [2.0**i for i in range(31)]
+    sf = _write_events(spark, tmp_path, _one_tick_per_day(prices))
+
+    from quant_market_data_pipeline_spark.queries.execution import (
+        q_ewma_vol_riskmetrics,
+    )
+
+    rows = q_ewma_vol_riskmetrics(spark, sf).collect()
+    assert len(rows) == 30
+    ln2 = round(math.log(2.0), 6)
+    for r in rows:
+        assert abs(r.ewma_vol - ln2) <= 1e-6
+
+
+def test_ewma_riskmetrics_matches_sequential_replication(spark):
+    from quant_market_data_pipeline_spark.queries.execution import (
+        _daily_rets,
+        q_ewma_vol_riskmetrics,
+    )
+
+    got = {
+        (r.symbol, r.trading_day): r.ewma_vol
+        for r in q_ewma_vol_riskmetrics(spark, SF_DIR).collect()
+    }
+    series: dict[str, list] = {}
+    for r in sorted(
+        _daily_rets(spark, SF_DIR).collect(),
+        key=lambda r: (r.symbol, r.trading_day),
+    ):
+        series.setdefault(r.symbol, []).append((r.trading_day, r.r))
+    n_checked = 0
+    for sym, days in series.items():
+        v = None
+        for day, r in days:
+            v = r * r if v is None else 0.94 * v + (1.0 - 0.94) * r * r
+            assert abs(got[(sym, day)] - round(math.sqrt(v), 6)) <= 1e-6
+            n_checked += 1
+    assert n_checked == len(got)

@@ -155,6 +155,11 @@ QUERIES = [
     "tail_dependence_pairs",
     "portfolio_turnover_cost",
     "ljung_box_returns",
+    "kalman_hedge_beta",
+    "ewma_vol_riskmetrics",
+    "tick_clock_bars",
+    "heaps_law_fit",
+    "pyds_synth_bars",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
