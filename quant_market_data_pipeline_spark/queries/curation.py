@@ -105,10 +105,15 @@ GROUP BY stage
 )
 def q_curriculum_stage_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    scored = d.select(
-        "doc_id",
-        F.size(word_tokens("text")).alias("n_tokens"),
-        F.round(_score_col(), 3).alias("b"),
+    # scored feeds the bin histogram AND the stage join-back — the
+    # corpus-frame convention makes it ONE corpus scan (text is already
+    # dropped, so the checkpoint is 3 scalars/doc)
+    scored = materialize_corpus(
+        d.select(
+            "doc_id",
+            F.size(word_tokens("text")).alias("n_tokens"),
+            F.round(_score_col(), 3).alias("b"),
+        )
     )
     bins = scored.groupBy("b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -184,12 +189,15 @@ FROM agg a JOIN top_lang t ON a.source = t.source
 )
 def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    base = d.select(
-        "source",
-        "lang",
-        F.length("text").alias("n_chars"),
-        F.size(word_tokens("text")).alias("n_tokens"),
-        F.md5("text").alias("fp"),
+    # base feeds the card aggregate AND the language rollup: one scan
+    base = materialize_corpus(
+        d.select(
+            "source",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.size(word_tokens("text")).alias("n_tokens"),
+            F.md5("text").alias("fp"),
+        )
     )
     agg = base.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -397,10 +405,13 @@ def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     corpus = d.unionByName(replicas)
-    base = corpus.select(
-        "source",
-        F.md5("text").alias("fp"),
-        F.when(F.length("text") >= 80, 1).otherwise(0).alias("len_ok"),
+    # base feeds the group build AND the membership join: one scan
+    base = materialize_corpus(
+        corpus.select(
+            "source",
+            F.md5("text").alias("fp"),
+            F.when(F.length("text") >= 80, 1).otherwise(0).alias("len_ok"),
+        )
     )
     groups = base.groupBy("fp").agg(F.count(F.lit(1)).alias("gs"))
     flagged = base.join(groups, "fp").select(

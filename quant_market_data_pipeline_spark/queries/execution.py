@@ -88,7 +88,9 @@ FROM s
     "exchange.",
 )
 def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rr = _daily_rets(spark, sf_dir)
+    # rr feeds the mean aggregate AND the centered series: materialize
+    # the dimension frame so the tick fact is scanned ONCE
+    rr = materialize_dim(_daily_rets(spark, sf_dir))
     m = rr.groupBy("symbol").agg(F.avg("r").alias("rbar"))
     c = rr.join(F.broadcast(m), "symbol").select(
         "symbol", "trading_day", (F.col("r") - F.col("rbar")).alias("c")
@@ -285,7 +287,9 @@ FROM p
     "understates.",
 )
 def q_realized_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rr = _daily_rets(spark, sf_dir)
+    # two-pass moments: the returns dimension is consumed by the mean
+    # aggregate and the centering join — one fact scan via materialize
+    rr = materialize_dim(_daily_rets(spark, sf_dir))
     m = rr.groupBy("symbol").agg(F.avg("r").alias("rbar"))
     c = rr.join(F.broadcast(m), "symbol").select(
         "symbol", (F.col("r") - F.col("rbar")).alias("c")
@@ -352,10 +356,13 @@ WHERE n_d >= 2 AND n_c >= 2
 )
 def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rr = _daily_rets(spark, sf_dir)
-    d = rr.select(
-        "symbol",
-        (F.dayofweek("trading_day") - 1).alias("dow"),
-        "r",
+    # d feeds the per-dow aggregate AND the per-symbol totals: one scan
+    d = materialize_dim(
+        rr.select(
+            "symbol",
+            (F.dayofweek("trading_day") - 1).alias("dow"),
+            "r",
+        )
     )
     g = d.groupBy("symbol", "dow").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_d"),
@@ -633,11 +640,14 @@ def q_portfolio_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
         "symbol", "trading_day", F.log("close").alias("lc")
     )
     w = Window.partitionBy("symbol").orderBy("trading_day")
-    lp = d.select(
-        "symbol",
-        "trading_day",
-        (F.col("lc") - F.lag("lc").over(w)).alias("r"),
-        (F.col("lc") - F.lag("lc", 5).over(w)).alias("mom"),
+    # lp feeds the universe gate AND the ranking join: one fact scan
+    lp = materialize_dim(
+        d.select(
+            "symbol",
+            "trading_day",
+            (F.col("lc") - F.lag("lc").over(w)).alias("r"),
+            (F.col("lc") - F.lag("lc", 5).over(w)).alias("mom"),
+        )
     )
     full_days = (
         lp.filter(F.col("mom").isNotNull() & F.col("r").isNotNull())
@@ -898,7 +908,10 @@ def q_kalman_hedge_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         kalman_hedge,
     )
 
-    d = _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    # both pair legs filter the same daily frame: one fact scan
+    d = materialize_dim(
+        _daily_ohlc(spark, sf_dir).select("symbol", "trading_day", "close")
+    )
     ya = d.filter(F.col("symbol") == _KF_Y_SYM).select(
         "trading_day", F.log("close").alias("y")
     )

@@ -714,3 +714,51 @@ def test_vol_regime_median_broadcast_back(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_r8_two_pass_reductions_scan_fact_once(spark):
+    """Every r8 query whose math needs a second pass over its reduction
+    (two-pass moments, universe gates, histogram join-backs, group
+    membership joins) materializes the reduction — the final plan reads
+    the cache/checkpoint, never a second parquet scan of the fact."""
+    for name in (
+        "ljung_box_returns",
+        "realized_skew_kurtosis",
+        "dow_seasonality_welch",
+        "portfolio_turnover_cost",
+        "kalman_hedge_beta",
+        "curriculum_stage_plan",
+        "dataset_card_by_source",
+        "quality_dup_interaction",
+        "tail_dependence_pairs",
+        "heaps_law_fit",
+        "bigram_entropy_rate",
+        "shard_dedup_leakage",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == 0, (name, plan[:2000])
+        assert "SortMergeJoin" not in plan, name
+    # band sweep: the signature build is checkpointed (zero re-scans),
+    # but the 1-row twin-offset/sample-count aggregate legitimately
+    # scans the pruned doc_id column once
+    plan = _plan(spark, "minhash_band_sweep")
+    assert plan.count("Scan parquet") <= 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_r8_single_pass_queries_one_scan_no_join(spark):
+    """The single-consumer r8 reductions stay un-materialized: exactly
+    one fact scan, join-free (or broadcast-only) plans."""
+    for name, max_scans in (
+        ("runs_test_updown", 1),
+        ("ewma_vol_riskmetrics", 1),
+        ("tick_clock_bars", 1),
+        ("token_gini_concentration", 1),
+        ("ic_decay_horizons", 1),
+        ("kelly_sizing_daily", 1),
+        ("almgren_chriss_schedule", 1),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("Scan parquet") == max_scans, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
