@@ -509,13 +509,19 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = materialize_corpus(minhash_signatures(sh))
     sig_cols = [f"h{i}" for i in range(16)]
 
-    # data-derived twin offset (broadcast 1-row agg over documents)
+    # data-derived twin offset (broadcast 1-row agg over documents);
+    # materialized because all three config branches consume it — one
+    # pruned doc_id scan instead of three
+    from quant_market_data_pipeline_spark.session import materialize_dim
+
     docs = _docs(spark, sf_dir)
-    off_frame = docs.groupBy().agg(
-        F.coalesce(F.max("doc_id") + F.lit(1), F.lit(0)).alias("__off"),
-        F.sum(
-            F.when(F.col("doc_id") < _SWEEP_SAMPLE, 1).otherwise(0)
-        ).alias("__n_sample"),
+    off_frame = materialize_dim(
+        docs.groupBy().agg(
+            F.coalesce(F.max("doc_id") + F.lit(1), F.lit(0)).alias("__off"),
+            F.sum(
+                F.when(F.col("doc_id") < _SWEEP_SAMPLE, 1).otherwise(0)
+            ).alias("__n_sample"),
+        )
     )
 
     rows_out = []
