@@ -415,6 +415,74 @@ def _previous_bench() -> tuple[dict, dict, dict, dict, dict, int]:
     )
 
 
+def _previous_round_bench() -> tuple[dict, dict, dict, int, int | None]:
+    """(plan_fp, docscale_queries, tickscale_queries, plan_fp_version,
+    round_n) from the previous ROUND's committed artifact — not the
+    latest run.
+
+    Round-8 judge finding: ``plan_changed_vs_prev`` compares to the
+    latest bench RUN, so a plan change that happens early in a round and
+    then stays stable washes out of the final per-round artifact (r8's
+    ann_lsh_mt_topk retune fired only in bench_rounds.jsonl).  The
+    per-round anchor is the newest ``BENCH_r{N}.json``; its driver-
+    captured slim line has no per-query fingerprints, so we match it to
+    its full twin in ``bench_rounds.jsonl`` (the same run appends the
+    full compact there) by headline value + per-query medians.  Returns
+    empty dicts when no round artifact or no jsonl twin exists (first
+    round after this change; self-heals next round).
+    """
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, dict] | None = None
+    for fn in os.listdir(here):
+        m = re.match(r"BENCH_r(\d+)\.json$", fn)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fn)) as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = doc.get("parsed") or {}
+        if not parsed.get("queries"):
+            tail = doc.get("tail", "")
+            try:
+                parsed = json.loads(tail[tail.index('{"metric"'):])
+            except (ValueError, json.JSONDecodeError):
+                continue
+        n = int(m.group(1))
+        if parsed.get("queries") and (best is None or n > best[0]):
+            best = (n, parsed)
+    if best is None:
+        return {}, {}, {}, 1, None
+    round_n, parsed = best
+    twin: dict = {}
+    jsonl = os.path.join(here, "bench_rounds.jsonl")
+    try:
+        with open(jsonl) as f:
+            for line in f:
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if (
+                    doc.get("value") == parsed.get("value")
+                    and doc.get("queries") == parsed.get("queries")
+                ):
+                    twin = doc  # keep scanning: last match wins
+    except OSError:
+        pass
+    src = twin or parsed
+    return (
+        src.get("plan_fp") or {},
+        src.get("docscale_queries") or {},
+        src.get("tickscale_queries") or {},
+        int(src.get("plan_fp_version") or 1),
+        round_n,
+    )
+
+
 def _best_recent_min(window: int = 3) -> dict[str, float]:
     """Per-query best-ever minimum over the last ``window`` recorded
     rounds (queries_min where published, steady median otherwise).
@@ -458,7 +526,7 @@ def _calibrate(spark) -> dict[str, float]:
     return {"py_sha_ms": py_ms, "jvm_sum_ms": jvm_ms}
 
 
-PLAN_FP_VERSION = 2
+PLAN_FP_VERSION = 3
 
 
 def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
@@ -470,13 +538,18 @@ def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
     expression ids (#123), plan/stage/RDD ids, broadcast exchange ids —
     everything that differs between two executions of the SAME plan.
 
-    ``version``: v2 (current) rewrites only KNOWN analyzer-generated
-    name counters; v1 (r7) blanket-rewrote any ``_<digits>#`` suffix,
-    which could hash two genuinely different plans identically (ADVICE
-    r7).  v1 is kept so cross-round comparison against an artifact
-    recorded under v1 does not spuriously flag every query; the
-    artifact carries ``plan_fp_version`` so the next round picks the
-    right formula.
+    ``version``: v3 (current) rewrites ONLY names the analyzer provably
+    generates — ``lambda <var>_<n>`` (higher-order-function variables,
+    which the plan printer ALWAYS renders with the ``lambda `` prefix,
+    verified against every recorded plan in PLANS.md) and
+    ``_common_expr_<n>`` (CSE slots).  v2 (r8) additionally collapsed
+    bare ``col_<n>#`` / ``x_<n>#``, which would hash two genuinely
+    different plans identically if a user column were literally named
+    that (ADVICE r8); v1 (r7) blanket-rewrote any ``_<digits>#`` suffix.
+    Older formulas are kept so cross-round comparison against an
+    artifact recorded under them does not spuriously flag every query;
+    the artifact carries ``plan_fp_version`` so the next round picks
+    the right formula.
     """
     import hashlib
     import re
@@ -497,7 +570,9 @@ def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
     # `_\d+#` also collapses genuinely distinct user columns that end in
     # _<digits> (d_1 vs d_2 lag columns), which could hash two DIFFERENT
     # plans identically and hide a real plan change.
-    if version >= 2:
+    if version >= 3:
+        s = re.sub(r"\b(lambda [A-Za-z]+|_common_expr)_\d+#", r"\1_n#", s)
+    elif version == 2:
         s = re.sub(
             r"\b(lambda [A-Za-z]+|_common_expr|col|x)_\d+#", r"\1_n#", s
         )
@@ -564,7 +639,9 @@ def main() -> None:
     spreads: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     plan_fps: dict[str, list[str | None]] = {}
-    plan_fps_v1: dict[str, str | None] = {}
+    # final-run fingerprints under OLDER normalizer formulas, kept only
+    # for comparison against artifacts recorded under those versions
+    plan_fps_old: dict[int, dict[str, str | None]] = {1: {}, 2: {}}
     def _drop_dead_blocks() -> None:
         """Unpin defunct checkpoint/broadcast blocks between queries.
 
@@ -602,9 +679,10 @@ def main() -> None:
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
             fps.append(_plan_fingerprint(df))
-        # v1 fingerprint of the final plan, kept only for comparison
-        # against a previous round recorded under the v1 formula
-        plan_fps_v1[name] = _plan_fingerprint(df, version=1)
+        # older-formula fingerprints of the final plan, kept only for
+        # comparison against artifacts recorded under those versions
+        for ver in plan_fps_old:
+            plan_fps_old[ver][name] = _plan_fingerprint(df, version=ver)
         samples[name] = runs
         plan_fps[name] = fps
         timings[name] = round(statistics.median(runs), 3)
@@ -753,19 +831,33 @@ def main() -> None:
     # VERSION the previous artifact was recorded with (v1 artifacts get
     # the v1 fingerprint of this round's plan) so a normalizer upgrade
     # can never masquerade as a fleet-wide plan change.
-    def _cur_fp_for_compare(name: str):
-        if prev_fp_ver >= PLAN_FP_VERSION:
+    def _cur_fp_for_ver(name: str, ver: int):
+        if ver >= PLAN_FP_VERSION:
             return plan_fps[name][-1]
-        return plan_fps_v1.get(name)
+        return plan_fps_old.get(ver, {}).get(name)
 
-    plan_changed_vs_prev = [
-        n
-        for n in plan_fps
-        if n in prev_fp
-        and prev_fp[n] not in (None, "FLAP")
-        and _cur_fp_for_compare(n) is not None
-        and _cur_fp_for_compare(n) != prev_fp[n]
-    ]
+    def _changed_vs(fp_map: dict, ver: int) -> list[str]:
+        return [
+            n
+            for n in plan_fps
+            if n in fp_map
+            and fp_map[n] not in (None, "FLAP")
+            and _cur_fp_for_ver(n, ver) is not None
+            and _cur_fp_for_ver(n, ver) != fp_map[n]
+        ]
+
+    plan_changed_vs_prev = _changed_vs(prev_fp, prev_fp_ver)
+    # ... and vs the previous ROUND's committed artifact (round-8 judge
+    # directive #3): a plan change that settles mid-round washes out of
+    # the latest-run comparison but must still surface per-round.
+    (
+        prev_round_fp,
+        prev_round_doc,
+        prev_round_tick,
+        prev_round_fp_ver,
+        prev_round_n,
+    ) = _previous_round_bench()
+    plan_changed_vs_prev_round = _changed_vs(prev_round_fp, prev_round_fp_ver)
     shared = sorted(set(timings_cold) & set(prev_cold))
     shared_cold_total = round(sum(timings_cold[n] for n in shared), 3)
     prev_shared_cold_total = round(sum(prev_cold[n] for n in shared), 3)
@@ -800,6 +892,17 @@ def main() -> None:
         "plan_fp_compare_version": min(prev_fp_ver, PLAN_FP_VERSION),
         "plan_flaps_within_round": plan_flaps,
         "plan_changed_vs_prev": plan_changed_vs_prev,
+        # vs the previous ROUND's committed BENCH_r{N}.json (its jsonl
+        # twin carries the fingerprints), so mid-round-settled plan
+        # changes still surface in the per-round artifact
+        "plan_changed_vs_prev_round": plan_changed_vs_prev_round,
+        "plan_prev_round_n": prev_round_n,
+        "plan_prev_round_fp_n": len(
+            set(plan_fps) & {
+                n for n, fp in prev_round_fp.items()
+                if fp not in (None, "FLAP")
+            }
+        ),
         "shared_cold_total": shared_cold_total,
         "prev_shared_cold_total": prev_shared_cold_total,
         "shared_cold_n": len(shared),
@@ -807,10 +910,57 @@ def main() -> None:
         "docscale_total": round(
             sum(v for v in docscale.values() if isinstance(v, float)), 3
         ),
+        # membership-aware cross-round comparison (round-8 judge
+        # directive #4): n of entries this round, plus the SAME-
+        # membership total for this round and the previous round, so
+        # set growth cannot masquerade as a regression
+        "docscale_n": sum(
+            1 for v in docscale.values() if isinstance(v, float)
+        ),
+        "docscale_shared_total": round(
+            sum(
+                v for n, v in docscale.items()
+                if isinstance(v, float)
+                and isinstance(prev_round_doc.get(n), (int, float))
+            ),
+            3,
+        ),
+        "prev_docscale_shared_total": round(
+            sum(
+                float(prev_round_doc[n]) for n, v in docscale.items()
+                if isinstance(v, float)
+                and isinstance(prev_round_doc.get(n), (int, float))
+            ),
+            3,
+        ),
         "tickscale_factor": TICKSCALE_FACTOR,
         "tickscale_total": round(
             sum(v for v in tickscale.values() if isinstance(v, float)), 3
         ),
+        "tickscale_n": sum(
+            1 for v in tickscale.values() if isinstance(v, float)
+        ),
+        "tickscale_shared_total": round(
+            sum(
+                v for n, v in tickscale.items()
+                if isinstance(v, float)
+                and isinstance(prev_round_tick.get(n), (int, float))
+            ),
+            3,
+        ),
+        "prev_tickscale_shared_total": round(
+            sum(
+                float(prev_round_tick[n]) for n, v in tickscale.items()
+                if isinstance(v, float)
+                and isinstance(prev_round_tick.get(n), (int, float))
+            ),
+            3,
+        ),
+        # per-query scale-probe walls recorded in the jsonl history so
+        # the NEXT round's same-membership totals have a basis
+        "docscale_queries": docscale,
+        "tickscale_queries": tickscale,
+        "sf1_queries": sf1,
         "sf1_factor": SF1_FACTOR,
         "sf1_total": round(
             sum(v for v in sf1.values() if isinstance(v, float)), 3
@@ -824,9 +974,6 @@ def main() -> None:
             "samples": samples,
             "plan_fp_all_runs": plan_fps,
             "delta_vs_prev": deltas,
-            "docscale_queries": docscale,
-            "tickscale_queries": tickscale,
-            "sf1_queries": sf1,
         }
     )
     here = os.path.dirname(os.path.abspath(__file__))
@@ -867,11 +1014,20 @@ def main() -> None:
             "plan_fp_version",
             "plan_flaps_within_round",
             "plan_changed_vs_prev",
+            "plan_changed_vs_prev_round",
+            "plan_prev_round_n",
+            "plan_prev_round_fp_n",
             "shared_cold_total",
             "prev_shared_cold_total",
             "shared_cold_n",
             "docscale_total",
+            "docscale_n",
+            "docscale_shared_total",
+            "prev_docscale_shared_total",
             "tickscale_total",
+            "tickscale_n",
+            "tickscale_shared_total",
+            "prev_tickscale_shared_total",
             "sf1_total",
             "detail",
         )

@@ -1665,13 +1665,22 @@ WITH p AS (
          power(0.5, date_diff('day', t.t_day, p.p_day)) AS w
   FROM p JOIN t ON p.user_id = t.user_id
    AND t.t_ts >= p.p_ts - INTERVAL 7 DAY AND t.t_ts <= p.p_ts
+), per_type AS (
+  -- aggregated-division form, matching the engine exactly: credit a
+  -- purchase's touches of one type as value * W_type / W_total (the
+  -- dyadic weight sums are exact, so the ONE division here performs
+  -- the identical IEEE op in both engines; the per-touch form
+  -- value*w/sw summed per type rounds differently at ulp level)
+  SELECT p_id, p_day, touch_type, value,
+         CAST(count(*) AS BIGINT) AS n, sum(w) AS tw
+  FROM joined GROUP BY p_id, p_day, touch_type, value
 ), credited AS (
-  SELECT touch_type, p_day,
-         value * w / sum(w) OVER (PARTITION BY p_id) AS credit
-  FROM joined
+  SELECT touch_type, p_day, n,
+         value * tw / sum(tw) OVER (PARTITION BY p_id) AS credit
+  FROM per_type
 )
 SELECT touch_type, p_day AS purchase_day,
-       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(n) AS BIGINT) AS n_touches,
        round(sum(credit), 6) AS credited_value
 FROM credited GROUP BY 1, 2
 """,

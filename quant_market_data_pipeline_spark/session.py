@@ -35,6 +35,12 @@ _STATIC_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for toPandas / pandas_udf boundaries (multimodal + serving edge).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Reliable-checkpoint hygiene: clean checkpoint files when the RDD goes
+    # out of scope.  Defaults to false, which on the cluster path of
+    # materialize_corpus (checkpoint() under a configured DFS dir) would
+    # leak one directory of blocks per call in a 200+-query session.
+    # Static conf: the ContextCleaner reads it once at SparkContext start.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 _RUNTIME_CONF: dict[str, str] = {
@@ -211,8 +217,30 @@ def materialize_corpus(df, eager: bool = False):
     action (the index build, the first join), so lazy truncation avoids a
     separate materialization pass; pass ``eager=True`` when construction
     must happen at a specific point (e.g. before mutating the source).
+
+    Reliable-path double-compute guard: ``checkpoint()`` writes its files
+    in a SEPARATE job after the triggering action, so an unpersisted RDD
+    is computed twice (once for the action, once for the checkpoint
+    writer).  On the reliable path we therefore persist(MEMORY_AND_DISK)
+    first, checkpoint EAGERLY (one compute job fills the cache, the
+    checkpoint job replays from cached blocks), then unpersist — the
+    upstream plan runs exactly once.  Checkpoint files themselves are
+    garbage-collected by the ContextCleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true`` in
+    ``_STATIC_CONF``) when the checkpointed RDD goes out of scope, so a
+    long session does not leak DFS storage.  The eager materialization on
+    this path intentionally overrides ``eager=False``: laziness would
+    reintroduce the double compute, and every call site triggers an
+    action immediately anyway.
     """
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir():
-        return df.checkpoint(eager=eager)
+        from pyspark import StorageLevel
+
+        cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out = cached.checkpoint(eager=True)
+        finally:
+            cached.unpersist(blocking=False)
+        return out
     return df.localCheckpoint(eager=eager)
