@@ -63,106 +63,65 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ROTATION POLICY (steady state, every query driver-green cumulatively):
 # each round's window = (a) queries NEW this round, (b) queries whose
 # implementation, shared operator, or oracle was TOUCHED this round, and
-# (c) a seeded random 20-query re-confirmation sample over the untouched
-# remainder (sort by md5("r{N}:" + name), take 20) — the sample guards
-# against silent oracle drift that a touched-only window would miss.
-_PRIORITY = [
-    # --- round-8 window ---------------------------------------------
-    # (a) new this round: production-ANN recall audits (judge directive
-    #     #2 — the deployable indexes now ship measured recall)
-    "ann_mt_recall_audit",
-    "ann_ivf_recall_audit",
-    #     the execution/signal-evaluation research layer
-    "ljung_box_returns",
-    "kelly_sizing_daily",
-    "almgren_chriss_schedule",
-    "realized_skew_kurtosis",
-    "dow_seasonality_welch",
-    "ic_decay_horizons",
-    "tail_dependence_pairs",
-    "portfolio_turnover_cost",
-    #     and the training-data curation audits
-    "curriculum_stage_plan",
-    "dataset_card_by_source",
-    "shard_dedup_leakage",
-    "quality_dup_interaction",
-    "minhash_band_sweep",
-    #     late-r8: the Spark-4 Python DataSource seam, the runs-test /
-    #     tick-clock microstructure pair, and the vocabulary-statistics
-    #     trio (Heaps fit, bigram entropy rate, token Gini)
-    "pyds_synth_bars",
-    "runs_test_updown",
-    "tick_clock_bars",
-    "heaps_law_fit",
-    "bigram_entropy_rate",
-    "token_gini_concentration",
-    #     and the sequential-recursion pair at the Arrow boundary
-    #     (RECURSIVE-CTE oracle twins)
-    "kalman_hedge_beta",
-    "ewma_vol_riskmetrics",
-    # (b) touched this round:
-    #     - attribution: collect_list window -> 32 bounded scalar counts
-    #       (judge directive #1)
-    "attribution_time_decay",
-    #     - multi-table LSH retuned 2x8 -> 4x4/cap64 after the recall
-    #       audit measured the old config below the single-table index
-    "ann_lsh_mt_topk",
-    #     - localCheckpoint -> materialize_corpus convention (directive
-    #       #6) across the dedup/similarity/index-build call sites
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_recall_audit",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "minhash_recall_audit",
-    "dedup_components",
-    "dedup_keeper_manifest",
-    "simhash60_neardup_pairs",
-    "ngram_jaccard_pairs",
-    "jaccard_pairs_df_capped",
-    "kmeans_one_iteration",
-    "copurchase_triangles",
-    "pagerank_one_iter",
-    "hard_negative_mining",
-    "neardup_calibration",
-    "simhash32_neardup_pairs",
-    "simhash_neardup_pairs",
-    "source_overlap_matrix",
-    "tfidf_top_terms",
-    "pair_return_correlation",
-    "engle_granger_pair",
-    "lead_lag_xcorr",
-    "containment_neardup_pairs",
-    "shingle_novelty",
-    #     - time-sliced landing files now carry explicit strictly
-    #       increasing mtimes (ADVICE r7: coarse-mtime replay order)
-    "stream_crash_recovery_e2e",
-    "stream_zscore_crash_e2e",
-    "stream_rsi_e2e",
-    "stream_vpin_e2e",
-    # (c) seeded re-confirmation sample (md5("r8:" + name), first 20 of
-    #     the untouched remainder)
-    "rollup_regional_revenue",
-    "psi_price_drift",
-    "temporal_features",
-    "bipower_jump_stats",
-    "flagship_pair_zscore",
-    "event_study_car",
-    "stream_attribution_e2e",
-    "asof_join_backward",
-    "small_qty_avg_revenue",
-    "atr_14",
-    "newey_west_tstat",
-    "bollinger_bands",
-    "range_join_view_purchase",
-    "freshness_staleness_audit",
-    "vocab_top_ngrams",
-    "bucketed_join_priority_revenue",
-    "return_autocorr",
-    "stream_bars_5min_e2e",
-    "tick_rule_imbalance",
-    "vpin_toxicity",
+# (c) a 20-query STALENESS-WEIGHTED re-confirmation sample over the
+# untouched remainder — the sample guards against silent oracle drift
+# that a touched-only window would miss.  r9 change (round-8 judge
+# directive #5): the sample was a uniform seeded draw (md5("r{N}:" +
+# name)), under which a never-touched query's expected re-check latency
+# is unbounded; it is now ordered by rounds-since-last-driver-
+# verification (oldest CORRECTNESS_r*.json verdict first), with the same
+# md5 key only as the tiebreak within an equally-stale cohort.
+# tools/staleness_sample.py recomputes the sample from the committed
+# artifacts; tests/test_r9_infra.py pins section (c) against it.
+_R9_NEW = [
+    # the ANN recall-vs-cost grid (judge directive #1)
+    "ann_tuning_sweep",
 ]
+_R9_TOUCHED = [
+    # IVF retune 8 cells x 1 probe -> 32 x 2 (measured by the sweep);
+    # ivf_topk gained the n_probe knob
+    "ann_ivf_topk",
+    "ann_ivf_recall_audit",
+    # integer milli-score bin key replaces the rounded-double group key
+    # (ADVICE r8: cross-engine representation boundary on a join key)
+    "curriculum_stage_plan",
+    # oracle restated in aggregated-division form (ADVICE r8: per-touch
+    # vs per-type division rounds differently at ulp level)
+    "attribution_time_decay",
+    # heaps_beta +0.0 signed-zero collapse (found by the GROWN sf1.0
+    # strict run: saturated vocab makes the slope a rounding-level zero)
+    "heaps_law_fit",
+    # NOTE: session.materialize_corpus gained a persist-before-checkpoint
+    # guard on the RELIABLE path (ADVICE r8 medium); with no checkpoint
+    # dir configured — every driver/test/bench run — the local fallback
+    # is byte-identical, so its ~50 callers are NOT window-inflated.
+]
+# (c) staleness-weighted sample, recomputed by
+#     `python tools/staleness_sample.py 9 - 20` with (a)+(b) as stdin:
+#     19 queries last verified in r1, one in r2 (the two oldest cohorts)
+_R9_SAMPLE = [
+    "token_count_bpe",
+    "udtf_sentence_split",
+    "range_frame_rolling_sum",
+    "winnow_fingerprints",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "knn_cosine_topk",
+    "text_stats",
+    "pair_comovement_stats",
+    "media_resize_plan",
+    "embedding_neardup_pairs",
+    "calendar_completeness",
+    "window_value_functions",
+    "user_event_sequence",
+    "dedup_exact_docs",
+    "simhash_fingerprints",
+    "value_histogram",
+    "calendar_dim_join",
+    "json_props_extract",
+    "semi_join_heavy_orders",
+]
+_PRIORITY = _R9_NEW + _R9_TOUCHED + _R9_SAMPLE
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -628,7 +628,7 @@ WITH tok AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_points,
        round((count(*) * sum(x * y) - sum(x) * sum(y)) /
-             NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0), 4)
+             NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0), 4) + 0.0
          AS heaps_beta,
        round(exp((sum(y) - ((count(*) * sum(x * y) - sum(x) * sum(y)) /
                   NULLIF(count(*) * sum(x * x) - sum(x) * sum(x), 0))
@@ -701,7 +701,10 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     intercept = (F.sum("y") - slope * F.sum("x")) / n
     return lg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
-        F.round(slope, 4).alias("heaps_beta"),
+        # + 0.0 collapses IEEE -0.0: a saturated vocabulary (every word
+        # seen by the first checkpoint) makes the slope a rounding-level
+        # zero whose SIGN the two engines' summation orders disagree on
+        (F.round(slope, 4) + F.lit(0.0)).alias("heaps_beta"),
         F.round(F.exp(intercept), 4).alias("heaps_k"),
     )
 
