@@ -267,7 +267,7 @@ WITH corpus AS (
   -- the corpus carries no organic byte-identical dups, so the audit
   -- plants its own ground truth like the twin machinery does
   SELECT doc_id + {_TWIN_OFF_SQL}, text FROM documents WHERE doc_id % 3 = 0
-), base AS (
+), base AS MATERIALIZED (
   SELECT doc_id, {_SHARD_SQL} AS shard, md5(text) AS fp FROM corpus
 ), groups AS (
   SELECT fp, CAST(count(*) AS BIGINT) AS group_size,
@@ -363,7 +363,7 @@ WITH corpus AS (
   SELECT doc_id + {_TWIN_OFF_SQL}, source, text FROM documents
   WHERE (length(text) < 80 AND doc_id % 3 = 0)
      OR (length(text) >= 80 AND doc_id % 6 = 0)
-), base AS (
+), base AS MATERIALIZED (
   SELECT source, md5(text) AS fp,
          CASE WHEN length(text) >= 80 THEN 1 ELSE 0 END AS len_ok
   FROM corpus
@@ -902,7 +902,7 @@ def _ann_sweep_sql() -> str:
         for p in _ANN_SWEEP_PLANES
     )
     rank_ctes = ", ".join(
-        f"""r{C} AS (
+        f"""r{C} AS MATERIALIZED (
   SELECT vec_id, cell, pr FROM (
     SELECT vec_id, cid AS cell, row_number() OVER (
       PARTITION BY vec_id ORDER BY cs DESC, cid) AS pr
@@ -964,22 +964,22 @@ def _ann_sweep_sql() -> str:
     return f"""
 WITH vecs AS (
   SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
-), bucketed AS (
+), bucketed AS MATERIALIZED (
   SELECT vec_id, cv,
          {bucket_cols}
   FROM vecs
-), slotted AS (
+), slotted AS MATERIALIZED (
   SELECT *,
          {slot_cols}
   FROM bucketed
-), base AS (
+), base AS MATERIALIZED (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
          {base_cos} AS cos_sim,
          {m_cols},
          {s_cols}
   FROM slotted n JOIN slotted q ON n.vec_id <> q.vec_id
   WHERE q.vec_id < {_ANN_SWEEP_Q}
-), exact AS (
+), exact AS MATERIALIZED (
   SELECT query_id, neighbor_id FROM (
     SELECT query_id, neighbor_id, row_number() OVER (
       PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -987,7 +987,7 @@ WITH vecs AS (
 ), cents AS (
   SELECT vec_id AS cid, cv AS cw FROM vecs
   WHERE vec_id < {max(_ANN_SWEEP_CELLS)}
-), csc AS (
+), csc AS MATERIALIZED (
   SELECT v.vec_id, c.cid, {cent_cos} AS cs
   FROM vecs v CROSS JOIN cents c
 ), {rank_ctes}, {", ".join(cfg_ctes)}

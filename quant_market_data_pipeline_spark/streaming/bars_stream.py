@@ -59,6 +59,24 @@ def read_tick_stream(
     return reader.format(fmt).load(landing_dir)
 
 
+def parse_kafka_payload(
+    raw: DataFrame, schema: T.StructType = TICK_SCHEMA
+) -> DataFrame:
+    """Kafka wire format -> typed ticks: the deserialization half of
+    :func:`read_kafka_tick_stream`, factored out so it is testable
+    WITHOUT a broker — any frame carrying Kafka's ``value`` column
+    (binary or string) satisfies the contract, batch or streaming.
+
+    ``from_json`` against the EXPLICIT tick schema is PERMISSIVE:
+    malformed payloads and type-mismatched fields surface as nulls (the
+    bronze untrusted-JSON posture, transform_data.py:41), never as task
+    failures — a poisoned message cannot take down the stream.
+    """
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("t")
+    ).select("t.*")
+
+
 def read_kafka_tick_stream(
     spark,
     bootstrap_servers: str,
@@ -71,15 +89,21 @@ def read_kafka_tick_stream(
     file stream (same downstream contract as ``read_tick_stream``).
 
     The JSON payload in ``value`` is parsed against the EXPLICIT tick
-    schema (``from_json`` is PERMISSIVE: malformed rows surface as nulls,
-    mirroring the bronze posture).  ``maxOffsetsPerTrigger`` bounds
-    micro-batch size — the backpressure knob that keeps state and sink
-    commits sized under burst load.  Partitioning: one Spark task per
-    Kafka partition; key the producer on symbol for per-symbol ordering.
+    schema via :func:`parse_kafka_payload` (PERMISSIVE: malformed rows
+    surface as nulls, mirroring the bronze posture — that surface is
+    broker-independent and covered by ``tests/test_streaming.py``).
+    ``maxOffsetsPerTrigger`` bounds micro-batch size — the backpressure
+    knob that keeps state and sink commits sized under burst load.
+    Partitioning: one Spark task per Kafka partition; key the producer
+    on symbol for per-symbol ordering.
 
-    Untestable in-container (no broker and no kafka connector jar);
-    construction/option wiring only — the rest of the pipeline is
-    source-agnostic past this function (tested via the file source).
+    PERMANENT ENVIRONMENT BLOCK (documented in COVERAGE.md): this
+    container ships neither a broker nor the spark-sql-kafka connector
+    jar, so even a stub TCP broker cannot exercise ``format("kafka")``
+    — ``load()`` fails at source resolution before any network I/O.
+    Everything this function adds over the connector is therefore
+    either option wiring (asserted by inspection tests) or the payload
+    parse (tested without a broker); the connector itself is Spark's.
     """
     reader = (
         spark.readStream.format("kafka")
@@ -91,10 +115,7 @@ def read_kafka_tick_stream(
         reader = reader.option(
             "maxOffsetsPerTrigger", str(max_offsets_per_trigger)
         )
-    raw = reader.load()
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("t")
-    ).select("t.*")
+    return parse_kafka_payload(reader.load(), schema)
 
 
 def dedup_stream(

@@ -460,6 +460,48 @@ def test_kafka_source_wiring(spark):
     assert "kafka" in str(ei.value).lower()
 
 
+def test_kafka_payload_parse_without_broker(spark):
+    """r9: the deserialization half of the Kafka source — the part that
+    can actually be wrong in THIS repo — exercised end-to-end on Kafka's
+    wire shape (binary key/value columns) without a broker: valid
+    payloads parse to typed ticks, malformed JSON and type-mismatched
+    fields surface as nulls (PERMISSIVE bronze posture), never errors."""
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        parse_kafka_payload,
+    )
+
+    payloads = [
+        # valid tick
+        b'{"event_id": 1, "ts": "2024-01-01T09:30:00", '
+        b'"symbol": "click", "price": 10.5}',
+        # malformed JSON -> whole row null
+        b'{"event_id": 2, "ts": ',
+        # type mismatch on price -> that field null, rest parsed
+        b'{"event_id": 3, "ts": "2024-01-01T09:31:00", '
+        b'"symbol": "view", "price": "not-a-number"}',
+        # extra unknown field ignored
+        b'{"event_id": 4, "ts": "2024-01-01T09:32:00", '
+        b'"symbol": "view", "price": 7.25, "venue": "X"}',
+    ]
+    wire = spark.createDataFrame(
+        [(str(i).encode(), v, "ticks", 0, i) for i, v in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    rows = {
+        r.event_id: r
+        for r in parse_kafka_payload(wire).orderBy(
+            F.col("event_id").asc_nulls_last()
+        ).collect()
+    }
+    assert rows[1].symbol == "click" and rows[1].price == 10.5
+    assert rows[1].ts is not None
+    assert None in rows  # the malformed payload row survives as nulls
+    assert rows[3].price is None and rows[3].symbol == "view"
+    assert rows[4].price == 7.25  # unknown fields ignored, not fatal
+
+
 def test_crash_recovery_exactly_once(spark):
     """Kill the live bar stream mid-flight after >= 2 committed batches,
     restart from the same checkpoint, drain — the output must equal the
