@@ -974,3 +974,98 @@ def q_ewma_vol_riskmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("r", 6).alias("r"),
         F.round(F.sqrt("ewma_var"), 6).alias("ewma_vol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cornish-Fisher modified VaR (r9).
+# ---------------------------------------------------------------------------
+# z for the 5% lower tail, shared literal so both engines run the same
+# IEEE arithmetic (neither engine exposes an inverse-normal builtin).
+# The SQL side must CAST to DOUBLE: DuckDB parses the bare literal as
+# DECIMAL(17,16) and decimal-decimal powers overflow the 38-digit scale.
+_CF_Z_VAL = -1.6448536269514722
+_CF_Z = f"CAST({_CF_Z_VAL} AS DOUBLE)"
+
+
+@register(
+    "cornish_fisher_var",
+    oracle=f"""
+WITH {_RETS_CTE},
+m AS (
+  SELECT symbol, avg(r) AS rbar FROM rr GROUP BY symbol
+), p AS (
+  SELECT rr.symbol,
+         CAST(count(*) AS BIGINT) AS n,
+         max(rbar) AS rbar,
+         sum((r - rbar) * (r - rbar)) AS m2,
+         sum((r - rbar) * (r - rbar) * (r - rbar)) AS m3,
+         sum((r - rbar) * (r - rbar) * (r - rbar) * (r - rbar)) AS m4
+  FROM rr JOIN m ON rr.symbol = m.symbol
+  GROUP BY rr.symbol
+), g AS (
+  SELECT symbol, n, rbar,
+         sqrt(m2 / n) AS sigma,
+         (m3 / n) / ((m2 / n) ^ 1.5) AS s,
+         (m4 / n) / ((m2 / n) * (m2 / n)) - 3.0 AS k
+  FROM p
+)
+SELECT symbol, n AS n_days,
+       round(rbar + ({_CF_Z}) * sigma, 6) AS var_gauss,
+       round(rbar + (
+         ({_CF_Z})
+         + (({_CF_Z}) * ({_CF_Z}) - 1.0) * s / 6.0
+         + (({_CF_Z}) * ({_CF_Z}) * ({_CF_Z}) - 3.0 * ({_CF_Z})) * k / 24.0
+         - (2.0 * ({_CF_Z}) * ({_CF_Z}) * ({_CF_Z}) - 5.0 * ({_CF_Z}))
+           * s * s / 36.0
+       ) * sigma, 6) AS var_cf,
+       round(s, 6) AS skewness, round(k, 6) AS excess_kurtosis
+FROM g
+""",
+    doc="Cornish-Fisher modified 95% VaR per symbol: the Gaussian "
+    "quantile adjusted for the return distribution's own skewness and "
+    "excess kurtosis (the third/fourth-moment expansion every risk desk "
+    "layers over plain parametric VaR — fat left tails push the CF "
+    "quantile further out than the Gaussian one).  Moments come from "
+    "the same explicit central-power-sum formulation as "
+    "realized_skew_kurtosis (engine builtins disagree on bias "
+    "correction); the inverse-normal z is a shared literal since "
+    "neither engine ships the quantile function.  Scale shape: one "
+    "tick->daily rollup exchange, moments on the (symbol, day) "
+    "dimension frame, no second fact scan (materialize_dim).  Read "
+    "next to var_historical_es: historical vs parametric-adjusted is "
+    "the standard model-risk cross-check.",
+)
+def q_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = _CF_Z_VAL
+    rr = materialize_dim(_daily_rets(spark, sf_dir))
+    m = rr.groupBy("symbol").agg(F.avg("r").alias("rbar"))
+    c = rr.join(F.broadcast(m), "symbol").select(
+        "symbol", "rbar", (F.col("r") - F.col("rbar")).alias("c")
+    )
+    p = c.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("rbar").alias("rbar"),
+        F.sum(F.col("c") * F.col("c")).alias("m2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("m3"),
+        F.sum(
+            F.col("c") * F.col("c") * F.col("c") * F.col("c")
+        ).alias("m4"),
+    )
+    n = F.col("n").cast("double")
+    sigma = F.sqrt(F.col("m2") / n)
+    s = (F.col("m3") / n) / F.pow(F.col("m2") / n, 1.5)
+    k = (F.col("m4") / n) / ((F.col("m2") / n) * (F.col("m2") / n)) - 3.0
+    z_cf = (
+        F.lit(z)
+        + (F.lit(z * z) - 1.0) * s / 6.0
+        + F.lit(z * z * z - 3.0 * z) * k / 24.0
+        - F.lit(2.0 * z * z * z - 5.0 * z) * s * s / 36.0
+    )
+    return p.select(
+        "symbol",
+        F.col("n").alias("n_days"),
+        F.round(F.col("rbar") + F.lit(z) * sigma, 6).alias("var_gauss"),
+        F.round(F.col("rbar") + z_cf * sigma, 6).alias("var_cf"),
+        F.round(s, 6).alias("skewness"),
+        F.round(k, 6).alias("excess_kurtosis"),
+    )

@@ -1234,3 +1234,133 @@ def q_unigram_negative_sampling(
         F.round(cum - F.col("p"), 8).alias("cum_lo"),
         F.round(cum, 8).alias("cum_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters with measured overestimate (r9).
+# ---------------------------------------------------------------------------
+_CMS_ROWS = 4
+_CMS_WIDTH = 64
+_CMS_TOPK = 20
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+  FROM documents
+), hashed AS (
+  SELECT w, r.r,
+         ('0x' || substr(md5(r.r::VARCHAR || '|' || w), 1, 15))::BIGINT
+           % {_CMS_WIDTH} AS bucket
+  FROM tok, unnest([{", ".join(str(r) for r in range(_CMS_ROWS))}])
+    AS r(r)
+), cms AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY r, bucket
+), exact AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_count FROM tok GROUP BY w
+), top AS (
+  SELECT w, exact_count FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY exact_count DESC, w) AS rn
+    FROM exact) WHERE rn <= {_CMS_TOPK}
+), est AS (
+  SELECT t.w, t.exact_count, min(cms.c) AS cms_estimate
+  FROM top t, unnest([{", ".join(str(r) for r in range(_CMS_ROWS))}])
+    AS r(r)
+  JOIN cms ON cms.r = r.r
+   AND cms.bucket = ('0x' || substr(md5(r.r::VARCHAR || '|' || t.w), 1, 15))
+                      ::BIGINT % {_CMS_WIDTH}
+  GROUP BY t.w, t.exact_count
+)
+SELECT w AS token, exact_count, cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+FROM est
+""",
+    doc=f"Count-Min sketch accuracy audit: a {_CMS_ROWS}x{_CMS_WIDTH} "
+    "CMS over the token stream (seeded-md5 row hashes — the engine's "
+    "deterministic hash-family convention, llm/hashing.py), then for "
+    f"the top-{_CMS_TOPK} exact heavy hitters the sketch estimate "
+    "(min over rows) next to the true count and the one-sided "
+    "overestimate (CMS never undercounts — the invariant the test "
+    "pins).  THE streaming-frequency primitive at 100 TB: the sketch "
+    "is a fixed 256-cell map-side-combinable state regardless of "
+    "vocabulary size, so the token exchange carries (row, bucket) "
+    "pairs, never the vocabulary; the exact side here exists only to "
+    "measure the error a consumer would accept.  Scale shape: one "
+    "corpus scan fans out x4 row replicas, one 256-group aggregation; "
+    "the audit join is top-k x 4 rows against a broadcast sketch.",
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import (
+        seeded_md5_long,
+        word_tokens,
+    )
+
+    d = _docs_wide(spark, sf_dir)
+    tok = d.select(
+        F.explode(word_tokens(F.lower("text"))).alias("w")
+    )
+    # one scan feeds the sketch build AND the exact heavy-hitter side
+    tok = materialize_corpus(tok)
+
+    def bucket(r, w_col):
+        return F.pmod(seeded_md5_long(r, w_col), F.lit(_CMS_WIDTH))
+
+    hashed = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(r, F.col("w")).alias("bucket"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("h")
+    ).select("h.r", "h.bucket")
+    cms = hashed.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), "w")
+            ),
+        )
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .drop("rn")
+    )
+    probes = top.select(
+        "w",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        bucket(r, F.col("w")).alias("bucket"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("h"),
+    ).select("w", "exact_count", "h.r", "h.bucket")
+    est = probes.join(F.broadcast(cms), ["r", "bucket"]).groupBy(
+        "w", "exact_count"
+    ).agg(F.min("c").alias("cms_estimate"))
+    return est.select(
+        F.col("w").alias("token"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    )
