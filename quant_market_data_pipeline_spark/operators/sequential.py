@@ -135,3 +135,57 @@ def ewma_variance(
     return rets.select(key, day, F.col(r).alias("r")).groupBy(key).applyInPandas(
         roll, schema=schema
     )
+
+
+def garch_variance(
+    rets: DataFrame,
+    key: str = "symbol",
+    day: str = "trading_day",
+    r: str = "r",
+    omega: float = 2e-6,
+    alpha: float = 0.05,
+    beta: float = 0.90,
+) -> DataFrame:
+    """GARCH(1,1) variance filter per key with FIXED parameters.
+
+    v_1 = omega / (1 - alpha - beta) (the model's long-run variance);
+    v_t = omega + alpha * r_{t-1}^2 + beta * v_{t-1} for t >= 2 — the
+    one-step-ahead conditional variance.  Like ``ewma_variance`` this
+    is a genuine recursion (beta carries full memory, O(1) state), so
+    it lives at the Arrow boundary with a RECURSIVE-CTE oracle twin
+    performing the identical IEEE op sequence.  Parameter ESTIMATION
+    (MLE) is out of scope by design: filtering with shipped parameters
+    is the scale-shaped production operation; fitting is a small-data
+    offline task.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(key, T.StringType()),
+            T.StructField(day, T.DateType()),
+            T.StructField("r", T.DoubleType()),
+            T.StructField("garch_var", T.DoubleType()),
+        ]
+    )
+    v0 = omega / (1.0 - alpha - beta)
+
+    def roll(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(day).reset_index(drop=True)
+        v = None
+        prev = None
+        out = []
+        for ri in pdf[r].tolist():
+            if v is None:
+                v = v0
+            else:
+                v = omega + alpha * (prev * prev) + beta * v
+            prev = ri
+            out.append(v)
+        return pd.DataFrame(
+            {key: pdf[key], day: pdf[day], "r": pdf[r], "garch_var": out}
+        )
+
+    return rets.select(key, day, F.col(r).alias("r")).groupBy(key).applyInPandas(
+        roll, schema=schema
+    )

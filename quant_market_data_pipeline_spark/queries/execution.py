@@ -1069,3 +1069,63 @@ def q_cornish_fisher_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 6).alias("skewness"),
         F.round(k, 6).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GARCH(1,1) conditional volatility with shipped parameters (r9).
+# ---------------------------------------------------------------------------
+_G_OMEGA = 2e-6
+_G_ALPHA = 0.05
+_G_BETA = 0.90
+_G_V0 = _G_OMEGA / (1.0 - _G_ALPHA - _G_BETA)
+
+
+@register(
+    "garch_11_vol",
+    oracle=f"""
+WITH RECURSIVE {_RETS_CTE},
+seq AS (
+  SELECT symbol, trading_day, r,
+         row_number() OVER (PARTITION BY symbol ORDER BY trading_day) AS rn
+  FROM rr
+), rec AS (
+  SELECT symbol, 1 AS rn, CAST({_G_V0!r} AS DOUBLE) AS v, r FROM seq
+  WHERE rn = 1
+  UNION ALL
+  SELECT x.symbol, x.rn + 1,
+         {_G_OMEGA!r} + {_G_ALPHA!r} * (x.r * x.r) + {_G_BETA!r} * x.v,
+         s.r
+  FROM rec x JOIN seq s ON s.symbol = x.symbol AND s.rn = x.rn + 1
+)
+SELECT s.symbol, s.trading_day, round(s.r, 6) AS r,
+       round(sqrt(rec.v), 6) AS garch_vol
+FROM seq s JOIN rec ON rec.symbol = s.symbol AND rec.rn = s.rn
+""",
+    doc="GARCH(1,1) one-step-ahead conditional volatility with FIXED "
+    f"parameters (omega={_G_OMEGA}, alpha={_G_ALPHA}, beta={_G_BETA}): "
+    "v_t = omega + alpha*r_(t-1)^2 + beta*v_(t-1), seeded at the "
+    "long-run variance omega/(1-alpha-beta) — the canonical vol model "
+    "between ewma_vol_riskmetrics (alpha+beta=1, no mean reversion) "
+    "and rolling stddev (equal weights).  Filtering with shipped "
+    "parameters is the production shape (MLE fitting is small-data "
+    "offline work); genuine recursion, so it runs at the Arrow "
+    "boundary over the per-symbol DAILY dimension frame "
+    "(operators/sequential.py garch_variance — calendar-bounded "
+    "groups, never raw ticks), with a DuckDB RECURSIVE-CTE twin "
+    "carrying (v, r) state in the identical IEEE op order.",
+)
+def q_garch_11_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.operators.sequential import (
+        garch_variance,
+    )
+
+    rr = _daily_rets(spark, sf_dir).select("symbol", "trading_day", "r")
+    out = garch_variance(
+        rr, omega=_G_OMEGA, alpha=_G_ALPHA, beta=_G_BETA
+    )
+    return out.select(
+        "symbol",
+        "trading_day",
+        F.round("r", 6).alias("r"),
+        F.round(F.sqrt("garch_var"), 6).alias("garch_vol"),
+    )

@@ -21,6 +21,7 @@ from quant_market_data_pipeline_spark.llm.dedup import (
 )
 from quant_market_data_pipeline_spark.llm.hashing import (
     MINHASH_P as _MH_P,
+    band_hash,
     minhash_mix_consts,
     seeded_md5_long,
     word_shingles,
@@ -3749,4 +3750,166 @@ def q_matryoshka_overlap_audit(
         F.round(
             F.count("kept").cast("double") / F.count(F.lit(1)), 6
         ).alias("overlap_at_3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH search API: query-time top-k lookup against the banded
+# index (r9).  minhash_lsh_pairs is the OFFLINE all-pairs dedup shape;
+# this is the ONLINE shape — a handful of incoming documents probe the
+# same 8x2 band index and rank the colliding candidates by signature
+# agreement (the MinHash Jaccard estimator).
+# ---------------------------------------------------------------------------
+_MS_QUERY_N = 5
+_MS_PREFIX = 40
+_MS_TOPK = 3
+_MS_SIG_COLS = [f"h{i}" for i in range(16)]
+
+_MS_CBAND = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {b} AS band_id, "
+    f"md5(h{2 * b}::VARCHAR || ',' || h{2 * b + 1}::VARCHAR) AS bh FROM sig"
+    for b in range(8)
+)
+_MS_QBAND = "\nUNION ALL\n".join(
+    f"SELECT query_id, {b} AS band_id, "
+    f"md5(h{2 * b}::VARCHAR || ',' || h{2 * b + 1}::VARCHAR) AS bh FROM qsig"
+    for b in range(8)
+)
+_MS_AGREE = " + ".join(
+    f"(CASE WHEN qs.h{i} = cs.h{i} THEN 1 ELSE 0 END)" for i in range(16)
+)
+
+
+@register(
+    "minhash_search_topk",
+    oracle=f"""
+WITH {_SHINGLE_CTE}, shb AS (
+  SELECT doc_id, {_MINHASH_BASE_SQL} AS bh FROM sh
+), sig AS (
+  SELECT doc_id,
+       {_MIN_EXPRS}
+  FROM shb GROUP BY doc_id
+), qdoc AS (
+  SELECT doc_id AS query_id,
+         regexp_extract_all(text, '\\S+')[1:{_MS_PREFIX}] AS tokens
+  FROM documents ORDER BY doc_id LIMIT {_MS_QUERY_N}
+), qsh AS (
+  SELECT DISTINCT query_id, sh FROM (
+    SELECT query_id,
+           unnest([array_to_string(tokens[i:i+2], ' ')
+                   for i in generate_series(1, len(tokens) - 2)]) AS sh
+    FROM qdoc)
+), qshb AS (
+  SELECT query_id, {_MINHASH_BASE_SQL} AS bh FROM qsh
+), qsig AS (
+  SELECT query_id,
+       {_MIN_EXPRS}
+  FROM qshb GROUP BY query_id
+), cband AS (
+{_MS_CBAND}
+), qband AS (
+{_MS_QBAND}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.doc_id
+  FROM qband q JOIN cband c ON q.band_id = c.band_id AND q.bh = c.bh
+), scored AS (
+  SELECT cand.query_id, cand.doc_id,
+         ({_MS_AGREE}) / 16.0 AS est
+  FROM cand
+  JOIN qsig qs ON cand.query_id = qs.query_id
+  JOIN sig cs ON cand.doc_id = cs.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, est, row_number() OVER (
+    PARTITION BY query_id ORDER BY est DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+       round(est, 6) AS est_jaccard
+FROM ranked WHERE rank <= {_MS_TOPK}
+""",
+    doc=f"MinHash-LSH search API: {_MS_QUERY_N} query documents (the "
+    f"{_MS_PREFIX}-token prefixes of the lowest doc_ids — truncated "
+    "variants of known corpus members, so expected top-1 = the source "
+    "doc) probe the SAME 8-band x 2-row index minhash_lsh_pairs builds "
+    f"offline, and the colliding candidates are ranked top-{_MS_TOPK} "
+    "by 16-slot signature agreement (the unbiased MinHash Jaccard "
+    "estimator), ties broken by doc_id.  This is the serving shape of "
+    "near-dup detection — 'is this incoming document already in the "
+    "corpus?' — where the corpus index is amortized and each query "
+    "touches only its band buckets.  Scale: the corpus pays one "
+    "shingle->signature exchange (amortized via materialize_corpus); "
+    "the query side is a constant-size frame, so candidate generation, "
+    "signature scoring, and ranking are all broadcast joins against "
+    "corpus-linear scans — no all-pairs anywhere.",
+)
+def q_minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    sigs = materialize_corpus(
+        minhash_signatures(doc_shingles(d, distinct=True))
+    )
+    qdocs = (
+        _docs(spark, sf_dir)
+        .orderBy("doc_id")
+        .limit(_MS_QUERY_N)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(word_tokens("text"), 1, _MS_PREFIX).alias("tokens"),
+        )
+    )
+    qsh = qdocs.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("tokens")))
+        ).alias("sh"),
+    )
+    qsigs = minhash_signatures(qsh, id_col="query_id")
+
+    def banded(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            idc,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            band_hash(_MS_SIG_COLS, b, 2).alias("bh"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(idc, "bb.band_id", "bb.bh")
+
+    cand = (
+        banded(sigs, "doc_id")
+        .join(F.broadcast(banded(qsigs, "query_id")), ["band_id", "bh"])
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    qs = qsigs.select(
+        "query_id", *[F.col(c).alias(f"q{c}") for c in _MS_SIG_COLS]
+    )
+    agree = sum(
+        F.when(F.col(f"h{i}") == F.col(f"qh{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    scored = (
+        sigs.join(F.broadcast(cand), "doc_id")
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id", "doc_id", (agree / F.lit(16.0)).alias("est")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("est").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _MS_TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            F.round("est", 6).alias("est_jaccard"),
+        )
     )

@@ -727,3 +727,205 @@ def q_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("value_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter audit (r9).  THE shuffle-avoidance
+# primitive for selective fact-dim joins at 100 TB: a bitmap built from
+# the small key set is broadcast and applied MAP-SIDE to the fact scan,
+# so rows that cannot join never enter the exchange.  Spark's own
+# runtime row-group/bloom filters do this opaquely; this query builds
+# one explicitly (seeded-md5 hash family, deterministic in both
+# engines) and MEASURES the false-positive rate against exact
+# membership next to the (fill-ratio)^k theoretical rate.
+# ---------------------------------------------------------------------------
+_BF_BITS = 1024
+_BF_K = 3
+_BF_LANES = _BF_BITS // 64
+
+_BF_POS_SQL = (
+    "('0x' || substr(md5({r}::VARCHAR || '|' || {k}::VARCHAR), 1, 15))"
+    f"::BIGINT % {_BF_BITS}"
+)
+_BF_LANE_EXPRS = ",\n         ".join(
+    f"coalesce(bit_or(CASE WHEN pos // 64 = {lane} THEN "
+    f"(1::BIGINT << CAST(pos % 64 AS INTEGER)) ELSE 0 END), 0) AS lane{lane}"
+    for lane in range(_BF_LANES)
+)
+_BF_LANE_LIST = "[" + ", ".join(f"lane{lane}" for lane in range(_BF_LANES)) + "]"
+_BF_PASS_SQL = " AND ".join(
+    f"((list_extract({_BF_LANE_LIST}, CAST(p{r} // 64 AS INTEGER) + 1)"
+    f" >> CAST(p{r} % 64 AS INTEGER)) & 1) = 1"
+    for r in range(_BF_K)
+)
+_BF_BITS_SET = " + ".join(
+    f"bit_count(lane{lane})" for lane in range(_BF_LANES)
+)
+
+
+@register(
+    "bloom_filter_join_audit",
+    oracle=f"""
+WITH keyset AS (
+  SELECT s_suppkey AS k FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+), pos AS (
+  SELECT DISTINCT {_BF_POS_SQL.format(r="r.r", k="k")} AS pos
+  FROM keyset, unnest([{", ".join(str(r) for r in range(_BF_K))}]) AS r(r)
+), bitmap AS (
+  SELECT {_BF_LANE_EXPRS}
+  FROM pos
+), hashed AS (
+  SELECT l.l_suppkey AS k,
+         {", ".join(_BF_POS_SQL.format(r=r, k="l.l_suppkey") + f" AS p{r}" for r in range(_BF_K))}
+  FROM lineitem l
+), probed AS (
+  SELECT h.k,
+         CASE WHEN h.k IN (SELECT k FROM keyset) THEN 1 ELSE 0 END
+           AS member,
+         CASE WHEN {_BF_PASS_SQL} THEN 1 ELSE 0 END AS bloom_pass
+  FROM hashed h CROSS JOIN bitmap
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(member) AS BIGINT) AS n_member,
+       CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(bloom_pass * (1 - member)) AS BIGINT) AS n_false_pos,
+       CAST(sum(member * (1 - bloom_pass)) AS BIGINT) AS n_false_neg,
+       round(CAST(sum(bloom_pass * (1 - member)) AS DOUBLE)
+             / NULLIF(count(*) - sum(member), 0), 6) AS fpr_measured,
+       round((SELECT CAST(({_BF_BITS_SET}) AS DOUBLE) FROM bitmap)
+             / {_BF_BITS}, 6) AS fill_ratio,
+       round(power((SELECT CAST(({_BF_BITS_SET}) AS DOUBLE) FROM bitmap)
+             / {_BF_BITS}, {_BF_K}), 6) AS fpr_theoretical
+FROM probed
+""",
+    doc=f"Explicit Bloom-filter runtime pre-filter, measured: a "
+    f"{_BF_BITS}-bit / {_BF_K}-hash filter (seeded-md5 family, "
+    "llm/hashing.py — bit-identical in both engines) is built from one "
+    "nation's supplier keys and applied to every lineitem row; output "
+    "compares bloom verdicts to exact membership — false negatives "
+    "MUST be 0 (the Bloom invariant, pinned by a test) and the "
+    "measured false-positive rate sits next to the (fill_ratio)^k "
+    "theoretical one.  Scale shape: the filter is ONE broadcast row of "
+    f"{_BF_LANES} bigint lanes regardless of fact size, membership "
+    "tests are pure map-side bit arithmetic on the scan (no exchange "
+    "for the pre-filter), and the only shuffle is the final scalar "
+    "rollup.  This is what Spark's runtime filters / DPP do opaquely; "
+    "doing it explicitly gives the pipeline a tunable, auditable "
+    "semi-join reducer for selective fact-dim joins.",
+)
+def q_bloom_filter_join_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.hashing import seeded_md5_long
+
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    keys = supp.join(
+        F.broadcast(nation),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select(F.col("s_suppkey").alias("k"))
+
+    def positions(k: F.Column) -> list[F.Column]:
+        return [
+            F.pmod(
+                seeded_md5_long(r, k.cast("string")), F.lit(_BF_BITS)
+            )
+            for r in range(_BF_K)
+        ]
+
+    pos = keys.select(
+        F.explode(F.array(*positions(F.col("k")))).alias("pos")
+    ).distinct()
+    bitmap = pos.select(
+        "pos",
+        F.floor(F.col("pos") / 64).cast("int").alias("lane"),
+        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+    ).agg(
+        *[
+            F.coalesce(
+                F.bit_or(
+                    F.when(F.col("lane") == lane, F.col("bit")).otherwise(
+                        F.lit(0).cast("long")
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias(f"lane{lane}")
+            for lane in range(_BF_LANES)
+        ]
+    )
+    fill = bitmap.select(
+        (
+            sum(F.bit_count(F.col(f"lane{lane}")) for lane in range(_BF_LANES))
+            .cast("double")
+            / F.lit(float(_BF_BITS))
+        ).alias("fill")
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("k")
+    )
+    flagged = li.join(
+        F.broadcast(keys.withColumn("member", F.lit(1)).distinct()),
+        "k",
+        "left",
+    )
+    probed = flagged.crossJoin(F.broadcast(bitmap))
+    for r, p in enumerate(positions(F.col("k"))):
+        probed = probed.withColumn(f"p{r}", p)
+    lane_of = {
+        r: F.element_at(
+            F.array(*[F.col(f"lane{lane}") for lane in range(_BF_LANES)]),
+            (F.floor(F.col(f"p{r}") / 64) + 1).cast("int"),
+        )
+        for r in range(_BF_K)
+    }
+    passes = [
+        (
+            F.expr(
+                f"shiftright(__lane{r}, cast(p{r} % 64 as int)) & 1"
+            )
+            == 1
+        )
+        for r in range(_BF_K)
+    ]
+    for r in range(_BF_K):
+        probed = probed.withColumn(f"__lane{r}", lane_of[r])
+    bloom_pass = passes[0]
+    for c in passes[1:]:
+        bloom_pass = bloom_pass & c
+    probed = probed.select(
+        F.when(F.col("member").isNotNull(), 1).otherwise(0).alias("member"),
+        F.when(bloom_pass, 1).otherwise(0).alias("bloom_pass"),
+    )
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("member").cast("bigint").alias("n_member"),
+        F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+        F.sum(F.col("bloom_pass") * (1 - F.col("member")))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.col("member") * (1 - F.col("bloom_pass")))
+        .cast("bigint")
+        .alias("n_false_neg"),
+    )
+    return agg.crossJoin(F.broadcast(fill)).select(
+        "n_rows",
+        "n_member",
+        "n_bloom_pass",
+        "n_false_pos",
+        "n_false_neg",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.nullif(
+                (F.col("n_rows") - F.col("n_member")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("fpr_measured"),
+        F.round("fill", 6).alias("fill_ratio"),
+        F.round(F.pow("fill", float(_BF_K)), 6).alias("fpr_theoretical"),
+    )
