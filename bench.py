@@ -131,6 +131,15 @@ DOCSCALE = [
     "dataset_card_by_source",
     "ann_mt_recall_audit",
     "ann_ivf_recall_audit",
+    # r9: the tuning sweep shares the recall audits' sample contract;
+    # the CMS heavy-hitter audit, the rule-based quality pre-filter,
+    # and the LSH search API are corpus-linear scans (search's query
+    # side is a constant 5-doc frame — cost must move with the INDEX
+    # side only)
+    "ann_tuning_sweep",
+    "countmin_heavy_hitters",
+    "gopher_quality_flags",
+    "minhash_search_topk",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the
@@ -199,6 +208,11 @@ TICKSCALE = [
     # x16 tick volume must move only the rollup, never the recursion
     "kalman_hedge_beta",
     "ewma_vol_riskmetrics",
+    # r9: GARCH shares the recursions' calendar-bounded contract; the
+    # Cornish-Fisher moments reduce the tick fact to the (symbol, day)
+    # dimension before any math — probe pins both
+    "garch_11_vol",
+    "cornish_fisher_var",
 ]
 
 
