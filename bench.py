@@ -803,6 +803,38 @@ def main() -> None:
         except Exception as exc:  # probe must never sink the headline bench
             sf1 = {"error": str(exc)[:200]}
 
+    # GROWN-sf1.0 probe (r9): the same headliners on the genuinely
+    # generated sf1.0 fixture (tools/gen_sf1_grown.py — grown key
+    # cardinality: more users/symbols/days/vocab, not row replication).
+    # Same ~10x volume as the replicated probe, different cardinality
+    # profile, so replicated-vs-grown separates volume cost from
+    # key-state cost (distinct signatures, group counts, first-seen
+    # frames).  Skipped silently when the fixture has not been
+    # generated.
+    sf1g: dict[str, float] = {}
+    grown_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scale",
+        "sf1.0_grown",
+    )
+    if (
+        os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0"
+        and os.path.isdir(grown_dir)
+    ):
+        try:
+            for t in ("events", "documents", "embeddings"):
+                load_table(spark, t, grown_dir).count()  # warm
+            for name in SF1:
+                spec = registry.get(name)
+                if spec is None:
+                    continue
+                _drop_dead_blocks()
+                t0 = time.perf_counter()
+                spec.spark(spark, grown_dir).count()
+                sf1g[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            sf1g = {"error": str(exc)[:200]}
+
     calib_samples.append(_calibrate(spark))
     calib = {
         k: [s[k] for s in calib_samples] for k in ("py_sha_ms", "jvm_sum_ms")
@@ -1013,6 +1045,13 @@ def main() -> None:
             sum(v for v in sf1.values() if isinstance(v, float)), 3
         ),
         "sf1_exponents": sf1_exp,
+        # same headliners on GROWN sf1.0 (cardinality growth, not row
+        # replication) — read next to sf1_queries to split volume cost
+        # from key-state cost
+        "sf1grown_queries": sf1g,
+        "sf1grown_total": round(
+            sum(v for v in sf1g.values() if isinstance(v, float)), 3
+        ),
         "detail": "BENCH_FULL_LATEST.json",
     }
     full = dict(compact)
@@ -1076,6 +1115,7 @@ def main() -> None:
             "tickscale_shared_total",
             "prev_tickscale_shared_total",
             "sf1_total",
+            "sf1grown_total",
             "docscale_recall",
             "detail",
         )
