@@ -160,6 +160,16 @@ QUERIES = [
     "tick_clock_bars",
     "heaps_law_fit",
     "pyds_synth_bars",
+    # round 9: the ANN tuning sweep + retuned IVF, the explicit Bloom
+    # runtime pre-filter, the CMS heavy-hitter audit, the LSH search
+    # API, and the recursion/moment additions
+    "ann_tuning_sweep",
+    "bloom_filter_join_audit",
+    "countmin_heavy_hitters",
+    "minhash_search_topk",
+    "gopher_quality_flags",
+    "garch_11_vol",
+    "cornish_fisher_var",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
