@@ -741,21 +741,26 @@ def q_partitioned_day_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BF_BITS = 1024
 _BF_K = 3
-_BF_LANES = _BF_BITS // 64
+# 63 usable bits per signed-long lane: DuckDB's ``<<`` is
+# overflow-checked, so ``1::BIGINT << 63`` (the sign bit) raises
+# Out of Range the first time a key hashes to bit 63 of a lane —
+# found by the sf0.1 strict run.  ceil(1024/63) = 17 lanes.
+_BF_LANE_BITS = 63
+_BF_LANES = (_BF_BITS + _BF_LANE_BITS - 1) // _BF_LANE_BITS
 
 _BF_POS_SQL = (
     "('0x' || substr(md5({r}::VARCHAR || '|' || {k}::VARCHAR), 1, 15))"
     f"::BIGINT % {_BF_BITS}"
 )
 _BF_LANE_EXPRS = ",\n         ".join(
-    f"coalesce(bit_or(CASE WHEN pos // 64 = {lane} THEN "
-    f"(1::BIGINT << CAST(pos % 64 AS INTEGER)) ELSE 0 END), 0) AS lane{lane}"
+    f"coalesce(bit_or(CASE WHEN pos // 63 = {lane} THEN "
+    f"(1::BIGINT << CAST(pos % 63 AS INTEGER)) ELSE 0 END), 0) AS lane{lane}"
     for lane in range(_BF_LANES)
 )
 _BF_LANE_LIST = "[" + ", ".join(f"lane{lane}" for lane in range(_BF_LANES)) + "]"
 _BF_PASS_SQL = " AND ".join(
-    f"((list_extract({_BF_LANE_LIST}, CAST(p{r} // 64 AS INTEGER) + 1)"
-    f" >> CAST(p{r} % 64 AS INTEGER)) & 1) = 1"
+    f"((list_extract({_BF_LANE_LIST}, CAST(p{r} // 63 AS INTEGER) + 1)"
+    f" >> CAST(p{r} % 63 AS INTEGER)) & 1) = 1"
     for r in range(_BF_K)
 )
 _BF_BITS_SET = " + ".join(
@@ -842,8 +847,8 @@ def q_bloom_filter_join_audit(
     ).distinct()
     bitmap = pos.select(
         "pos",
-        F.floor(F.col("pos") / 64).cast("int").alias("lane"),
-        F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bit"),
+        F.floor(F.col("pos") / _BF_LANE_BITS).cast("int").alias("lane"),
+        F.expr(f"shiftleft(1L, cast(pos % {_BF_LANE_BITS} as int))").alias("bit"),
     ).agg(
         *[
             F.coalesce(
@@ -879,14 +884,14 @@ def q_bloom_filter_join_audit(
     lane_of = {
         r: F.element_at(
             F.array(*[F.col(f"lane{lane}") for lane in range(_BF_LANES)]),
-            (F.floor(F.col(f"p{r}") / 64) + 1).cast("int"),
+            (F.floor(F.col(f"p{r}") / _BF_LANE_BITS) + 1).cast("int"),
         )
         for r in range(_BF_K)
     }
     passes = [
         (
             F.expr(
-                f"shiftright(__lane{r}, cast(p{r} % 64 as int)) & 1"
+                f"shiftright(__lane{r}, cast(p{r} % {_BF_LANE_BITS} as int)) & 1"
             )
             == 1
         )
