@@ -100,7 +100,19 @@ def sql_one_plus(rate: str) -> str:
 
 
 def sql_fin(x: str, scale: int = 4) -> str:
-    return f"CAST(CAST({x} AS DECIMAL(38,{scale})) AS DOUBLE)"
+    """Exact decimal result emitted as double — VIA VARCHAR.
+
+    DuckDB's direct wide-DECIMAL -> DOUBLE cast computes
+    (hugeint unscaled) / 10^scale in floating point, which is NOT
+    correctly rounded once the unscaled value exceeds 2^53 — at
+    grown sf1.0 the Q1 sum_charge (unscaled ~3.2e16 at scale 6) came
+    back one ulp off Spark's BigDecimal.doubleValue() and failed the
+    strict gate; the same decimal sums matched exactly.  Routing the
+    conversion through VARCHAR uses strtod, which is correctly
+    rounded, so both engines emit the nearest double of the identical
+    exact decimal at ANY magnitude.
+    """
+    return f"CAST(CAST(CAST({x} AS DECIMAL(38,{scale})) AS VARCHAR) AS DOUBLE)"
 
 
 def sql_money_sum(x: str, scale: int = 4) -> str:

@@ -98,6 +98,18 @@ _R9_TOUCHED = [
     # heaps_beta +0.0 signed-zero collapse (found by the GROWN sf1.0
     # strict run: saturated vocab makes the slope a rounding-level zero)
     "heaps_law_fit",
+    # three more grown-sf1.0 strict-run catches (all latent at small
+    # SFs): label-packing radix 16 -> 64 (25 grown labels corrupted
+    # ids), RANGE frame key unified to microsecond-exact unix_micros/
+    # epoch_us (Spark truncated seconds vs DuckDB fractional epoch()),
+    # and sql_fin's DuckDB decimal->double cast routed via VARCHAR
+    # (direct cast is not correctly rounded past 2^53 unscaled;
+    # pricing_summary is the representative caller — the helper change
+    # is value-neutral at driver SF for every other caller, verified
+    # by the full LOCAL sf0.001/sf0.1 strict re-runs)
+    "hard_negative_mining",
+    "range_frame_rolling_sum",
+    "pricing_summary",
     # NOTE: session.materialize_corpus gained a persist-before-checkpoint
     # guard on the RELIABLE path (ADVICE r8 medium); with no checkpoint
     # dir configured — every driver/test/bench run — the local fallback
@@ -107,9 +119,11 @@ _R9_TOUCHED = [
 #     `python tools/staleness_sample.py 9 - 20` with (a)+(b) as stdin:
 #     19 queries last verified in r1, one in r2 (the two oldest cohorts)
 _R9_SAMPLE = [
+    # recomputed after the grown-sf1.0 catches moved
+    # range_frame_rolling_sum into (b): the next-stalest query
+    # (max_drawdown, r2 cohort) takes its slot
     "token_count_bpe",
     "udtf_sentence_split",
-    "range_frame_rolling_sum",
     "winnow_fingerprints",
     "lang_id_heuristic",
     "doc_fingerprint",
@@ -127,6 +141,7 @@ _R9_SAMPLE = [
     "calendar_dim_join",
     "json_props_extract",
     "semi_join_heavy_orders",
+    "max_drawdown",
 ]
 _PRIORITY = _R9_NEW + _R9_TOUCHED + _R9_SAMPLE
 

@@ -1130,18 +1130,25 @@ def q_calendar_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id, ts, round(value, 6) AS value,
        round(sum(value) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6)
          AS sum_1h,
        count(*) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
-         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          AS n_1h
 FROM events WHERE user_id < 10
 """,
     doc="RANGE window frame (time-based, not row-count): trailing 1-hour "
-    "sum/count per user keyed on event-time seconds — the frame kind "
-    "rowsBetween can't express when events are irregularly spaced.",
+    "sum/count per user keyed on event time — the frame kind "
+    "rowsBetween can't express when events are irregularly spaced.  "
+    "The frame key is MICROSECOND-exact on both engines (unix_micros / "
+    "epoch_us, the attribution_time_decay convention): the original "
+    "pairing of Spark's second-TRUNCATING unix_timestamp with DuckDB's "
+    "fractional-DOUBLE epoch() silently disagreed for any event inside "
+    "the sub-second sliver at the 3600 s boundary — latent at every "
+    "small SF (no boundary event happened to land there) and exposed "
+    "by the grown sf1.0 strict run's 10x event density.",
 )
 def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -1149,8 +1156,8 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600_000_000, 0)
     )
     return ev.select(
         "user_id",

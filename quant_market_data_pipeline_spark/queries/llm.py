@@ -3539,9 +3539,13 @@ FROM ranked WHERE rn <= 2
     "ordered probe cap (same 4-plane family + cap as ann_lsh_topk, so "
     "candidate count stays LINEAR in corpus size).  Labels ride "
     "THROUGH the gemm scoring stage packed into the 64-bit pair ids "
-    "(id*16 + label; labels are 0-9 by fixture contract, so the x16 "
-    "headroom holds) and are unpacked with shift/mask "
-    "afterwards — zero extra joins or shuffles versus the plain ANN "
+    "(id*64 + label) and are unpacked with shift/mask "
+    "afterwards.  The packing radix is 64, not the label count: the "
+    "r8 x16 radix assumed the small fixtures' 0-9 label contract and "
+    "silently CORRUPTED ids when the grown sf1.0 corpus carried 25 "
+    "labels (caught by the grown strict run — a pure cardinality "
+    "boundary, invisible at any replicated scale); 64 covers any "
+    "label < 64 while leaving vec_id 2^57 of headroom — zero extra joins or shuffles versus the plain ANN "
     "query, where the naive plan would re-join the n-row label "
     "dimension onto BOTH sides of the pair stream.  The cap is applied "
     "BEFORE packing so the md5(vec_id) probe sample is byte-identical "
@@ -3563,7 +3567,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index build: both pair sides reuse the bucketed vectors (lazy, same
     # rationale as lsh_cosine_topk)
     vecs = materialize_corpus(vecs)
-    packed = (F.col("vec_id") * 16 + F.col("label")).cast("long")
+    packed = (F.col("vec_id") * 64 + F.col("label")).cast("long")
     a = vecs.select(
         packed.alias("query_id"), F.col("v").alias("qv"), "bucket"
     )
@@ -3575,10 +3579,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim", F.round("cos_sim", 6)
     )
     unpacked = scored.select(
-        F.shiftright("query_id", 4).alias("anchor_id"),
-        (F.col("query_id") % 16).cast("int").alias("anchor_label"),
-        F.shiftright("neighbor_id", 4).alias("negative_id"),
-        (F.col("neighbor_id") % 16).cast("int").alias("negative_label"),
+        F.shiftright("query_id", 6).alias("anchor_id"),
+        (F.col("query_id") % 64).cast("int").alias("anchor_label"),
+        F.shiftright("neighbor_id", 6).alias("negative_id"),
+        (F.col("neighbor_id") % 64).cast("int").alias("negative_label"),
         "cos_sim",
     ).filter(F.col("anchor_label") != F.col("negative_label"))
     w = Window.partitionBy("anchor_id").orderBy(

@@ -763,8 +763,11 @@ _BF_PASS_SQL = " AND ".join(
     f" >> CAST(p{r} % 63 AS INTEGER)) & 1) = 1"
     for r in range(_BF_K)
 )
+# DuckDB's bit_count returns TINYINT; summing 17 lanes of a filled
+# filter overflows 127 (hit at grown sf1.0: 400 member keys -> ~700
+# set bits) — widen each term before the addition.
 _BF_BITS_SET = " + ".join(
-    f"bit_count(lane{lane})" for lane in range(_BF_LANES)
+    f"bit_count(lane{lane})::INTEGER" for lane in range(_BF_LANES)
 )
 
 

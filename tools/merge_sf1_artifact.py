@@ -1,0 +1,100 @@
+"""Assemble CORRECTNESS_LOCAL_sf1.json from the two grown-sf1.0 runs.
+
+The full-registry strict run against `.bench_scale/sf1.0_grown` was
+executed in two invocations of tools/check_oracle.py (identical code,
+identical fixture):
+
+- run 1 covered queries a..simhash_fingerprints (its per-query `ok`
+  lines are parsed from sf1_grown_check.log; the process was stopped
+  before writing its JSON when `simhash_neardup_pairs` saturated — see
+  below);
+- run 2 (`/tmp/sf1_part2.json`) covered every remaining query,
+  including the round-9 additions.
+
+`simhash_neardup_pairs` is recorded as EXCLUDED, not failed: at the
+grown 50k-doc corpus the 16-bit fingerprint space (65,536 values) is
+saturated and the blocked candidate join emits a measured 46,921,518
+pairs — the full-frame strict compare (two engine collects + a
+Python-side cell-by-cell diff) is memory/time-prohibitive, and the
+output itself demonstrates the variant is out of its operating range
+(the production 32/60-bit variants stay sparse and PASS strict at this
+scale, which is exactly why the dedup pipeline uses them).  The
+saturation number is the useful result; it is recorded in the artifact
+and in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+EXCLUDED_NOTE = (
+    "excluded from the full-frame strict compare at sf1.0: the 16-bit "
+    "fingerprint space saturates at the grown 50k-doc corpus — the "
+    "blocked candidate join emits 46,921,518 pairs (measured via the "
+    "oracle's own CTE), so the variant is out of its documented "
+    "operating range here; the production simhash32/simhash60 variants "
+    "pass strict at this scale (see their entries)"
+)
+
+
+def main() -> int:
+    results: dict[str, dict] = {}
+    for line in open("sf1_grown_check.log", errors="replace"):
+        for m in re.finditer(r"  ok ([a-z0-9_]+)", line):
+            results[m.group(1)] = {"status": "ok", "strict": True}
+    part2 = json.load(open("/tmp/sf1_part2.json"))
+    assert part2["sf_dir"] == ".bench_scale/sf1.0_grown"
+    assert part2["strict"]
+    results.update(part2["results"])
+    results["simhash_neardup_pairs"] = {
+        "status": "excluded",
+        "note": EXCLUDED_NOTE,
+    }
+
+    from quant_market_data_pipeline_spark.queries import load_all
+
+    registry = set(load_all())
+    missing = registry - set(results)
+    if missing:
+        print(f"registry queries missing from both runs: {sorted(missing)}")
+        return 1
+    extra = set(results) - registry
+    for name in extra:  # stale names from interleaved log lines
+        del results[name]
+
+    doc = {
+        "sf_dir": ".bench_scale/sf1.0_grown",
+        "strict": True,
+        "n_queries": len(results),
+        "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+        "n_rows_only": 0,
+        "n_fail": sum(
+            1 for r in results.values() if r["status"] == "fail"
+        ),
+        "n_excluded": 1,
+        "provenance": (
+            "two invocations of tools/check_oracle.py --strict on the "
+            "same fixture and code: a..simhash_fingerprints from "
+            "sf1_grown_check.log, the remainder from a resumed run; "
+            "merged by tools/merge_sf1_artifact.py (see its docstring "
+            "for the simhash_neardup_pairs exclusion)"
+        ),
+        "results": dict(sorted(results.items())),
+    }
+    for name, r in sorted(results.items()):
+        if r["status"] == "fail":
+            print("FAIL", name, r.get("errors"))
+    with open("CORRECTNESS_LOCAL_sf1.json", "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(
+        f"wrote CORRECTNESS_LOCAL_sf1.json: {doc['n_ok']} ok / "
+        f"{doc['n_fail']} fail / {doc['n_excluded']} excluded "
+        f"of {doc['n_queries']}"
+    )
+    return 1 if doc["n_fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
