@@ -100,7 +100,7 @@ def sql_one_plus(rate: str) -> str:
 
 
 def sql_fin(x: str, scale: int = 4) -> str:
-    """Exact decimal result emitted as double — VIA VARCHAR.
+    """Exact decimal result emitted as double — via a STRING hop.
 
     DuckDB's direct wide-DECIMAL -> DOUBLE cast computes
     (hugeint unscaled) / 10^scale in floating point, which is NOT
@@ -108,11 +108,13 @@ def sql_fin(x: str, scale: int = 4) -> str:
     grown sf1.0 the Q1 sum_charge (unscaled ~3.2e16 at scale 6) came
     back one ulp off Spark's BigDecimal.doubleValue() and failed the
     strict gate; the same decimal sums matched exactly.  Routing the
-    conversion through VARCHAR uses strtod, which is correctly
+    conversion through a string uses strtod, which is correctly
     rounded, so both engines emit the nearest double of the identical
-    exact decimal at ANY magnitude.
+    exact decimal at ANY magnitude.  STRING, not VARCHAR: some
+    oracle texts double as Spark SQL (GROUPING SETS), and Spark
+    rejects bare VARCHAR; both engines accept STRING.
     """
-    return f"CAST(CAST(CAST({x} AS DECIMAL(38,{scale})) AS VARCHAR) AS DOUBLE)"
+    return f"CAST(CAST(CAST({x} AS DECIMAL(38,{scale})) AS STRING) AS DOUBLE)"
 
 
 def sql_money_sum(x: str, scale: int = 4) -> str:
