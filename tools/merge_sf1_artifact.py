@@ -8,7 +8,7 @@ identical fixture):
   lines are parsed from sf1_grown_check.log; the process was stopped
   before writing its JSON when `simhash_neardup_pairs` saturated — see
   below);
-- run 2 (`/tmp/sf1_part2.json`) covered every remaining query,
+- run 2 (`.sf1_runs/part2.json`) covered every remaining query,
   including the round-9 additions.
 
 `simhash_neardup_pairs` is recorded as EXCLUDED, not failed: at the
@@ -26,8 +26,11 @@ and in COVERAGE.md.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EXCLUDED_NOTE = (
     "excluded from the full-frame strict compare at sf1.0: the 16-bit "
@@ -44,7 +47,7 @@ def main() -> int:
     for line in open("sf1_grown_check.log", errors="replace"):
         for m in re.finditer(r"  ok ([a-z0-9_]+)", line):
             results[m.group(1)] = {"status": "ok", "strict": True}
-    part2 = json.load(open("/tmp/sf1_part2.json"))
+    part2 = json.load(open(".sf1_runs/part2.json"))
     assert part2["sf_dir"] == ".bench_scale/sf1.0_grown"
     assert part2["strict"]
     results.update(part2["results"])
@@ -53,7 +56,7 @@ def main() -> int:
     # keys, correctly-rounded decimal->double) re-verified strict on
     # the same fixture with the fixed code — supersedes their run-2
     # entries.
-    part3 = json.load(open("/tmp/sf1_part3.json"))
+    part3 = json.load(open(".sf1_runs/part3.json"))
     assert part3["sf_dir"] == ".bench_scale/sf1.0_grown"
     assert part3["strict"]
     assert part3["n_fail"] == 0, "re-verification run must be green"
