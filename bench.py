@@ -601,6 +601,16 @@ def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
         s = executed_plan_str(df, stripped=False)
     except Exception:
         return None
+    s = _normalize_plan_str(s, version)
+    return hashlib.sha256(s.encode()).hexdigest()[:12]
+
+
+def _normalize_plan_str(s: str, version: int) -> str:
+    """The run-varying-id rewrite behind _plan_fingerprint, exposed as a
+    pure function so tests exercise the REAL normalizer (an inline copy
+    in the test cannot catch a regression here)."""
+    import re
+
     s = re.sub(r"#\d+", "#x", s)
     # analyzer-generated counters embedded in NAMES (not just exprIds):
     # lambda variables (x_16, lambda col_3), CSE slots (_common_expr_0)
@@ -622,7 +632,7 @@ def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
     s = re.sub(r"QueryStage \d+", "QueryStage x", s)
     s = re.sub(r"ExistingRDD\[\d+\]", "ExistingRDD[x]", s)
     s = re.sub(r"\bRDD \d+\b", "RDD x", s)
-    return hashlib.sha256(s.encode()).hexdigest()[:12]
+    return s
 
 
 def main() -> None:

@@ -868,10 +868,11 @@ _ANN_SWEEP_CELLS = (8, 16, 32)
 _ANN_SWEEP_PROBES = (1, 2, 4)
 _ANN_SWEEP_Q = 20  # the standard deterministic query sample (vec_id < 20)
 
-_ANN_SWEEP_COS = (
-    "round(list_dot_product({a}, {b}) / "
-    "nullif(sqrt(list_dot_product({a}, {a})) * "
-    "sqrt(list_dot_product({b}, {b})), 0.0), 6)"
+# The sweep's validity argument is that it scores with the SAME rounded
+# cosine the production index uses — so it must be the same STRING, not
+# a copy kept in lockstep by hand.
+from quant_market_data_pipeline_spark.queries.llm import (  # noqa: E402
+    _IVF_COS as _ANN_SWEEP_COS,
 )
 
 

@@ -109,16 +109,19 @@ def test_previous_round_bench_no_twin_falls_back_to_parsed(tmp_path):
 def test_plan_fp_v3_does_not_collapse_user_col_names():
     """v3 must leave a literal user column named col_1/x_2 alone (the
     ADVICE r8 false-negative class) while still collapsing analyzer
-    lambda variables and CSE slots."""
-    import re
-
+    lambda variables and CSE slots — exercised through bench's REAL
+    normalizer, not an inline copy of the regex."""
     sys.path.insert(0, REPO)
-    # replicate the v3 rewrite on a synthetic plan string
+    import bench
+
     s = "Project [col_1#12, x_2#13, lambda x_46#99, _common_expr_3#14]"
-    s = re.sub(r"#\d+", "#x", s)
-    out = re.sub(r"\b(lambda [A-Za-z]+|_common_expr)_\d+#", r"\1_n#", s)
+    out = bench._normalize_plan_str(s, version=3)
     assert "col_1#x" in out and "x_2#x" in out  # user columns preserved
     assert "lambda x_n#x" in out and "_common_expr_n#x" in out
+    # the v2 formula (kept for old-artifact comparison) still collapses
+    # them — the difference IS the regression v3 fixed
+    out2 = bench._normalize_plan_str(s, version=2)
+    assert "col_n#x" in out2 and "x_n#x" in out2
 
 
 def test_materialize_corpus_reliable_path_single_compute(tmp_path):

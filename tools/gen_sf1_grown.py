@@ -279,7 +279,7 @@ def main() -> None:
         ),
     )
 
-    # --- documents (vocab 31 -> ~3k Zipf, sources 20 -> 100) ---------
+    # --- documents (vocab 31 -> 30,031 Zipf words, sources 20 -> 100) -
     vocab = np.array(
         _SPARK_WORDS + [f"w{i:05d}" for i in range(1, 30_001)]
     )

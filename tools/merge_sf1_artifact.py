@@ -82,11 +82,15 @@ def main() -> int:
         "strict": True,
         "n_queries": len(results),
         "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
-        "n_rows_only": 0,
+        "n_rows_only": sum(
+            1 for r in results.values() if r["status"] == "rows_only"
+        ),
         "n_fail": sum(
             1 for r in results.values() if r["status"] == "fail"
         ),
-        "n_excluded": 1,
+        "n_excluded": sum(
+            1 for r in results.values() if r["status"] == "excluded"
+        ),
         "provenance": (
             "three invocations of tools/check_oracle.py --strict on "
             "the same fixture: a..simhash_fingerprints from "

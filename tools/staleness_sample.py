@@ -12,7 +12,7 @@ and the first 20 become section (c) of ``_PRIORITY`` in
 Last-verified rounds are recomputed from the committed CORRECTNESS_r*.json
 artifacts (a query's last verification = the highest round whose artifact
 contains it), so the policy is auditable from the repo alone;
-``tests/test_research_ops.py`` re-derives the sample with this module and
+``tests/test_r9_infra.py`` re-derives the sample with this module and
 pins the committed list against it.
 
 Usage:
@@ -34,14 +34,26 @@ import sys
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def last_verified_rounds(repo_root: str = _HERE) -> dict[str, int]:
-    """name -> highest round N whose CORRECTNESS_r{N}.json contains it."""
+def last_verified_rounds(
+    repo_root: str = _HERE, before_round: int | None = None
+) -> dict[str, int]:
+    """name -> highest round N whose CORRECTNESS_r{N}.json contains it.
+
+    ``before_round`` bounds the scan to rounds < N.  The round-N sample
+    must be computed from the artifacts that EXISTED when round N
+    started: without the bound, the driver writing CORRECTNESS_r{N}.json
+    (which records the sampled queries' own verdicts) would change the
+    recomputed sample and retroactively break the committed pin in
+    tests/test_r9_infra.py.
+    """
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         n = int(m.group(1))
+        if before_round is not None and n >= before_round:
+            continue
         try:
             with open(path) as f:
                 doc = json.load(f)
@@ -63,8 +75,9 @@ def staleness_sample(
 ) -> list[str]:
     """The k-query re-confirmation sample: oldest last-verified round
     first (never-verified sorts oldest of all), md5("r{N}:"+name)
-    tiebreak — deterministic given the committed artifacts."""
-    seen = last_verified_rounds(repo_root)
+    tiebreak — deterministic given the artifacts of rounds < round_n
+    (see last_verified_rounds: later artifacts must not move the pin)."""
+    seen = last_verified_rounds(repo_root, before_round=round_n)
 
     def key(name: str):
         tie = hashlib.md5(f"r{round_n}:{name}".encode()).hexdigest()
@@ -78,8 +91,8 @@ def max_staleness(
     round_n: int, registry_names: list[str], repo_root: str = _HERE
 ) -> int:
     """Rounds since the least-recently-verified registered query was last
-    driver-checked (for COVERAGE.md)."""
-    seen = last_verified_rounds(repo_root)
+    driver-checked (for COVERAGE.md), as of round_n's start."""
+    seen = last_verified_rounds(repo_root, before_round=round_n)
     return max(round_n - seen.get(n, 0) for n in registry_names)
 
 
