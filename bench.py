@@ -487,7 +487,11 @@ def _previous_round_bench(
         if not parsed.get("queries"):
             tail = doc.get("tail", "")
             try:
-                parsed = json.loads(tail[tail.index('{"metric"'):])
+                # raw_decode: driver log noise AFTER the slim JSON line
+                # must not discard the newest round artifact (ADVICE r9)
+                parsed, _ = json.JSONDecoder().raw_decode(
+                    tail, tail.index('{"metric"')
+                )
             except (ValueError, json.JSONDecodeError):
                 continue
         n = int(m.group(1))
@@ -762,11 +766,19 @@ def main() -> None:
             t0 = time.perf_counter()
             df = spec.spark(spark, scale_dir)
             if name in DOCSCALE_RECALL:
-                rows = [r.asDict() for r in df.collect()]
-                docscale_recall[name] = _micro_recall(name, rows)
+                # the timed window covers the Spark action ONLY; the
+                # Row->dict conversion and recall math run outside it so
+                # recall capture doesn't distort the wall time (ADVICE
+                # r9).  collect-vs-count is inherent (recall needs the
+                # rows) and recorded in docscale_action below.
+                rows = df.collect()
+                docscale[name] = round(time.perf_counter() - t0, 3)
+                docscale_recall[name] = _micro_recall(
+                    name, [r.asDict() for r in rows]
+                )
             else:
                 df.count()
-            docscale[name] = round(time.perf_counter() - t0, 3)
+                docscale[name] = round(time.perf_counter() - t0, 3)
     except Exception as exc:  # probe must never sink the headline bench
         docscale = {"error": str(exc)[:200]}
     # tickscale probe: tick headliners against the x16 events fixture
@@ -1050,6 +1062,15 @@ def main() -> None:
         "sf1_queries": sf1,
         # measured recall of the audit queries AT the x16 corpus
         "docscale_recall": docscale_recall,
+        # timed Spark action per docscale query: recall queries collect()
+        # (rows needed), the rest count() — recorded so cross-round
+        # same-membership totals aren't read across a semantics change
+        # (the r9->r10 boundary mixes regimes once; ADVICE r9)
+        "docscale_action": {
+            n: ("collect" if n in DOCSCALE_RECALL else "count")
+            for n, v in docscale.items()
+            if isinstance(v, float)
+        },
         "sf1_factor": SF1_FACTOR,
         "sf1_total": round(
             sum(v for v in sf1.values() if isinstance(v, float)), 3

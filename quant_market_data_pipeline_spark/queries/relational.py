@@ -752,15 +752,18 @@ _BF_POS_SQL = (
     "('0x' || substr(md5({r}::VARCHAR || '|' || {k}::VARCHAR), 1, 15))"
     f"::BIGINT % {_BF_BITS}"
 )
+# interpolate _BF_LANE_BITS (not a literal 63) so editing the constant
+# can never desync the oracle's lane math from the engine's (ADVICE r9)
 _BF_LANE_EXPRS = ",\n         ".join(
-    f"coalesce(bit_or(CASE WHEN pos // 63 = {lane} THEN "
-    f"(1::BIGINT << CAST(pos % 63 AS INTEGER)) ELSE 0 END), 0) AS lane{lane}"
+    f"coalesce(bit_or(CASE WHEN pos // {_BF_LANE_BITS} = {lane} THEN "
+    f"(1::BIGINT << CAST(pos % {_BF_LANE_BITS} AS INTEGER)) ELSE 0 END), 0)"
+    f" AS lane{lane}"
     for lane in range(_BF_LANES)
 )
 _BF_LANE_LIST = "[" + ", ".join(f"lane{lane}" for lane in range(_BF_LANES)) + "]"
 _BF_PASS_SQL = " AND ".join(
-    f"((list_extract({_BF_LANE_LIST}, CAST(p{r} // 63 AS INTEGER) + 1)"
-    f" >> CAST(p{r} % 63 AS INTEGER)) & 1) = 1"
+    f"((list_extract({_BF_LANE_LIST}, CAST(p{r} // {_BF_LANE_BITS} AS INTEGER) + 1)"
+    f" >> CAST(p{r} % {_BF_LANE_BITS} AS INTEGER)) & 1) = 1"
     for r in range(_BF_K)
 )
 # DuckDB's bit_count returns TINYINT; summing 17 lanes of a filled

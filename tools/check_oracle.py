@@ -191,6 +191,10 @@ def main() -> int:
     strict = "--strict" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    # machine-readable provenance so downstream tools that grep `ok`
+    # lines out of a captured log (tools/merge_sf1_artifact.py) can
+    # assert WHICH fixture and mode produced them (ADVICE r9)
+    print(f"PROVENANCE check_oracle sf_dir={sf_dir} strict={strict}")
 
     from pyspark.sql import SparkSession
 

@@ -44,7 +44,27 @@ EXCLUDED_NOTE = (
 
 def main() -> int:
     results: dict[str, dict] = {}
-    for line in open("sf1_grown_check.log", errors="replace"):
+    log_text = open("sf1_grown_check.log", errors="replace").read()
+    # The log's `ok` lines are only trustworthy if the run they came
+    # from used the grown fixture WITH --strict (ADVICE r9).
+    # check_oracle.py now prints a machine-readable PROVENANCE line; the
+    # round-9 log predates it, so `--trust-legacy-log` accepts that one
+    # captured log after the command line recorded at its top is
+    # checked by hand (it was: see CORRECTNESS_LOCAL_sf1.json
+    # provenance).  Fresh runs must carry the line.
+    prov = re.search(
+        r"PROVENANCE check_oracle sf_dir=(\S+) strict=(\S+)", log_text
+    )
+    if prov:
+        assert prov.group(1) == ".bench_scale/sf1.0_grown", prov.group(1)
+        assert prov.group(2) == "True", "run-1 log was not --strict"
+    else:
+        assert "--trust-legacy-log" in sys.argv, (
+            "sf1_grown_check.log has no PROVENANCE line; re-run "
+            "check_oracle (which now emits one) or pass "
+            "--trust-legacy-log for the hand-audited round-9 log"
+        )
+    for line in log_text.splitlines():
         for m in re.finditer(r"  ok ([a-z0-9_]+)", line):
             results[m.group(1)] = {"status": "ok", "strict": True}
     part2 = json.load(open(".sf1_runs/part2.json"))

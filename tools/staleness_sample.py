@@ -34,10 +34,28 @@ import sys
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _verdict_passed(entry) -> bool:
+    """True iff a CORRECTNESS_r*.json entry records a PASSING check.
+
+    Strict entries pass on ``hash_match: true``; rows-only entries (the
+    driver's weaker check for non-SQL-expressible ops, recorded as
+    ``err: "no_oracle"``) pass when the query ran and produced a row
+    count.  A failed strict compare (hash/rows mismatch) or a real error
+    must NOT reset the staleness clock — the query still needs
+    re-confirmation (ADVICE r9).
+    """
+    if not isinstance(entry, dict):
+        return False
+    if entry.get("hash_match") is True:
+        return True
+    return entry.get("err") == "no_oracle" and entry.get("spark_rows") is not None
+
+
 def last_verified_rounds(
     repo_root: str = _HERE, before_round: int | None = None
 ) -> dict[str, int]:
-    """name -> highest round N whose CORRECTNESS_r{N}.json contains it.
+    """name -> highest round N whose CORRECTNESS_r{N}.json records a
+    PASSING verdict for it (see _verdict_passed).
 
     ``before_round`` bounds the scan to rounds < N.  The round-N sample
     must be computed from the artifacts that EXISTED when round N
@@ -61,8 +79,9 @@ def last_verified_rounds(
             continue
         if not isinstance(doc, dict):
             continue
-        for name in doc:
-            out[name] = max(out.get(name, 0), n)
+        for name, entry in doc.items():
+            if _verdict_passed(entry):
+                out[name] = max(out.get(name, 0), n)
     return out
 
 
