@@ -1303,15 +1303,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     doc="SimHash near-dup candidates: block on the fingerprint's high "
     "byte (identical high byte => hamming of the low byte only), join "
     "within blocks, keep hamming <= 3 — the integer-blocking dedup that "
-    "replaces pairwise text comparison at corpus scale.",
+    "replaces pairwise text comparison at corpus scale.  GUARDED (r10): "
+    "the 16-bit space supports at most 16,384 docs (load 0.25); past "
+    "that, identical-fingerprint classes join quadratically (measured "
+    "46.9M pairs at 50k docs, grown sf1.0), so the query fails fast at "
+    "plan build with an error naming simhash32/simhash60 as the "
+    "escalation — no silent blowup possible.",
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.dedup import (
+        check_simhash_operating_range,
         simhash_fingerprints,
     )
     from quant_market_data_pipeline_spark.llm.hashing import hamming16
 
     d = _docs_wide(spark, sf_dir)
+    # operating-range gate: one scalar count before any token work
+    check_simhash_operating_range(d.count(), bits=16)
     fp = simhash_fingerprints(d, bits=16).select(
         "doc_id", F.col("simhash").cast("long").alias("simhash")
     )
