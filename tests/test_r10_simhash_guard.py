@@ -65,3 +65,40 @@ def test_query_still_plans_inside_range(spark):
         "doc_hi",
         "hamming",
     ]
+
+
+def test_hot_band_split_lossless(spark):
+    """The r10 hot-band refinement must return EXACTLY the cold-path
+    pair set: sub-banding 45 bits into 4 disjoint pieces pigeonholes
+    any <= 3-bit difference, so no qualifying pair can be lost.  The
+    fixture plants one hot band-0 bucket (60 fingerprints sharing band
+    0) full of near-dup chains plus random-ish cold classes."""
+    from pyspark.sql import functions as F
+
+    from quant_market_data_pipeline_spark.llm.dedup import (
+        simhash60_neardup_pairs,
+    )
+
+    shared_b0 = 0x1234  # common band-0 value for the hot bucket
+    fps = []
+    base = (0x5A5A5 << 15) | shared_b0
+    for i in range(60):
+        # chains at hamming 1..3 from a handful of anchors, all in the
+        # hot bucket (band 0 identical, diffs in upper bits)
+        fp = base ^ ((i % 7) << (15 + (i % 40)))
+        fps.append((i, fp | (i // 20) << 57))
+    # cold classes: scattered fingerprints, some hamming-<=3 pairs
+    for i in range(200):
+        fps.append((1000 + i, (i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1)))
+    df = spark.createDataFrame(fps, "doc_id long, simhash long")
+
+    def pairset(threshold):
+        out = simhash60_neardup_pairs(
+            df, max_hamming=3, hot_band_threshold=threshold
+        )
+        return {(r.doc_lo, r.doc_hi, r.hamming) for r in out.collect()}
+
+    hot_path = pairset(4)  # forces the split on every populated bucket
+    cold_path = pairset(10**9)  # reference: pure cold join
+    assert hot_path == cold_path
+    assert len(cold_path) > 0  # the fixture actually exercises pairs
