@@ -1789,3 +1789,4 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credited_value"),
         )
     )
+

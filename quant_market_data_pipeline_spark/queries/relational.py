@@ -940,3 +940,344 @@ def q_bloom_filter_join_audit(
         F.round("fill", 6).alias("fill_ratio"),
         F.round(F.pow("fill", float(_BF_K)), 6).alias("fpr_theoretical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count audit (r10).  THE cardinality sketch for
+# 100 TB aggregation: one pass, m registers (here 512 longs), mergeable
+# across partitions (max is associative+commutative, so partial
+# aggregation happens map-side and the exchange carries one register
+# set per partition).  Spark ships approx_count_distinct on the same
+# algorithm, but its HLL++ internals are not oracle-reproducible; this
+# query builds the sketch FROM SCRATCH with a deterministic md5 hash so
+# DuckDB computes the byte-identical estimate, and AUDITS it against
+# the exact count — the countmin/bloom pattern applied to cardinality.
+#
+# Determinism discipline: register sums run in INTEGER space — register
+# value rho contributes 2^(44-rho) to an exact BIGINT sum (max 512*2^44
+# = 2^53, no overflow), so the harmonic mean is order-insensitive;
+# bit_length is computed by bit-smear + bit_count (no float log2, whose
+# floor can be off-by-one at exact powers in either engine).
+# ---------------------------------------------------------------------------
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P  # 512 registers
+_HLL_WBITS = 52 - _HLL_P  # 43-bit rho window from a 52-bit md5 prefix
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+# one double literal shared by both engines: alpha * m^2 * 2^WBITS
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+_HLL_LC_GATE = 2.5 * _HLL_M  # raw estimate below this + empty regs -> LC
+
+
+def _hll_col_sql(col: str) -> str:
+    """DuckDB CTE body: HLL estimate + exact count for one column."""
+    return f"""(
+  WITH h AS (
+    SELECT ('0x' || substr(md5(CAST({col} AS STRING)), 1, 13))::BIGINT AS hv
+    FROM events
+  ), rho AS (
+    SELECT hv & {_HLL_M - 1} AS bucket,
+           {44} - bit_count({_smear_sql_inline()})::INTEGER AS rho
+    FROM (SELECT hv, hv >> {_HLL_P} AS w FROM h)
+  ), regs AS (
+    SELECT bucket, max(rho) AS rho_max FROM rho GROUP BY bucket
+  ), summed AS (
+    SELECT sum(1::BIGINT << (44 - rho_max))::BIGINT AS sum_occ,
+           count(*)::BIGINT AS n_occ
+    FROM regs
+  ), est AS (
+    SELECT ({_HLL_M} - n_occ)::BIGINT AS zero_registers,
+           sum_occ + ({_HLL_M} - n_occ) * (1::BIGINT << 44) AS sum_int
+    FROM summed
+  ), raw AS (
+    SELECT zero_registers,
+           {_HLL_NUM!r} / sum_int AS raw_e
+    FROM est
+  )
+  SELECT '{col}' AS col_name,
+         (SELECT count(DISTINCT {col})::BIGINT FROM events) AS n_exact,
+         CASE WHEN raw_e <= {_HLL_LC_GATE!r} AND zero_registers > 0
+              THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zero_registers), 4)
+              ELSE round(raw_e, 4) END AS hll_estimate,
+         zero_registers
+  FROM raw
+)"""
+
+
+def _smear_sql_inline() -> str:
+    smear = "w"
+    for s in (1, 2, 4, 8, 16, 32):
+        smear = f"({smear} | ({smear} >> {s}))"
+    return smear
+
+
+@register(
+    "hll_distinct_audit",
+    oracle=f"""
+SELECT col_name, n_exact, hll_estimate, zero_registers,
+       round(abs(hll_estimate - n_exact) / n_exact, 6) AS rel_err
+FROM (
+  SELECT * FROM {_hll_col_sql("event_id")}
+  UNION ALL
+  SELECT * FROM {_hll_col_sql("user_id")}
+  UNION ALL
+  SELECT * FROM {_hll_col_sql("event_type")}
+)
+ORDER BY col_name
+""",
+    doc="From-scratch HyperLogLog (p=9, 512 registers) distinct-count "
+    "estimates for three cardinality regimes of the events table — "
+    "event_id (unique: raw-HLL branch), user_id and event_type (sparse: "
+    "linear-counting branch) — audited against the exact counts.  "
+    "Register maxima aggregate map-side (max is associative), and the "
+    "harmonic-mean denominator is an EXACT integer sum (register rho "
+    "contributes 2^(44-rho); max 2^53), so the estimate is bit-identical "
+    "across engines and partitionings; bit_length uses bit-smear + "
+    "bit_count, never float log2.  At 100 TB this is the one-pass "
+    "mergeable cardinality path where count(DISTINCT) would shuffle the "
+    "full key set.",
+)
+def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def _bitlen(c):
+        v = c
+        for s in (1, 2, 4, 8, 16, 32):
+            v = v.bitwiseOR(F.shiftrightunsigned(v, s))
+        return F.bit_count(v)
+
+    def one(col: str) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
+        ).cast("long")
+        hashed = ev.select(h.alias("hv")).select(
+            F.col("hv").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+            F.shiftrightunsigned("hv", _HLL_P).alias("w"),
+        )
+        rho = hashed.select(
+            "bucket",
+            (F.lit(44) - _bitlen(F.col("w")).cast("int")).alias("rho"),
+        )
+        regs = rho.groupBy("bucket").agg(F.max("rho").alias("rho_max"))
+        summed = regs.agg(
+            F.sum(F.expr("shiftleft(1L, 44 - rho_max)"))
+            .cast("bigint")
+            .alias("sum_occ"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        est = summed.select(
+            (F.lit(_HLL_M) - F.col("n_occ"))
+            .cast("bigint")
+            .alias("zero_registers"),
+            (
+                F.col("sum_occ")
+                + (F.lit(_HLL_M) - F.col("n_occ"))
+                * F.lit(1 << 44).cast("long")
+            ).alias("sum_int"),
+        ).select(
+            "zero_registers",
+            (F.lit(_HLL_NUM) / F.col("sum_int")).alias("raw_e"),
+        )
+        exact = ev.agg(
+            F.countDistinct(col).cast("bigint").alias("n_exact")
+        )
+        return est.crossJoin(F.broadcast(exact)).select(
+            F.lit(col).alias("col_name"),
+            "n_exact",
+            F.when(
+                (F.col("raw_e") <= F.lit(_HLL_LC_GATE))
+                & (F.col("zero_registers") > 0),
+                F.round(
+                    F.lit(float(_HLL_M))
+                    * F.log(F.lit(float(_HLL_M)) / F.col("zero_registers")),
+                    4,
+                ),
+            )
+            .otherwise(F.round("raw_e", 4))
+            .alias("hll_estimate"),
+            "zero_registers",
+        )
+
+    out = one("event_id")
+    for c in ("user_id", "event_type"):
+        out = out.unionByName(one(c))
+    return out.select(
+        "col_name",
+        "n_exact",
+        "hll_estimate",
+        "zero_registers",
+        F.round(
+            F.abs(F.col("hll_estimate") - F.col("n_exact"))
+            / F.col("n_exact"),
+            6,
+        ).alias("rel_err"),
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch audit (r10): completes the from-scratch
+# sketch family (Count-Min, Bloom, MinHash, HLL) with the quantile
+# member.  A fixed-bin histogram is THE mergeable quantile sketch shape
+# at 100 TB: per-partition bin counts partial-aggregate map-side, merge
+# by vector addition, and the quantile read-out is a cumsum walk over
+# 256 rows — where exact percentile sorts the full column.  Spark ships
+# approx_percentile (GK sketch) but its internals are not oracle-
+# reproducible; this one is bit-identical in both engines: bin
+# assignment is floor((x-lo)/w) on deterministic double ops, counts are
+# exact integers, and the interpolated estimate is a fixed sequence of
+# correctly-rounded scalar ops.
+# ---------------------------------------------------------------------------
+_QH_BINS = 256
+_QH_QS = (0.5, 0.95, 0.99)
+
+
+@register(
+    "quantile_histogram_audit",
+    oracle=f"""
+WITH stats AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*)::BIGINT AS n
+  FROM lineitem
+), binned AS (
+  SELECT least(CAST(floor((l_extendedprice - s.lo) /
+                          ((s.hi - s.lo) / {_QH_BINS})) AS INTEGER),
+               {_QH_BINS - 1}) AS bin
+  FROM lineitem, stats s
+), hist AS (
+  SELECT bin, count(*)::BIGINT AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         coalesce(sum(cnt) OVER (
+           ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_below
+  FROM hist
+), qs AS (
+  SELECT q FROM unnest([{", ".join(str(q) for q in _QH_QS)}]) AS t(q)
+), picked AS (
+  SELECT q, min(bin) AS bin
+  FROM qs, cum, stats s
+  WHERE cum >= q * s.n
+  GROUP BY q
+), est AS (
+  SELECT p.q,
+         s.lo + ((s.hi - s.lo) / {_QH_BINS}) *
+           (p.bin + (p.q * s.n - c.cum_below) / c.cnt) AS h_est
+  FROM picked p JOIN cum c ON c.bin = p.bin, stats s
+), exact AS (
+  -- quantile_cont requires constant parameters: one UNION ALL branch
+  -- per audited quantile (DuckDB folds the three scans)
+  {" UNION ALL ".join(
+      f"SELECT {q} AS q, quantile_cont(l_extendedprice, {q}) AS exact_value FROM lineitem"
+      for q in _QH_QS
+  )}
+)
+SELECT e.q, round(x.exact_value, 6) AS exact_value,
+       round(e.h_est, 6) AS hist_estimate,
+       round(abs(e.h_est - x.exact_value), 6) AS abs_err
+FROM est e JOIN exact x USING (q)
+ORDER BY e.q
+""",
+    doc="Fixed-bin (256) histogram quantile sketch vs exact percentile "
+    "for P50/P95/P99 of l_extendedprice — the from-scratch mergeable "
+    "quantile estimator with its one-sided-resolution error measured, "
+    "completing the sketch family next to countmin_heavy_hitters, "
+    "bloom_filter_join_audit and hll_distinct_audit.  Bin counts are "
+    "exact integers merged by addition (map-side partial agg; the "
+    "exchange carries <= 256 rows per partition), the read-out is a "
+    "cumsum walk + one interpolation — every float op is a fixed "
+    "sequence of correctly-rounded scalars, so both engines emit "
+    "identical doubles.  At 100 TB the exact side (full sort) is the "
+    "thing you CAN'T run — the audit quantifies what the cheap sketch "
+    "gives up (max error = one bin width).",
+)
+def q_quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_QH_BINS)
+    binned = li.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                "int"
+            ),
+            F.lit(_QH_BINS - 1),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("bin")
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("cum_below"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _QH_QS], "q double"
+    )
+    picked = (
+        qs.crossJoin(cum)
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = (
+        picked.join(cum, "bin")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q",
+            (
+                F.col("lo")
+                + width
+                * (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - F.col("cum_below"))
+                    / F.col("cnt")
+                )
+            ).alias("h_est"),
+        )
+    )
+    # percentile() requires a FOLDABLE percentage: one pass computes all
+    # three literals, then the scalar row unpivots to (q, exact_value)
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q!r})").alias(f"p{i}")
+            for i, q in enumerate(_QH_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.col(f"p{i}").alias("exact_value"),
+                    )
+                    for i, q in enumerate(_QH_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact_value")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("exact_value", 6).alias("exact_value"),
+            F.round("h_est", 6).alias("hist_estimate"),
+            F.round(
+                F.abs(F.col("h_est") - F.col("exact_value")), 6
+            ).alias("abs_err"),
+        )
+        .orderBy("q")
+    )
