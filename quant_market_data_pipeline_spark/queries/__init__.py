@@ -63,9 +63,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # ROTATION POLICY (steady state, every query driver-green cumulatively):
 # each round's window = (a) queries NEW this round, (b) queries whose
 # implementation, shared operator, or oracle was TOUCHED this round, and
-# (c) a 20-query STALENESS-WEIGHTED re-confirmation sample over the
-# untouched remainder — the sample guards against silent oracle drift
-# that a touched-only window would miss.  r9 change (round-8 judge
+# (c) a STALENESS-WEIGHTED re-confirmation sample over the untouched
+# remainder, sized to fill every remaining driver slot (k = 50 - |a| -
+# |b|; raised from a fixed 20 in r10 — a shorter list just cedes slots
+# to registration order, which re-checks fresh queries while stale ones
+# wait).  The sample guards against silent oracle drift that a
+# touched-only window would miss.  r9 change (round-8 judge
 # directive #5): the sample was a uniform seeded draw (md5("r{N}:" +
 # name)), under which a never-touched query's expected re-check latency
 # is unbounded; it is now ordered by rounds-since-last-driver-
@@ -143,7 +146,82 @@ _R9_SAMPLE = [
     "semi_join_heavy_orders",
     "max_drawdown",
 ]
-_PRIORITY = _R9_NEW + _R9_TOUCHED + _R9_SAMPLE
+# --- round 10 window -----------------------------------------------------
+# r10 policy refinement: the sample fills EVERY driver slot the
+# touched/new sections leave free (k = 50 - |a| - |b| = 41, vs the old
+# fixed 20) — the driver verifies the first 50 of load_all(), so a
+# shorter priority list just cedes slots to registration order, which
+# re-checks fresh queries while stale ones wait.  This round drains the
+# ENTIRE r2 cohort (33 queries) plus the 8 stalest of r3.
+_R10_NEW = [
+    "hll_distinct_audit",
+    "quantile_histogram_audit",
+]
+_R10_TOUCHED = [
+    # corpus-adaptive hyperplane-LSH plane count (judge directive #2):
+    # prefix-nested 12-bit families, stride-12 offsets, adaptive planes
+    "ann_lsh_topk",
+    "ann_lsh_mt_topk",
+    "ann_recall_audit",
+    "ann_mt_recall_audit",
+    "hard_negative_mining",
+    # 16-bit operating-range fail-fast guard (judge directive #4)
+    "simhash_neardup_pairs",
+    # lossless hot-band split (judge directive #6)
+    "simhash60_neardup_pairs",
+    # NOTE: bloom_filter_join_audit's oracle template now interpolates
+    # _BF_LANE_BITS instead of a literal 63 (ADVICE r9) — the generated
+    # SQL is byte-identical (proven at commit 85da8e5), so it is NOT
+    # window-inflated; same for the check_oracle PROVENANCE line.
+]
+# (c) staleness-weighted sample, recomputed by
+#     `python tools/staleness_sample.py 10 - 41` with (a)+(b) as stdin:
+#     all 33 queries last driver-verified in r2, then the 8 stalest of
+#     the r3 cohort (md5("r10:"+name) tiebreak within equal staleness)
+_R10_SAMPLE = [
+    "label_centroids",
+    "pandas_udf_quality_score",
+    "rollup_regional_revenue",
+    "bars_rollup_1h",
+    "intersect_buyer_event_users",
+    "pivot_status_revenue",
+    "token_lang_profile",
+    "quality_filter_verdicts",
+    "edit_distance_pairs",
+    "forecast_revenue_change",
+    "dq_run_summary",
+    "stratified_sample_docs",
+    "window_rank_suite",
+    "nested_explode_bars",
+    "explode_outer_shingles",
+    "large_volume_orders",
+    "shipping_priority",
+    "returned_item_revenue",
+    "order_priority_check",
+    "range_join_view_purchase",
+    "except_all_multiset",
+    "above_avg_orders",
+    "pii_redaction",
+    "percentiles_quantity",
+    "grouping_sets_revenue",
+    "decimal_cast_sums",
+    "dedup_keep_list",
+    "full_outer_nation_coverage",
+    "bar_returns_daily_vol",
+    "except_churned_customers",
+    "cumulative_monthly_revenue",
+    "distinct_agg_parts",
+    "cube_status_priority",
+    "train_split_assignment",
+    "grouped_agg_median_value",
+    "idle_rich_customers",
+    "approx_distinct_users",
+    "promo_revenue_ratio",
+    "bigram_conditional_probs",
+    "decontamination_report",
+    "funnel_conversion",
+]
+_PRIORITY = _R10_NEW + _R10_TOUCHED + _R10_SAMPLE
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -13,6 +13,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 
+def _r9_registry_names():
+    """The registry AS OF round 9: the live registry minus queries that
+    first appear in round 10+ (no verification before round 10 and not
+    in the r9 window).  Without this scope, every later round's NEW
+    queries — never-verified, hence oldest-sorting — would retroactively
+    displace entries from the recomputed r9 sample and break the pin."""
+    import staleness_sample as ss
+
+    from quant_market_data_pipeline_spark.queries import (
+        _R9_NEW,
+        _R9_SAMPLE,
+        _R9_TOUCHED,
+        load_all,
+    )
+
+    seen = ss.last_verified_rounds(REPO, before_round=10)
+    r9_era = set(seen) | set(_R9_NEW) | set(_R9_TOUCHED) | set(_R9_SAMPLE)
+    return [n for n in load_all() if n in r9_era]
+
+
 def test_staleness_sample_policy_matches_committed_window():
     """Section (c) of _PRIORITY must equal the staleness-weighted sample
     recomputed from the committed CORRECTNESS_r*.json artifacts (oldest
@@ -24,10 +44,9 @@ def test_staleness_sample_policy_matches_committed_window():
         _R9_NEW,
         _R9_SAMPLE,
         _R9_TOUCHED,
-        load_all,
     )
 
-    names = list(load_all())
+    names = _r9_registry_names()
     touched = set(_R9_NEW) | set(_R9_TOUCHED)
     expected = ss.staleness_sample(9, names, touched, k=20, repo_root=REPO)
     assert _R9_SAMPLE == expected
@@ -43,7 +62,6 @@ def test_staleness_sample_prefers_oldest_verification():
         _R9_NEW,
         _R9_SAMPLE,
         _R9_TOUCHED,
-        load_all,
     )
 
     # before_round=9: the invariant is over the artifacts that existed
@@ -55,7 +73,9 @@ def test_staleness_sample_prefers_oldest_verification():
     touched = set(_R9_NEW) | set(_R9_TOUCHED)
     sampled_max = max(seen.get(n, -1) for n in _R9_SAMPLE)
     rest = [
-        n for n in load_all() if n not in touched and n not in _R9_SAMPLE
+        n
+        for n in _r9_registry_names()
+        if n not in touched and n not in _R9_SAMPLE
     ]
     # oldest-first: nothing outside the sample is strictly staler than
     # the newest verdict inside it
