@@ -213,6 +213,9 @@ TICKSCALE = [
     # dimension before any math — probe pins both
     "garch_11_vol",
     "cornish_fisher_var",
+    # r10: the from-scratch HLL — one pass + a <= 512-row register
+    # merge per audited column; x16 ticks must move only the scan
+    "hll_distinct_audit",
 ]
 
 

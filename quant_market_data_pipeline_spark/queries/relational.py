@@ -1010,6 +1010,77 @@ def _smear_sql_inline() -> str:
     return smear
 
 
+def hll_rho_frame(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
+    """(keys..., bucket, rho) for every row — the HLL register update
+    stream.  Deterministic md5 hash, bit-smear bit_length (no float
+    log2); shared by the batch audit and the incremental streaming
+    maintenance query (stream_hll_distinct_e2e), whose parity RESTS on
+    this being the identical register function."""
+
+    def _bitlen(c):
+        v = c
+        for s in (1, 2, 4, 8, 16, 32):
+            v = v.bitwiseOR(F.shiftrightunsigned(v, s))
+        return F.bit_count(v)
+
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return df.select(*keys, h.alias("hv")).select(
+        *keys,
+        F.col("hv").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
+        (
+            F.lit(44)
+            - _bitlen(F.shiftrightunsigned("hv", _HLL_P)).cast("int")
+        ).alias("rho"),
+    )
+
+
+def hll_estimate_from_regs(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """(keys..., hll_estimate, zero_registers) from merged registers
+    (keys..., bucket, rho_max).  The harmonic denominator is an EXACT
+    integer sum (rho contributes 2^(44-rho); <= 512*2^44 = 2^53), so
+    the estimate is independent of partitioning, merge order and — for
+    the streaming consumer — micro-batch boundaries."""
+    grouped = regs.groupBy(*keys) if keys else regs.groupBy()
+    summed = grouped.agg(
+        F.sum(F.expr("shiftleft(1L, 44 - rho_max)"))
+        .cast("bigint")
+        .alias("sum_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+    )
+    est = summed.select(
+        *keys,
+        (F.lit(_HLL_M) - F.col("n_occ"))
+        .cast("bigint")
+        .alias("zero_registers"),
+        (
+            F.col("sum_occ")
+            + (F.lit(_HLL_M) - F.col("n_occ")) * F.lit(1 << 44).cast("long")
+        ).alias("sum_int"),
+    ).select(
+        *keys,
+        "zero_registers",
+        (F.lit(_HLL_NUM) / F.col("sum_int")).alias("raw_e"),
+    )
+    return est.select(
+        *keys,
+        F.when(
+            (F.col("raw_e") <= F.lit(_HLL_LC_GATE))
+            & (F.col("zero_registers") > 0),
+            F.round(
+                F.lit(float(_HLL_M))
+                * F.log(F.lit(float(_HLL_M)) / F.col("zero_registers")),
+                4,
+            ),
+        )
+        .otherwise(F.round("raw_e", 4))
+        .alias("hll_estimate"),
+        "zero_registers",
+    )
+
+
+
 @register(
     "hll_distinct_audit",
     oracle=f"""
@@ -1039,61 +1110,17 @@ ORDER BY col_name
 def q_hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
 
-    def _bitlen(c):
-        v = c
-        for s in (1, 2, 4, 8, 16, 32):
-            v = v.bitwiseOR(F.shiftrightunsigned(v, s))
-        return F.bit_count(v)
-
     def one(col: str) -> DataFrame:
-        h = F.conv(
-            F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
-        ).cast("long")
-        hashed = ev.select(h.alias("hv")).select(
-            F.col("hv").bitwiseAND(F.lit(_HLL_M - 1)).alias("bucket"),
-            F.shiftrightunsigned("hv", _HLL_P).alias("w"),
-        )
-        rho = hashed.select(
-            "bucket",
-            (F.lit(44) - _bitlen(F.col("w")).cast("int")).alias("rho"),
-        )
+        rho = hll_rho_frame(ev, col, [])
         regs = rho.groupBy("bucket").agg(F.max("rho").alias("rho_max"))
-        summed = regs.agg(
-            F.sum(F.expr("shiftleft(1L, 44 - rho_max)"))
-            .cast("bigint")
-            .alias("sum_occ"),
-            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
-        )
-        est = summed.select(
-            (F.lit(_HLL_M) - F.col("n_occ"))
-            .cast("bigint")
-            .alias("zero_registers"),
-            (
-                F.col("sum_occ")
-                + (F.lit(_HLL_M) - F.col("n_occ"))
-                * F.lit(1 << 44).cast("long")
-            ).alias("sum_int"),
-        ).select(
-            "zero_registers",
-            (F.lit(_HLL_NUM) / F.col("sum_int")).alias("raw_e"),
-        )
+        est = hll_estimate_from_regs(regs, [])
         exact = ev.agg(
             F.countDistinct(col).cast("bigint").alias("n_exact")
         )
         return est.crossJoin(F.broadcast(exact)).select(
             F.lit(col).alias("col_name"),
             "n_exact",
-            F.when(
-                (F.col("raw_e") <= F.lit(_HLL_LC_GATE))
-                & (F.col("zero_registers") > 0),
-                F.round(
-                    F.lit(float(_HLL_M))
-                    * F.log(F.lit(float(_HLL_M)) / F.col("zero_registers")),
-                    4,
-                ),
-            )
-            .otherwise(F.round("raw_e", 4))
-            .alias("hll_estimate"),
+            "hll_estimate",
             "zero_registers",
         )
 

@@ -944,3 +944,153 @@ def q_stream_vpin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("oi_frac", 6).alias("oi_frac"),
         F.round("vpin", 6).alias("vpin"),
     )
+
+
+def _stream_hll_oracle() -> str:
+    """Batch HLL per symbol — generated from the SAME SQL fragments the
+    batch audit uses (relational._smear_sql_inline + constants), so the
+    two oracles cannot drift apart."""
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _HLL_LC_GATE,
+        _HLL_M,
+        _HLL_NUM,
+        _HLL_P,
+        _smear_sql_inline,
+    )
+
+    return f"""
+WITH h AS (
+  SELECT event_type AS symbol,
+         ('0x' || substr(md5(CAST(user_id AS STRING)), 1, 13))::BIGINT AS hv
+  FROM events
+), rho AS (
+  SELECT symbol, hv & {_HLL_M - 1} AS bucket,
+         44 - bit_count({_smear_sql_inline()})::INTEGER AS rho
+  FROM (SELECT symbol, hv, hv >> {_HLL_P} AS w FROM h)
+), regs AS (
+  SELECT symbol, bucket, max(rho) AS rho_max FROM rho GROUP BY 1, 2
+), summed AS (
+  SELECT symbol,
+         sum(1::BIGINT << (44 - rho_max))::BIGINT AS sum_occ,
+         count(*)::BIGINT AS n_occ
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT symbol,
+         ({_HLL_M} - n_occ)::BIGINT AS zero_registers,
+         {_HLL_NUM!r} / (sum_occ + ({_HLL_M} - n_occ) * (1::BIGINT << 44))
+           AS raw_e
+  FROM summed
+), exact AS (
+  SELECT event_type AS symbol, count(DISTINCT user_id)::BIGINT AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT e.symbol, x.n_exact,
+       CASE WHEN e.raw_e <= {_HLL_LC_GATE!r} AND e.zero_registers > 0
+            THEN round({float(_HLL_M)!r} * ln({float(_HLL_M)!r} / e.zero_registers), 4)
+            ELSE round(e.raw_e, 4) END AS hll_estimate,
+       e.zero_registers
+FROM est e JOIN exact x USING (symbol)
+ORDER BY e.symbol
+"""
+
+
+
+# ---------------------------------------------------------------------------
+# Incremental HLL distinct-count maintenance (r10): the streaming side
+# of hll_distinct_audit.  At 100 TB a distinct-users dashboard is never
+# recomputed from scratch — each micro-batch folds its rows into the
+# register set and the read-out merges registers by max.  Because the
+# register update (max) is associative, commutative and idempotent, the
+# merged estimate is EXACTLY the batch sketch no matter how the stream
+# was split into micro-batches — that invariance is what this gate
+# hash-checks, using the identical register function (relational.py:
+# hll_rho_frame) on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_hll_distinct_e2e",
+    oracle=_stream_hll_oracle(),
+    doc="Incremental HyperLogLog maintenance across micro-batches: the "
+    "event stream drains one landing file per trigger (4 genuine "
+    "micro-batches), each batch folds its rows into per-(symbol, "
+    "bucket) register PARTIALS via an idempotent batch_id-partitioned "
+    "foreachBatch sink, and the read-out merges partials by max before "
+    "the estimate.  Register max-merge is associative, commutative and "
+    "idempotent, so the merged estimate is BIT-IDENTICAL to the batch "
+    "sketch regardless of micro-batch splits (and of a replayed batch "
+    "— the batch_id overwrite scope) — the property that makes HLL the "
+    "distinct-count structure a 100 TB incremental pipeline maintains "
+    "instead of recomputing.  Both sides use the identical register "
+    "function (relational.py:hll_rho_frame); hash-checked against the "
+    "batch HLL + exact distinct per symbol.",
+)
+def q_stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.relational import (
+        hll_estimate_from_regs,
+        hll_rho_frame,
+    )
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("symbol"), "ts", "user_id"
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_hll")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    regs_out, ckpt = str(base / "regs"), str(base / "ckpt")
+    _land_time_sliced(ev, "ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch register PARTIALS; the batch_id partition makes a
+        # checkpoint-replayed batch overwrite exactly its own leaves
+        partial = (
+            hll_rho_frame(batch_df, "user_id", ["symbol"])
+            .groupBy("symbol", "bucket")
+            .agg(F.max("rho").alias("rho_max"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(regs_out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    merged = (
+        spark.read.parquet(regs_out)
+        .groupBy("symbol", "bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+    est = hll_estimate_from_regs(merged, ["symbol"])
+    exact = ev.groupBy("symbol").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        est.join(exact, "symbol")
+        .select("symbol", "n_exact", "hll_estimate", "zero_registers")
+        .orderBy("symbol")
+    )
