@@ -148,15 +148,16 @@ _R9_SAMPLE = [
 ]
 # --- round 10 window -----------------------------------------------------
 # r10 policy refinement: the sample fills EVERY driver slot the
-# touched/new sections leave free (k = 50 - |a| - |b| = 40, vs the old
+# touched/new sections leave free (k = 50 - |a| - |b| = 39, vs the old
 # fixed 20) — the driver verifies the first 50 of load_all(), so a
 # shorter priority list just cedes slots to registration order, which
 # re-checks fresh queries while stale ones wait.  This round drains the
-# ENTIRE r2 cohort (33 queries) plus the 7 stalest of r3.
+# ENTIRE r2 cohort (33 queries) plus the 6 stalest of r3.
 _R10_NEW = [
     "hll_distinct_audit",
     "quantile_histogram_audit",
     "stream_hll_distinct_e2e",
+    "waiting_supplier_q21",
 ]
 _R10_TOUCHED = [
     # corpus-adaptive hyperplane-LSH plane count (judge directive #2):
@@ -176,8 +177,8 @@ _R10_TOUCHED = [
     # window-inflated; same for the check_oracle PROVENANCE line.
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 10 - 40` with (a)+(b) as stdin:
-#     all 33 queries last driver-verified in r2, then the 7 stalest of
+#     `python tools/staleness_sample.py 10 - 39` with (a)+(b) as stdin:
+#     all 33 queries last driver-verified in r2, then the 6 stalest of
 #     the r3 cohort (md5("r10:"+name) tiebreak within equal staleness)
 _R10_SAMPLE = [
     "label_centroids",
@@ -219,7 +220,6 @@ _R10_SAMPLE = [
     "approx_distinct_users",
     "promo_revenue_ratio",
     "bigram_conditional_probs",
-    "decontamination_report",
 ]
 _PRIORITY = _R10_NEW + _R10_TOUCHED + _R10_SAMPLE
 

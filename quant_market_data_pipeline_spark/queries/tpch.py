@@ -1023,3 +1023,105 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             fin(F.sum(_disc_price())).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (r10): suppliers who kept orders waiting.  The hardest
+# relational shape in the suite — a correlated EXISTS and a correlated
+# NOT EXISTS, BOTH self-joining the fact table, under a dimension join.
+# The fixture carries no commit/receipt dates, so "late" is adapted to
+# l_shipdate > o_orderdate + 60 days (the shape, not the constant, is
+# what the query demonstrates); partsupp-dependent Q2/Q11/Q20 are the
+# only TPC-H relational shapes the fixture cannot express at all.
+# ---------------------------------------------------------------------------
+@register(
+    "waiting_supplier_q21",
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, n.n_name, count(*)::BIGINT AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name
+""",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): for "
+    "finished orders, count per supplier the late lineitems where at "
+    "least one OTHER supplier participated (EXISTS self-join) but no "
+    "other supplier was ALSO late (NOT EXISTS self-join) — the "
+    "sole-blame attribution query.  Spark plan: one (orderkey, suppkey, "
+    "late) reduction of the fact (the three correlated references all "
+    "read THIS frame, localCheckpointed once), EXISTS as a left-semi "
+    "and NOT EXISTS as a left-anti join, both equi on l_orderkey with "
+    "the suppkey inequality as a residual — hash-partitionable, no "
+    "cartesian anywhere; supplier/nation broadcast.  Lateness is "
+    "adapted to shipdate > orderdate + 60 days (fixture has no "
+    "commit/receipt dates).  At 100 TB: the fact reduces before any "
+    "self-join, both self-joins share the orderkey partitioning, and "
+    "the output is supplier-dimension-sized.",
+)
+def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.session import materialize_corpus
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    # all three correlated references (l1, the EXISTS leg, the NOT
+    # EXISTS leg) read this reduced frame — truncate once
+    li = materialize_corpus(li)
+
+    l1 = li.filter(F.col("late"))
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+        "late",
+    )
+    exists_other = (others["o2_orderkey"] == l1["l_orderkey"]) & (
+        others["o2_suppkey"] != l1["l_suppkey"]
+    )
+    blamed = l1.join(others, exists_other, "left_semi")
+    late_others = others.filter(F.col("late"))
+    not_exists_other_late = (
+        late_others["o2_orderkey"] == blamed["l_orderkey"]
+    ) & (late_others["o2_suppkey"] != blamed["l_suppkey"])
+    sole = blamed.join(late_others, not_exists_other_late, "left_anti")
+
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sole.join(
+            F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )

@@ -77,3 +77,22 @@ def test_bracket_revenue_monotone_in_brackets(spark):
     # the disjunction can only keep a subset of the joined fact
     li_n = load_table(spark, "lineitem", SF_DIR).count()
     assert row.n_items < li_n
+
+
+def test_q21_shape_semi_anti_no_nested_loop(spark):
+    """waiting_supplier_q21's correlated EXISTS / NOT EXISTS must plan
+    as a LeftSemi and a LeftAnti join keyed on l_orderkey (suppkey
+    inequality as residual), with NO nested-loop join anywhere — the
+    property that keeps the sole-blame shape hash-partitionable at
+    100 TB."""
+    from quant_market_data_pipeline_spark.queries import load_all
+
+    df = load_all()["waiting_supplier_q21"].spark(
+        spark, "/root/testdata/sf0.001"
+    )
+    df.count()  # executed plan (AQE-final)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
