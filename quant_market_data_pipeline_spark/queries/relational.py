@@ -963,8 +963,13 @@ _HLL_P = 9
 _HLL_M = 1 << _HLL_P  # 512 registers
 _HLL_WBITS = 52 - _HLL_P  # 43-bit rho window from a 52-bit md5 prefix
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
-# one double literal shared by both engines: alpha * m^2 * 2^WBITS
-_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_WBITS)
+# One double literal shared by both engines.  Registers contribute
+# 2^(44-rho) to the EXACT integer harmonic sum (empty register: rho=0
+# -> 2^44), i.e. sum_int = 2^44 * sum(2^-M[j]); the standard raw
+# estimate alpha*m^2 / sum(2^-M[j]) therefore needs alpha*m^2 * 2^44
+# in the numerator — 2^(WBITS+1), NOT 2^WBITS (rho ranges 1..44 over a
+# 43-bit window: rho = 43 - bitlen(w) + 1).
+_HLL_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_WBITS + 1))
 _HLL_LC_GATE = 2.5 * _HLL_M  # raw estimate below this + empty regs -> LC
 
 
@@ -1097,8 +1102,12 @@ ORDER BY col_name
 """,
     doc="From-scratch HyperLogLog (p=9, 512 registers) distinct-count "
     "estimates for three cardinality regimes of the events table — "
-    "event_id (unique: raw-HLL branch), user_id and event_type (sparse: "
-    "linear-counting branch) — audited against the exact counts.  "
+    "event_id (unique: raw-HLL branch), event_type (tiny: "
+    "linear-counting branch at every scale), user_id (scale-dependent: "
+    "LC at sf<=0.1 where its cardinality sits under the 2.5*m=1280 "
+    "gate, raw-HLL on the grown sf1.0 fixture where it reaches 15,000 "
+    "distinct with zero empty registers) — audited against the exact "
+    "counts.  "
     "Register maxima aggregate map-side (max is associative), and the "
     "harmonic-mean denominator is an EXACT integer sum (register rho "
     "contributes 2^(44-rho); max 2^53), so the estimate is bit-identical "
@@ -1157,6 +1166,30 @@ _QH_BINS = 256
 _QH_QS = (0.5, 0.95, 0.99)
 
 
+def qh_bin_sql(col: str, lo: str, hi: str) -> str:
+    """DuckDB fragment: fixed-edge 256-bin assignment — ONE definition
+    shared by the batch audit oracle and the streaming maintenance
+    oracle (stream_quantile_e2e), so the two cannot drift apart (the
+    stream_hll _smear_sql_inline pattern)."""
+    return (
+        f"least(CAST(floor(({col} - {lo}) / "
+        f"(({hi} - {lo}) / {_QH_BINS})) AS INTEGER), {_QH_BINS - 1})"
+    )
+
+
+def qh_bin_expr(col, lo, hi):
+    """Spark twin of qh_bin_sql — the register function of the quantile
+    sketch.  Given fixed edges (lo, hi) it is a pure per-row map, so
+    per-micro-batch bin counts SUM-merge to exactly the batch histogram
+    (addition is associative/commutative; idempotence comes from the
+    batch_id-partitioned sink).  Identical expression tree in the batch
+    audit and the streaming fold -> identical doubles."""
+    width = (hi - lo) / F.lit(_QH_BINS)
+    return F.least(
+        F.floor((col - lo) / width).cast("int"), F.lit(_QH_BINS - 1)
+    )
+
+
 @register(
     "quantile_histogram_audit",
     oracle=f"""
@@ -1165,9 +1198,7 @@ WITH stats AS (
          count(*)::BIGINT AS n
   FROM lineitem
 ), binned AS (
-  SELECT least(CAST(floor((l_extendedprice - s.lo) /
-                          ((s.hi - s.lo) / {_QH_BINS})) AS INTEGER),
-               {_QH_BINS - 1}) AS bin
+  SELECT {qh_bin_sql("l_extendedprice", "s.lo", "s.hi")} AS bin
   FROM lineitem, stats s
 ), hist AS (
   SELECT bin, count(*)::BIGINT AS cnt FROM binned GROUP BY bin
@@ -1231,11 +1262,8 @@ def q_quantile_histogram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(_QH_BINS)
     binned = li.crossJoin(F.broadcast(stats)).select(
-        F.least(
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
-                "int"
-            ),
-            F.lit(_QH_BINS - 1),
+        qh_bin_expr(
+            F.col("l_extendedprice"), F.col("lo"), F.col("hi")
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(

@@ -1094,3 +1094,256 @@ def q_stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("symbol", "n_exact", "hll_estimate", "zero_registers")
         .orderBy("symbol")
     )
+
+
+def _stream_qh_oracle() -> str:
+    """Batch 256-bin quantile histogram per symbol — generated from the
+    SAME bin fragment the batch audit's oracle interpolates
+    (relational.qh_bin_sql + _QH_BINS/_QH_QS), so the streaming and
+    batch oracles cannot drift apart (the _stream_hll_oracle pattern)."""
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _QH_BINS,
+        _QH_QS,
+        qh_bin_sql,
+    )
+
+    return f"""
+WITH stats AS (
+  SELECT event_type AS symbol, min(value) AS lo, max(value) AS hi,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+), binned AS (
+  SELECT e.event_type AS symbol,
+         {qh_bin_sql("e.value", "s.lo", "s.hi")} AS bin
+  FROM events e JOIN stats s ON s.symbol = e.event_type
+), hist AS (
+  SELECT symbol, bin, count(*)::BIGINT AS cnt FROM binned GROUP BY 1, 2
+), cum AS (
+  SELECT symbol, bin, cnt,
+         sum(cnt) OVER (PARTITION BY symbol ORDER BY bin) AS cum,
+         coalesce(sum(cnt) OVER (
+           PARTITION BY symbol ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_below
+  FROM hist
+), qs AS (
+  SELECT q FROM unnest([{", ".join(str(q) for q in _QH_QS)}]) AS t(q)
+), picked AS (
+  SELECT c.symbol, qs.q, min(c.bin) AS bin
+  FROM qs CROSS JOIN cum c JOIN stats s ON s.symbol = c.symbol
+  WHERE c.cum >= qs.q * s.n
+  GROUP BY 1, 2
+), est AS (
+  SELECT p.symbol, p.q,
+         s.lo + ((s.hi - s.lo) / {_QH_BINS}) *
+           (p.bin + (p.q * s.n - c.cum_below) / c.cnt) AS h_est
+  FROM picked p
+  JOIN cum c ON c.symbol = p.symbol AND c.bin = p.bin
+  JOIN stats s ON s.symbol = p.symbol
+), exact AS (
+  {" UNION ALL ".join(
+      f"SELECT event_type AS symbol, {q} AS q, "
+      f"quantile_cont(value, {q}) AS exact_value FROM events GROUP BY 1"
+      for q in _QH_QS
+  )}
+)
+SELECT e.symbol, e.q, round(x.exact_value, 6) AS exact_value,
+       round(e.h_est, 6) AS hist_estimate,
+       round(abs(e.h_est - x.exact_value), 6) AS abs_err
+FROM est e JOIN exact x ON x.symbol = e.symbol AND x.q = e.q
+ORDER BY e.symbol, e.q
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental quantile-histogram maintenance (r11): the streaming side
+# of quantile_histogram_audit, completing the pattern stream_hll
+# proved — per-batch sketch PARTIALS through an idempotent
+# batch_id-partitioned foreachBatch sink, algebraic merge at read-out.
+# HLL registers merge by MAX; histogram bin counts merge by SUM, which
+# is associative and commutative, so the merged histogram is EXACTLY
+# the batch histogram no matter how the stream was micro-batched (and
+# a checkpoint-replayed batch overwrites its own batch_id partition,
+# restoring idempotence that raw addition lacks).  Bin edges are FIXED
+# before the stream starts (the calibration scan a real deployment
+# runs once on domain bounds) — with fixed edges the bin assignment is
+# a pure per-row map, the property the whole merge rests on.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_quantile_e2e",
+    oracle=_stream_qh_oracle(),
+    doc="Incremental 256-bin quantile-histogram maintenance across "
+    "micro-batches: the event stream drains one landing file per "
+    "trigger (4 genuine micro-batches), each batch bins its rows "
+    "against PRE-CALIBRATED per-symbol edges and folds (symbol, bin) "
+    "count partials through an idempotent batch_id-partitioned "
+    "foreachBatch sink; the read-out SUM-merges partials — exactly the "
+    "batch histogram, since bin counts add — then walks the cumsum and "
+    "interpolates P50/P95/P99 per symbol, audited against the exact "
+    "type-7 percentile.  Shares ONE bin function with the batch audit "
+    "(relational.qh_bin_sql / qh_bin_expr) on both the Spark and the "
+    "oracle side, the same single-source discipline as "
+    "stream_hll_distinct_e2e's register function.  At 100 TB this is "
+    "the latency-SLO dashboard structure: 256 longs per key per batch "
+    "on the exchange, never a re-sort of history.",
+)
+def q_stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _QH_BINS,
+        _QH_QS,
+        qh_bin_expr,
+    )
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("symbol"), "ts", "value"
+    )
+
+    # Calibration pass: fixed per-symbol bin edges + row count.  Runs
+    # BEFORE the stream (in production: domain bounds or a one-off
+    # scan); every micro-batch bins against these same edges.
+    stats = ev.groupBy("symbol").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    edges = stats.select("symbol", "lo", "hi")
+
+    base = _SCRATCH / (Path(sf_dir).name + "_qh")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    hist_out, ckpt = str(base / "hist"), str(base / "ckpt")
+    _land_time_sliced(ev, "ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch bin-count PARTIALS against the fixed edges; the
+        # batch_id partition makes a checkpoint-replayed batch
+        # overwrite exactly its own leaves (sum stays exact)
+        partial = (
+            batch_df.join(F.broadcast(edges), "symbol")
+            .select(
+                "symbol",
+                qh_bin_expr(
+                    F.col("value"), F.col("lo"), F.col("hi")
+                ).alias("bin"),
+            )
+            .groupBy("symbol", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(hist_out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # SUM-merge of partials == the batch histogram, exactly (integer
+    # addition); from here the read-out is the batch audit's cumsum
+    # walk + interpolation, keyed by symbol.
+    hist = (
+        spark.read.parquet(hist_out)
+        .groupBy("symbol", "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("symbol").orderBy("bin")
+    cum = hist.select(
+        "symbol",
+        "bin",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("bigint"),
+        ).alias("cum_below"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _QH_QS], "q double")
+    picked = (
+        qs.crossJoin(cum)
+        .join(F.broadcast(stats), "symbol")
+        .filter(F.col("cum") >= F.col("q") * F.col("n"))
+        .groupBy("symbol", "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_QH_BINS)
+    est = (
+        picked.join(cum, ["symbol", "bin"])
+        .join(F.broadcast(stats), "symbol")
+        .select(
+            "symbol",
+            "q",
+            (
+                F.col("lo")
+                + width
+                * (
+                    F.col("bin")
+                    + (F.col("q") * F.col("n") - F.col("cum_below"))
+                    / F.col("cnt")
+                )
+            ).alias("h_est"),
+        )
+    )
+    exact = (
+        ev.groupBy("symbol")
+        .agg(
+            *[
+                F.expr(f"percentile(value, {q!r})").alias(f"p{i}")
+                for i, q in enumerate(_QH_QS)
+            ]
+        )
+        .select(
+            "symbol",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(q).alias("q"),
+                            F.col(f"p{i}").alias("exact_value"),
+                        )
+                        for i, q in enumerate(_QH_QS)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("symbol", "s.q", "s.exact_value")
+    )
+    return (
+        est.join(exact, ["symbol", "q"])
+        .select(
+            "symbol",
+            "q",
+            F.round("exact_value", 6).alias("exact_value"),
+            F.round("h_est", 6).alias("hist_estimate"),
+            F.round(F.abs(F.col("h_est") - F.col("exact_value")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("symbol", "q")
+    )

@@ -16,13 +16,22 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from quant_market_data_pipeline_spark.queries.relational import (
-    _HLL_LC_GATE,
-    _HLL_M,
-    _HLL_NUM,
-    _HLL_P,
     hll_estimate_from_regs,
     hll_rho_frame,
 )
+
+# The twin derives EVERY constant from the published HLL paper, NOT
+# from production imports — r10's twin imported _HLL_NUM and so could
+# only check self-consistency, which is exactly how a 2x raw-branch
+# numerator bias (2^43 where the 2^(44-rho) register scaling demands
+# 2^44) shipped undetected.  m=512 (p=9), alpha_m = 0.7213/(1+1.079/m)
+# (Flajolet et al. 2007, m >= 128), numerator alpha*m^2*2^44 because
+# sum_int = 2^44 * sum(2^-M[j]), LC gate 2.5*m.
+_TWIN_M = 512
+_TWIN_P = 9
+_TWIN_ALPHA = 0.7213 / (1.0 + 1.079 / 512.0)
+_TWIN_NUM = _TWIN_ALPHA * 512.0 * 512.0 * float(1 << 44)
+_TWIN_LC_GATE = 2.5 * 512.0
 
 
 def _py_hll(values) -> tuple[dict[int, int], float, int]:
@@ -30,16 +39,16 @@ def _py_hll(values) -> tuple[dict[int, int], float, int]:
     regs: dict[int, int] = {}
     for v in values:
         h = int(hashlib.md5(str(v).encode()).hexdigest()[:13], 16)
-        bucket = h & (_HLL_M - 1)
-        w = h >> _HLL_P
+        bucket = h & (_TWIN_M - 1)
+        w = h >> _TWIN_P
         rho = 44 - w.bit_length()  # w == 0 -> 44
         regs[bucket] = max(regs.get(bucket, 0), rho)
     sum_int = sum(1 << (44 - r) for r in regs.values())
-    sum_int += (_HLL_M - len(regs)) * (1 << 44)
-    raw_e = _HLL_NUM / sum_int
-    zero = _HLL_M - len(regs)
-    if raw_e <= _HLL_LC_GATE and zero > 0:
-        est = round(float(_HLL_M) * math.log(float(_HLL_M) / zero), 4)
+    sum_int += (_TWIN_M - len(regs)) * (1 << 44)
+    raw_e = _TWIN_NUM / sum_int
+    zero = _TWIN_M - len(regs)
+    if raw_e <= _TWIN_LC_GATE and zero > 0:
+        est = round(float(_TWIN_M) * math.log(float(_TWIN_M) / zero), 4)
     else:
         est = round(raw_e, 4)
     return regs, est, zero
@@ -69,6 +78,31 @@ def test_hll_registers_and_estimate_match_python_twin(spark, values):
     py_regs, py_est, py_zero = _py_hll(values)
     assert regs == py_regs
     assert est_row.zero_registers == py_zero
+    assert est_row.hll_estimate == pytest.approx(py_est, abs=0)
+
+
+def test_hll_raw_branch_accuracy(spark):
+    """Absolute accuracy bound on the PRODUCTION raw branch — the test
+    the r10 suite lacked (its twin shared production's numerator, so a
+    constant-factor bias cancelled out).  For n >> 2.5*m the relative
+    error of a correct m=512 HLL is ~1.04/sqrt(512) = 4.6% (1 sigma);
+    15% is ~3 sigma.  The r10 2^43 numerator put every raw estimate at
+    ~half the true count (rel_err ~0.5) — this assertion fails on that
+    code and pins the 2^44 fix."""
+    n = 20_000  # >> 2.5*512 = 1280: firmly in the raw-HLL branch
+    df = spark.range(n).select(F.col("id").cast("long").alias("x"))
+    est_row = hll_estimate_from_regs(
+        hll_rho_frame(df, "x", [])
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max")),
+        [],
+    ).collect()[0]
+    assert est_row.zero_registers == 0  # raw branch, no LC gate
+    rel_err = abs(est_row.hll_estimate - n) / n
+    assert rel_err < 0.15, f"raw-branch rel_err {rel_err:.3f} (est {est_row.hll_estimate})"
+
+    # And the independent twin agrees with production on the same input.
+    _, py_est, _ = _py_hll(range(n))
     assert est_row.hll_estimate == pytest.approx(py_est, abs=0)
 
 
@@ -105,6 +139,38 @@ def test_hll_merge_invariance(spark):
         ),
         [],
     ).collect()[0]
+    assert merged == whole
+
+
+def test_quantile_histogram_split_merge_invariance(spark):
+    """With FIXED edges, per-split bin-count partials SUM-merge to
+    exactly the whole-data histogram — the algebraic property
+    stream_quantile_e2e's foreachBatch partials rest on (the quantile
+    twin of test_hll_merge_invariance)."""
+    from quant_market_data_pipeline_spark.queries.relational import (
+        qh_bin_expr,
+    )
+
+    vals = [float((i * 37) % 997) + 0.25 for i in range(2000)]
+    lo, hi = min(vals), max(vals)
+
+    def hist_of(rows):
+        df = spark.createDataFrame([(v,) for v in rows], "x double")
+        return {
+            r.bin: r.cnt
+            for r in df.select(
+                qh_bin_expr(F.col("x"), F.lit(lo), F.lit(hi)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    whole = hist_of(vals)
+    merged: dict[int, int] = {}
+    for i in range(4):
+        for b, c in hist_of(vals[i::4]).items():
+            merged[b] = merged.get(b, 0) + c
     assert merged == whole
 
 
