@@ -129,6 +129,20 @@ def adaptive_planes(
     where the fixed 4-plane configs scored 0.0 (see ann_recall_audit /
     ann_mt_recall_audit run against the x16 fixture, captured in
     BENCH_r10 docscale_recall).
+
+    FORMAL CEILING (r11, measured at the x64 corpus, n=128,000): the
+    plane count pins at hi, so past n ~ target_pop * 2^hi the mean
+    bucket population grows linearly again and the md5 probe cap
+    resumes starving recall.  With hi=12 the ceiling is ~262k docs for
+    the target-64 tiers and ~65k for the multi-probe target-16 tier.
+    x64 recall@3, one step from / at the pin: 1-table 0.600 (p=11),
+    4-table 0.967 (p=11), multi-probe 0.733 (p=12 PINNED, down from
+    1.0 at x16 where it had headroom) — vs IVF 1.0 at the same n.
+    Raising hi is NOT a config tweak: table families are disjoint only
+    up to LSH_PLANE_STRIDE=12 planes, so hi>12 re-keys every bucket (a
+    breaking re-index).  Past the ceiling, route to ann_ivf_topk
+    (cells scale as sqrt(n), measured 1.0 at 128k) or MinHash-LSH —
+    the documented production escalation.
     """
     p = lo
     while p < hi and target_pop * (1 << p) < n:
@@ -200,6 +214,143 @@ def lsh_bucket_arrow(planes: int, dim: int, offset: int = 0):
         return pd.Series(["".join(map(str, row)) for row in bits])
 
     return bucket
+
+
+def lsh_probe_buckets_arrow(
+    planes: int, dim: int, n_flip: int, offset: int = 0
+):
+    """Query-directed multi-probe bucket list (Lv et al., VLDB 2007):
+    ``array<string>`` of 1 + n_flip buckets — the vector's own
+    sign-pattern bucket plus the Hamming-1 neighbors obtained by
+    flipping the ``n_flip`` LOWEST-|margin| planes (margin = <v, h_p>;
+    a small margin means the vector sits near that plane, so the
+    flipped bucket is where a near-neighbor most likely landed).
+
+    Computed from the SAME float64 gemm as :func:`lsh_bucket_arrow`
+    (the margins are free — they're the pre-sign dot products), so the
+    own bucket is bit-identical to the single-probe index.  Flip order
+    ties break on the lower plane index (stable argsort), matching the
+    oracle's ``ORDER BY abs(dot), plane``; an order flip needs two
+    |margins| within the ~1e-15 gemm-vs-sequential-fold reordering
+    error — the same accepted parity class as the sign bit itself.
+
+    Why probe instead of more tables: the margins are computed at hash
+    time anyway, so each extra probe costs ONE more bucket join over
+    the SAME index build, where an extra table costs a full second
+    index (another gemm pass + its own join).  Recall target is the
+    multi-table figure at a fraction of its build cost.
+    """
+    h_mat = np.array(
+        [hyperplane_vector(offset + p, dim) for p in range(planes)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf("array<string>")
+    def probes(vs: pd.Series) -> pd.Series:
+        v_mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        dots = v_mat @ h_mat.T
+        bits = (dots >= 0.0).astype(np.uint8)
+        out = []
+        for row_bits, row_abs in zip(bits, np.abs(dots)):
+            own = "".join(map(str, row_bits))
+            bl = [own]
+            for j in np.argsort(row_abs, kind="stable")[:n_flip]:
+                flipped = row_bits.copy()
+                flipped[j] ^= 1
+                bl.append("".join(map(str, flipped)))
+            out.append(bl)
+        return pd.Series(out)
+
+    return probes
+
+
+# Multi-probe plane density: probes let the index AFFORD more planes.
+# The r11 x16 diagnosis: with target_pop=64 (= the cap), data-clustered
+# buckets run far past the mean (measured pop: median 48, p90 128, max
+# 272 at n=32k), the md5 probe cap drops true neighbors, and EVERY x16
+# miss was cap starvation (all 60 exact top-3 shared the query's
+# bucket; 19 were cap-dropped) — flipping more buckets cannot help.
+# target_pop=16 holds the mean bucket at cap/4, the cap stops binding
+# (x16 recall 0.683 -> 1.0 measured), and the collision loss the extra
+# planes cost on moderate-similarity corpora is what the probes buy
+# back (sf0.01: single-probe 0.12 -> 0.367 at 2 flips, 0.45 at 4).
+# Ceiling: target 16 pins planes at HI=12 past n = 65,536 — measured
+# at x64 (n=128k): recall 0.733, down from 1.0 at x16.  Past the pin,
+# IVF is the escalation (1.0 at 128k) — see adaptive_planes.
+LSH_MP_TARGET_POP = 16
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int | None = None,
+    dim: int = 64,
+    k: int = 3,
+    n_flip: int = 2,
+    neighbor_cap: int | None = None,
+    round_digits: int = 6,
+    query_salts: int = 1,
+    target_pop: int = LSH_MP_TARGET_POP,
+) -> DataFrame:
+    """Single-table multi-probe LSH top-k: ONE index build (one gemm
+    bucket pass, one capped neighbor side), each query searching its
+    own bucket plus the ``n_flip`` lowest-margin Hamming-1 buckets.
+
+    Scale shape: candidates <= n * (1 + n_flip) * cap worst-case, and
+    ~n * (1 + n_flip) * target_pop in the mean (48n at the default
+    16 x 2 — UNDER the single-probe n*cap) — LINEAR in corpus size;
+    the probe fan-out multiplies the bucket-join probe count, never
+    the index size.  A neighbor lives in exactly one bucket and the
+    probe list has distinct buckets, so no pair dedup is needed
+    (unlike multi-table union).
+
+    Measured recall@3 sweep (r11; target_pop x n_flip, cap 64):
+    x16 corpus (n=32k): 16x2 = 16x4 = **1.0**, 64x2 = 64x4 = 0.683
+    (cap-starved — see LSH_MP_TARGET_POP); sf0.01 (n=500): 64x4 =
+    0.45 (ties the 4-table index at one build), 64x2 = 0.367, 16x2 =
+    0.283.  The default (16, 2) is the scale-correct config; tiny
+    collision-limited corpora can pass (target_pop=64, n_flip=4) —
+    at that scale everything fits in one broadcast anyway.
+    """
+    if planes is None:
+        planes = adaptive_planes(corpus.count(), target_pop=target_pop)
+    vecs = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "probes", lsh_probe_buckets_arrow(planes, dim, n_flip)(F.col("v"))
+    )
+    # own bucket = probe[0]; the single materialized pass carries both
+    # the neighbor-side key and the query-side probe list
+    vecs = materialize_corpus(
+        vecs.withColumn("bucket", F.col("probes")[0])
+    )
+    a = vecs.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("probes").alias("bucket"),
+    )
+    nbr = (
+        bucket_sample_cap(
+            vecs.drop("probes"), ["bucket"], id_col, neighbor_cap
+        )
+        if neighbor_cap
+        else vecs.drop("probes")
+    )
+    b = nbr.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = gemm_pair_scores(
+        a, b, ["bucket"], query_salts=query_salts
+    ).withColumn("cos_sim", F.round("cos_sim", round_digits))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
 
 
 def bucket_sample_cap(

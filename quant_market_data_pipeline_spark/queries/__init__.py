@@ -221,7 +221,77 @@ _R10_SAMPLE = [
     "promo_revenue_ratio",
     "bigram_conditional_probs",
 ]
-_PRIORITY = _R10_NEW + _R10_TOUCHED + _R10_SAMPLE
+# --- round 11 window -------------------------------------------------------
+# Full-slot policy (r10): the window covers the driver's entire 50-query
+# prefix — (a) new, (b) touched, (c) staleness-weighted fill.
+_R11_NEW = [
+    # incremental quantile-histogram maintenance (judge directive #4)
+    "stream_quantile_e2e",
+    # query-directed multi-probe LSH (judge directive #5): x16 recall
+    # 1.0 at ~48 mean candidates/query
+    "ann_lsh_mp_topk",
+    "ann_mp_recall_audit",
+]
+_R11_TOUCHED = [
+    # ADVICE r10 (high): _HLL_NUM 2^43 -> 2^44 — every raw-branch HLL
+    # estimate was exactly half; values change on BOTH engines, so the
+    # driver must re-hash these
+    "hll_distinct_audit",
+    "stream_hll_distinct_e2e",
+    # batch quantile audit: oracle now interpolates the shared
+    # qh_bin_sql fragment (same SQL semantics, re-verified)
+    "quantile_histogram_audit",
+]
+# (c) staleness-weighted sample, recomputed by
+#     `python tools/staleness_sample.py 11 - 44` with (a)+(b) as stdin:
+#     the full remaining r3 cohort (24) + the 20 stalest of r4
+_R11_SAMPLE = [
+    "customer_order_distribution",
+    "bpe_merge_candidates",
+    "column_profile_lineitem",
+    "k_anonymity_audit",
+    "salted_hot_key_stats",
+    "snapshot_diff_customers",
+    "ewma_bounded",
+    "nation_year_revenue",
+    "sequence_packing_bins",
+    "bollinger_bands",
+    "rsi_14",
+    "user_sessions_batch",
+    "benford_totalprice_audit",
+    "top_supplier_revenue",
+    "stream_attribution_e2e",
+    "vocab_top_ngrams",
+    "decontamination_report",
+    "revenue_mom_growth",
+    "funnel_conversion",
+    "per_source_quality",
+    "market_share_q8",
+    "sql_lateral_top2_orders",
+    "group_concat_types",
+    "variant_props_metrics",
+    "garman_klass_vol",
+    "dedup_rate_by_source",
+    "rfm_segments",
+    "winsorized_value_stats",
+    "atr_14",
+    "twap_daily",
+    "copurchase_lift",
+    "sharpe_sortino_daily",
+    "approx_percentile_prices",
+    "stochastic_14_3",
+    "bm25_keyword_search",
+    "price_decile_profile",
+    "vwap_daily",
+    "kyle_lambda_daily",
+    "stable_doc_enumeration",
+    "chisq_lang_source",
+    "scd2_user_state_history",
+    "rolling_beta_60",
+    "zipf_slope_by_source",
+    "rolling_distinct_users_7d",
+]
+_PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
 
 
 def load_all() -> dict[str, QuerySpec]:
