@@ -231,6 +231,9 @@ _R11_NEW = [
     # 1.0 at ~48 mean candidates/query
     "ann_lsh_mp_topk",
     "ann_mp_recall_audit",
+    # skew-safe Q21 aggregate rewrite (stretch #8: AQE cannot split the
+    # BUILD side of LeftSemi/LeftAnti — measured on a 2M-row hot order)
+    "waiting_supplier_q21_skewsafe",
 ]
 _R11_TOUCHED = [
     # ADVICE r10 (high): _HLL_NUM 2^43 -> 2^44 — every raw-branch HLL
@@ -243,8 +246,8 @@ _R11_TOUCHED = [
     "quantile_histogram_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 11 - 44` with (a)+(b) as stdin:
-#     the full remaining r3 cohort (24) + the 20 stalest of r4
+#     `python tools/staleness_sample.py 11 - 43` with (a)+(b) as stdin:
+#     the full remaining r3 cohort (24) + the 19 stalest of r4
 _R11_SAMPLE = [
     "customer_order_distribution",
     "bpe_merge_candidates",
@@ -289,7 +292,6 @@ _R11_SAMPLE = [
     "scd2_user_state_history",
     "rolling_beta_60",
     "zipf_slope_by_source",
-    "rolling_distinct_users_7d",
 ]
 _PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
 

@@ -1079,6 +1079,10 @@ def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
+    return _q21_semi_anti(spark, sf_dir, orders, materialize_corpus)
+
+
+def _q21_reduced_fact(spark, sf_dir, orders, materialize_corpus):
     li = (
         _t(spark, sf_dir, "lineitem")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1091,9 +1095,29 @@ def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    # all three correlated references (l1, the EXISTS leg, the NOT
-    # EXISTS leg) read this reduced frame — truncate once
-    li = materialize_corpus(li)
+    # all correlated references read this reduced frame — truncate once
+    return materialize_corpus(li)
+
+
+def _q21_dim_rollup(spark, sf_dir, sole: DataFrame) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        sole.join(
+            F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"]
+        )
+        .join(
+            F.broadcast(nation),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+def _q21_semi_anti(spark, sf_dir, orders, materialize_corpus) -> DataFrame:
+    li = _q21_reduced_fact(spark, sf_dir, orders, materialize_corpus)
 
     l1 = li.filter(F.col("late"))
     others = li.select(
@@ -1110,18 +1134,86 @@ def q_waiting_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         late_others["o2_orderkey"] == blamed["l_orderkey"]
     ) & (late_others["o2_suppkey"] != blamed["l_suppkey"])
     sole = blamed.join(late_others, not_exists_other_late, "left_anti")
+    return _q21_dim_rollup(spark, sf_dir, sole)
 
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        sole.join(
-            F.broadcast(supp), sole["l_suppkey"] == supp["s_suppkey"]
-        )
-        .join(
-            F.broadcast(nation),
-            supp["s_nationkey"] == nation["n_nationkey"],
-        )
-        .groupBy("s_name", "n_name")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_name")
+
+# ---------------------------------------------------------------------------
+# Q21 skew-safe variant (r11 stretch probe finding).  The semi/anti
+# formulation puts the full per-order lineitem population on the BUILD
+# (right) side of both joins — and AQE's OptimizeSkewedJoin can only
+# split the LEFT side of a LeftSemi/LeftAnti (splitting the build side
+# would change semantics), so a hot orderkey's rows serialize into ONE
+# task no matter the config (measured: tools/q21_skew_probe.py, 2M-row
+# hot order, zero skew=true markers even with forceOptimizeSkewedJoin).
+# The scale-correct formulation turns both correlated predicates into
+# per-order AGGREGATES: EXISTS(other supplier) <=> distinct suppliers
+# on the order >= 2; NOT EXISTS(other late supplier) <=> the late rows
+# name exactly one distinct supplier (l1 itself is late, so "no other"
+# = "exactly one").  Distinct-aggregation partially aggregates map-side
+# — the hot order's 2M rows collapse to <= n_suppliers pairs per map
+# task BEFORE the exchange — and the stats join's build side carries
+# ONE row per order, so the skew class is eliminated, not mitigated.
+# ---------------------------------------------------------------------------
+@register(
+    "waiting_supplier_q21_skewsafe",
+    oracle="""
+WITH li AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, n.n_name, count(*)::BIGINT AS numwait
+FROM li l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM li l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late)
+GROUP BY s.s_name, n.n_name
+ORDER BY numwait DESC, s.s_name
+""",
+    doc="Skew-safe Q21: identical semantics to waiting_supplier_q21 "
+    "(the oracle is the same correlated EXISTS/NOT EXISTS SQL), but "
+    "the correlated predicates compute as per-order aggregates — "
+    "n_supp = countDistinct(suppkey) >= 2 for the EXISTS leg, "
+    "n_late_supp = countDistinct(suppkey) over late rows == 1 for the "
+    "NOT EXISTS leg (the counted row is itself late, so 'no OTHER "
+    "late supplier' is 'exactly one distinct late supplier').  Why it "
+    "exists: the semi/anti formulation puts the whole per-order "
+    "population on the BUILD side of both joins, and AQE skew "
+    "splitting only applies to the LEFT side of LeftSemi/LeftAnti — "
+    "measured on a 2M-row hot order (tools/q21_skew_probe.py): zero "
+    "skew=true markers even forced, the hot order serializes in one "
+    "task.  Here distinct aggregation partially aggregates map-side "
+    "(the hot order collapses to <= n_suppliers pairs per map task "
+    "before the exchange) and the stats join's build side is one row "
+    "per order — the skew class is structurally gone.  At 100 TB this "
+    "is the formulation to run; the semi/anti twin stays registered "
+    "as the textbook correlated-subquery plan shape.",
+)
+def q_waiting_supplier_q21_skewsafe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.session import materialize_corpus
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
     )
+    li = _q21_reduced_fact(spark, sf_dir, orders, materialize_corpus)
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    l1 = li.filter(F.col("late"))
+    sole = l1.join(stats, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    return _q21_dim_rollup(spark, sf_dir, sole)
