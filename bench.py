@@ -58,6 +58,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "ann_lsh_topk",
     "ann_lsh_mt_topk",
+    # r11: the multi-probe tier (one build + 3 probes, target-16 planes)
+    "ann_lsh_mp_topk",
     "ann_ivf_topk",
     # Hierarchical rollup headliner: hours derive from the 5-min bar
     # aggregate, not from raw ticks — the continuous-aggregate pattern.

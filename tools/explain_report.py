@@ -170,6 +170,18 @@ QUERIES = [
     "gopher_quality_flags",
     "garch_11_vol",
     "cornish_fisher_var",
+    # round 10: the from-scratch sketch audits, their streamed twins,
+    # and the Q21 correlated-subquery shape
+    "hll_distinct_audit",
+    "quantile_histogram_audit",
+    "stream_hll_distinct_e2e",
+    "waiting_supplier_q21",
+    # round 11: the multi-probe LSH tier + its recall audit, the
+    # streamed quantile sketch, and the skew-safe Q21 rewrite
+    "ann_lsh_mp_topk",
+    "ann_mp_recall_audit",
+    "stream_quantile_e2e",
+    "waiting_supplier_q21_skewsafe",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
