@@ -234,6 +234,15 @@ _R11_NEW = [
     # skew-safe Q21 aggregate rewrite (stretch #8: AQE cannot split the
     # BUILD side of LeftSemi/LeftAnti — measured on a 2M-row hot order)
     "waiting_supplier_q21_skewsafe",
+    # KMV / theta-sketch set ops (r11): the intersection-capable
+    # cardinality sketch HLL has no register algebra for
+    "kmv_set_ops_audit",
+    # sorted-neighborhood near-dup pairs (r11): the fourth candidate-
+    # generation family (bounded (w-1)*n candidates by construction)
+    "snm_neardup_pairs",
+    # incremental Count-Min maintenance (r11): third streamed sketch,
+    # completing the merge-algebra trio (max / sum / sum)
+    "stream_countmin_e2e",
 ]
 _R11_TOUCHED = [
     # ADVICE r10 (high): _HLL_NUM 2^43 -> 2^44 — every raw-branch HLL
@@ -246,8 +255,9 @@ _R11_TOUCHED = [
     "quantile_histogram_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 11 - 43` with (a)+(b) as stdin:
-#     the full remaining r3 cohort (24) + the 19 stalest of r4
+#     `python tools/staleness_sample.py 11 - 40` with (a)+(b) as stdin:
+#     the full remaining r3 cohort (24) + the 16 stalest of r4 (the 3
+#     slots the new r11 queries displaced come off the YOUNGEST tail)
 _R11_SAMPLE = [
     "customer_order_distribution",
     "bpe_merge_candidates",
@@ -289,9 +299,6 @@ _R11_SAMPLE = [
     "kyle_lambda_daily",
     "stable_doc_enumeration",
     "chisq_lang_source",
-    "scd2_user_state_history",
-    "rolling_beta_60",
-    "zipf_slope_by_source",
 ]
 _PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
 

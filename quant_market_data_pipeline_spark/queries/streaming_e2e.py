@@ -1347,3 +1347,188 @@ def q_stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "q")
     )
+
+
+def _stream_cms_oracle() -> str:
+    """Batch Count-Min heavy hitters over the event user stream —
+    generated from the SAME bucket fragment the batch audit's oracle
+    interpolates (textprep.cms_bucket_sql + _CMS_ROWS/_CMS_WIDTH/
+    _CMS_TOPK), so the streaming and batch oracles cannot drift apart
+    (the _stream_hll_oracle / _stream_qh_oracle pattern)."""
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        _CMS_ROWS,
+        _CMS_TOPK,
+        cms_bucket_sql,
+    )
+
+    rows = ", ".join(str(r) for r in range(_CMS_ROWS))
+    return f"""
+WITH tok AS (
+  SELECT user_id::VARCHAR AS w FROM events
+), hashed AS (
+  SELECT w, r.r, {cms_bucket_sql("r.r", "w")} AS bucket
+  FROM tok, unnest([{rows}]) AS r(r)
+), cms AS (
+  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+  FROM hashed GROUP BY r, bucket
+), exact AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_count FROM tok GROUP BY w
+), top AS (
+  SELECT w, exact_count FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY exact_count DESC, w) AS rn
+    FROM exact) WHERE rn <= {_CMS_TOPK}
+), est AS (
+  SELECT t.w, t.exact_count, min(cms.c) AS cms_estimate
+  FROM top t, unnest([{rows}]) AS r(r)
+  JOIN cms ON cms.r = r.r
+   AND cms.bucket = {cms_bucket_sql("r.r", "t.w")}
+  GROUP BY t.w, t.exact_count
+)
+SELECT w AS user_key, exact_count, cms_estimate,
+       CAST(cms_estimate - exact_count AS BIGINT) AS overestimate
+FROM est
+ORDER BY exact_count DESC, user_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental Count-Min maintenance (r11): the third streamed sketch,
+# completing the merge-algebra trio — HLL registers merge by MAX,
+# quantile-histogram bins and CMS counters merge by SUM.  Each
+# micro-batch folds its rows into (row, bucket) counter PARTIALS
+# through the idempotent batch_id-partitioned foreachBatch sink; the
+# read-out SUM-merges partials (exactly the batch sketch, since counts
+# add) and serves heavy-hitter estimates.  The sketch is a fixed
+# _CMS_ROWS x _CMS_WIDTH counter grid regardless of key cardinality —
+# the frequency structure a 100 TB stream maintains where exact
+# per-key counts would grow state without bound.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_countmin_e2e",
+    oracle=_stream_cms_oracle(),
+    doc="Incremental Count-Min maintenance across micro-batches: the "
+    "event stream drains one landing file per trigger (4 genuine "
+    "micro-batches), each batch hashes its user keys through the "
+    "shared register function (textprep.cms_bucket_expr — ONE "
+    "definition with the batch countmin_heavy_hitters audit on BOTH "
+    "engines) and folds (row, bucket) count partials through the "
+    "idempotent batch_id-partitioned foreachBatch sink; the read-out "
+    "SUM-merges partials — exactly the batch sketch, since counter "
+    "addition is associative/commutative and a checkpoint-replayed "
+    "batch overwrites its own batch_id partition — then serves the "
+    "top-20 heavy hitters' estimates next to exact counts and the "
+    "one-sided overestimate (CMS never undercounts; the property test "
+    "pins both the invariant and merged==batch equality).  Completes "
+    "the streamed-sketch trio: HLL max-merge, histogram sum-merge, "
+    "CMS sum-merge.  At 100 TB the exchange carries at most "
+    "ROWSxWIDTH counter cells per batch, never the key space.",
+)
+def q_stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.textprep import (
+        _CMS_ROWS,
+        _CMS_TOPK,
+        cms_bucket_expr,
+    )
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "ts", F.col("user_id").cast("string").alias("w")
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_cms")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    cms_out, ckpt = str(base / "cms"), str(base / "ckpt")
+    _land_time_sliced(ev, "ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("w", T.StringType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+
+    def row_buckets(w_col):
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_bucket_expr(r, w_col).alias("bucket"),
+                    )
+                    for r in range(_CMS_ROWS)
+                ]
+            )
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch counter PARTIALS; the batch_id partition makes a
+        # checkpoint-replayed batch overwrite exactly its own leaves
+        partial = (
+            batch_df.select(row_buckets(F.col("w")).alias("h"))
+            .select("h.r", "h.bucket")
+            .groupBy("r", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(cms_out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # SUM-merge of partials == the batch sketch, exactly (integer
+    # addition); the read-out is the batch audit's probe join.
+    cms = (
+        spark.read.parquet(cms_out)
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    exact = ev.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_count").desc(), "w")
+            ),
+        )
+        .filter(F.col("rn") <= _CMS_TOPK)
+        .drop("rn")
+    )
+    probes = top.select(
+        "w", "exact_count", row_buckets(F.col("w")).alias("h")
+    ).select("w", "exact_count", "h.r", "h.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("w", "exact_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        F.col("w").alias("user_key"),
+        "exact_count",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_count"))
+        .cast("bigint")
+        .alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "user_key")

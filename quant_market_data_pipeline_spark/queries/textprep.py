@@ -1244,6 +1244,29 @@ _CMS_WIDTH = 64
 _CMS_TOPK = 20
 
 
+def cms_bucket_sql(r: str, val: str) -> str:
+    """DuckDB fragment: CMS bucket for hash-row expr ``r`` and value
+    expr ``val`` — ONE definition shared by the batch heavy-hitter
+    oracle and the streaming maintenance oracle (stream_countmin_e2e),
+    so the two cannot drift apart (the qh_bin_sql / hll register-
+    function discipline)."""
+    return (
+        f"('0x' || substr(md5({r}::VARCHAR || '|' || {val}), 1, 15))"
+        f"::BIGINT % {_CMS_WIDTH}"
+    )
+
+
+def cms_bucket_expr(r: int, val) -> object:
+    """Spark twin of cms_bucket_sql — the register function of the
+    Count-Min sketch.  A pure per-row map, so per-micro-batch (row,
+    bucket) count partials SUM-merge to exactly the batch sketch."""
+    from quant_market_data_pipeline_spark.llm.hashing import (
+        seeded_md5_long,
+    )
+
+    return F.pmod(seeded_md5_long(r, val), F.lit(_CMS_WIDTH))
+
+
 @register(
     "countmin_heavy_hitters",
     oracle=f"""
@@ -1251,9 +1274,7 @@ WITH tok AS (
   SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
   FROM documents
 ), hashed AS (
-  SELECT w, r.r,
-         ('0x' || substr(md5(r.r::VARCHAR || '|' || w), 1, 15))::BIGINT
-           % {_CMS_WIDTH} AS bucket
+  SELECT w, r.r, {cms_bucket_sql("r.r", "w")} AS bucket
   FROM tok, unnest([{", ".join(str(r) for r in range(_CMS_ROWS))}])
     AS r(r)
 ), cms AS (
@@ -1271,8 +1292,7 @@ WITH tok AS (
   FROM top t, unnest([{", ".join(str(r) for r in range(_CMS_ROWS))}])
     AS r(r)
   JOIN cms ON cms.r = r.r
-   AND cms.bucket = ('0x' || substr(md5(r.r::VARCHAR || '|' || t.w), 1, 15))
-                      ::BIGINT % {_CMS_WIDTH}
+   AND cms.bucket = {cms_bucket_sql("r.r", "t.w")}
   GROUP BY t.w, t.exact_count
 )
 SELECT w AS token, exact_count, cms_estimate,
@@ -1294,10 +1314,7 @@ FROM est
     "the audit join is top-k x 4 rows against a broadcast sketch.",
 )
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from quant_market_data_pipeline_spark.llm.hashing import (
-        seeded_md5_long,
-        word_tokens,
-    )
+    from quant_market_data_pipeline_spark.llm.hashing import word_tokens
 
     d = _docs_wide(spark, sf_dir)
     tok = d.select(
@@ -1305,9 +1322,9 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one scan feeds the sketch build AND the exact heavy-hitter side
     tok = materialize_corpus(tok)
-
-    def bucket(r, w_col):
-        return F.pmod(seeded_md5_long(r, w_col), F.lit(_CMS_WIDTH))
+    # shared register function (cms_bucket_expr/_sql): ONE definition
+    # for this audit and the streaming maintenance (stream_countmin_e2e)
+    bucket = cms_bucket_expr
 
     hashed = tok.select(
         F.explode(
