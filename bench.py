@@ -145,6 +145,11 @@ DOCSCALE = [
     "countmin_heavy_hitters",
     "gopher_quality_flags",
     "minhash_search_topk",
+    # r11: sorted-neighborhood dedup — candidates are (w-1)*n by
+    # construction, so the x16 probe pins the one claim that matters:
+    # cost moves linearly with the corpus (block windows + one
+    # equi-join), even when replication makes every key collide
+    "snm_neardup_pairs",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the

@@ -243,6 +243,9 @@ _R11_NEW = [
     # incremental Count-Min maintenance (r11): third streamed sketch,
     # completing the merge-algebra trio (max / sum / sum)
     "stream_countmin_e2e",
+    # z-order vs linear layout skipping audit (r11): measured file/row
+    # pruning for a 2D box predicate under both layouts
+    "zorder_skipping_audit",
 ]
 _R11_TOUCHED = [
     # ADVICE r10 (high): _HLL_NUM 2^43 -> 2^44 — every raw-branch HLL
@@ -255,8 +258,8 @@ _R11_TOUCHED = [
     "quantile_histogram_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 11 - 40` with (a)+(b) as stdin:
-#     the full remaining r3 cohort (24) + the 16 stalest of r4 (the 3
+#     `python tools/staleness_sample.py 11 - 39` with (a)+(b) as stdin:
+#     the full remaining r3 cohort (24) + the 15 stalest of r4 (the 4
 #     slots the new r11 queries displaced come off the YOUNGEST tail)
 _R11_SAMPLE = [
     "customer_order_distribution",
@@ -298,7 +301,6 @@ _R11_SAMPLE = [
     "vwap_daily",
     "kyle_lambda_daily",
     "stable_doc_enumeration",
-    "chisq_lang_source",
 ]
 _PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
 

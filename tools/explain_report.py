@@ -182,6 +182,12 @@ QUERIES = [
     "ann_mp_recall_audit",
     "stream_quantile_e2e",
     "waiting_supplier_q21_skewsafe",
+    # round 11 (second half): KMV/theta set ops, sorted-neighborhood
+    # dedup, streamed Count-Min, z-order layout audit
+    "kmv_set_ops_audit",
+    "snm_neardup_pairs",
+    "stream_countmin_e2e",
+    "zorder_skipping_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
