@@ -246,6 +246,9 @@ _R11_NEW = [
     # z-order vs linear layout skipping audit (r11): measured file/row
     # pruning for a 2D box predicate under both layouts
     "zorder_skipping_audit",
+    # incremental Bloom maintenance (r11): fourth streamed sketch,
+    # fourth merge algebra (OR) — zero false negatives pinned
+    "stream_bloom_e2e",
 ]
 _R11_TOUCHED = [
     # ADVICE r10 (high): _HLL_NUM 2^43 -> 2^44 — every raw-branch HLL
@@ -258,8 +261,8 @@ _R11_TOUCHED = [
     "quantile_histogram_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 11 - 39` with (a)+(b) as stdin:
-#     the full remaining r3 cohort (24) + the 15 stalest of r4 (the 4
+#     `python tools/staleness_sample.py 11 - 38` with (a)+(b) as stdin:
+#     the full remaining r3 cohort (24) + the 14 stalest of r4 (the 5
 #     slots the new r11 queries displaced come off the YOUNGEST tail)
 _R11_SAMPLE = [
     "customer_order_distribution",
@@ -300,7 +303,6 @@ _R11_SAMPLE = [
     "price_decile_profile",
     "vwap_daily",
     "kyle_lambda_daily",
-    "stable_doc_enumeration",
 ]
 _PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
 

@@ -748,10 +748,29 @@ _BF_K = 3
 _BF_LANE_BITS = 63
 _BF_LANES = (_BF_BITS + _BF_LANE_BITS - 1) // _BF_LANE_BITS
 
-_BF_POS_SQL = (
-    "('0x' || substr(md5({r}::VARCHAR || '|' || {k}::VARCHAR), 1, 15))"
-    f"::BIGINT % {_BF_BITS}"
-)
+def bf_pos_sql(r: str, k: str, bits: int) -> str:
+    """DuckDB fragment: seeded-md5 Bloom bit position — ONE hash
+    definition shared by the batch 1024-bit audit and the streamed
+    filter (stream_bloom_e2e), parameterized only by the filter size
+    (the cms_bucket_sql / qh_bin_sql single-source discipline)."""
+    return (
+        f"('0x' || substr(md5({r}::VARCHAR || '|' || {k}::VARCHAR),"
+        f" 1, 15))::BIGINT % {bits}"
+    )
+
+
+def bf_pos_expr(r: int, k, bits: int):
+    """Spark twin of bf_pos_sql — the register function of the Bloom
+    filter.  A pure per-row map, so per-micro-batch lane partials
+    OR-merge to exactly the batch-built filter."""
+    from quant_market_data_pipeline_spark.llm.hashing import (
+        seeded_md5_long,
+    )
+
+    return F.pmod(seeded_md5_long(r, k.cast("string")), F.lit(bits))
+
+
+_BF_POS_SQL = bf_pos_sql("{r}", "{k}", _BF_BITS)
 # interpolate _BF_LANE_BITS (not a literal 63) so editing the constant
 # can never desync the oracle's lane math from the engine's (ADVICE r9)
 _BF_LANE_EXPRS = ",\n         ".join(
@@ -829,8 +848,6 @@ FROM probed
 def q_bloom_filter_join_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from quant_market_data_pipeline_spark.llm.hashing import seeded_md5_long
-
     nation = _t(spark, sf_dir, "nation").filter(
         F.col("n_name") == "NATION_3"
     )
@@ -840,13 +857,10 @@ def q_bloom_filter_join_audit(
         supp.s_nationkey == nation.n_nationkey,
     ).select(F.col("s_suppkey").alias("k"))
 
+    # shared register function (bf_pos_expr/_sql): ONE definition for
+    # this audit and the streaming maintenance (stream_bloom_e2e)
     def positions(k: F.Column) -> list[F.Column]:
-        return [
-            F.pmod(
-                seeded_md5_long(r, k.cast("string")), F.lit(_BF_BITS)
-            )
-            for r in range(_BF_K)
-        ]
+        return [bf_pos_expr(r, k, _BF_BITS) for r in range(_BF_K)]
 
     pos = keys.select(
         F.explode(F.array(*positions(F.col("k")))).alias("pos")

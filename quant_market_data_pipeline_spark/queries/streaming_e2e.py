@@ -1532,3 +1532,268 @@ def q_stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overestimate"),
     ).orderBy(F.col("exact_count").desc(), "user_key")
+
+
+# Streamed Bloom sizing: "users seen so far" grows with scale (15 ->
+# 15,000 distinct across the gated fixtures), so the batch audit's
+# 1024-bit broadcast bitmap would saturate; 2^17 bits keeps fill ~0.3
+# at grown sf1.0.  The representation is (lane, bits) ROWS instead of
+# the batch audit's 17-lane wide literal — rows scale to any filter
+# size and OR-merge with a plain groupBy, which is the point of the
+# streamed form.  63 usable bits per signed-long lane (the same
+# overflow-checked-shift constraint the batch audit documents).
+_SBF_BITS = 1 << 17
+_SBF_K = 3
+
+
+def _stream_bloom_oracle() -> str:
+    """Batch-built Bloom membership audit over the event user stream —
+    generated from the SAME position fragment the batch audit's oracle
+    interpolates (relational.bf_pos_sql + _BF_LANE_BITS), so the
+    streaming and batch oracles cannot drift apart."""
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _BF_LANE_BITS,
+        bf_pos_sql,
+    )
+
+    rs = ", ".join(str(r) for r in range(_SBF_K))
+    pos_probe = ",\n         ".join(
+        f"{bf_pos_sql(str(r), 'p.k', _SBF_BITS)} AS p{r}"
+        for r in range(_SBF_K)
+    )
+    pass_all = " AND ".join(
+        f"((b{r}.bits >> CAST(h.p{r} % {_BF_LANE_BITS} AS INTEGER)) & 1)"
+        f" = 1"
+        for r in range(_SBF_K)
+    )
+    lane_joins = "\n  ".join(
+        f"LEFT JOIN bitmap b{r} ON b{r}.lane = h.p{r} // {_BF_LANE_BITS}"
+        for r in range(_SBF_K)
+    )
+    return f"""
+WITH keyset AS (
+  SELECT DISTINCT user_id AS k FROM events
+), pos AS (
+  SELECT DISTINCT {bf_pos_sql("r.r", "k", _SBF_BITS)} AS pos
+  FROM keyset, unnest([{rs}]) AS r(r)
+), bitmap AS (
+  SELECT pos // {_BF_LANE_BITS} AS lane,
+         bit_or(1::BIGINT << CAST(pos % {_BF_LANE_BITS} AS INTEGER))
+           AS bits
+  FROM pos GROUP BY 1
+), probes AS (
+  SELECT k, 1 AS member FROM keyset
+  UNION ALL
+  SELECT k + (SELECT max(user_id) + 1 FROM events), 0 FROM keyset
+), hashed AS (
+  SELECT p.k, p.member,
+         {pos_probe}
+  FROM probes p
+), probed AS (
+  SELECT h.k, h.member,
+         CASE WHEN {pass_all} THEN 1 ELSE 0 END AS bloom_pass
+  FROM hashed h
+  {lane_joins}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(member) AS BIGINT) AS n_member,
+       CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(bloom_pass * (1 - member)) AS BIGINT) AS n_false_pos,
+       CAST(sum(member * (1 - bloom_pass)) AS BIGINT) AS n_false_neg,
+       round(CAST(sum(bloom_pass * (1 - member)) AS DOUBLE)
+             / NULLIF(count(*) - sum(member), 0), 6) AS fpr_measured,
+       round((SELECT CAST(sum(bit_count(bits)::INTEGER) AS DOUBLE)
+              FROM bitmap) / {_SBF_BITS}, 6) AS fill_ratio
+FROM probed
+"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental Bloom maintenance (r11): the FOURTH streamed sketch and
+# the fourth merge algebra — HLL registers merge by MAX, histogram
+# bins and CMS counters by SUM, Bloom lanes by OR.  Bitwise OR is
+# associative, commutative and idempotent (like max, unlike sum), so
+# the merged filter equals the batch-built filter under ANY micro-batch
+# split AND under replayed batches even without the batch_id overwrite
+# scope — the sink keeps it anyway for uniformity with the trio.  The
+# maintained structure answers the 100 TB streaming question "have we
+# seen this key before?" (dedup gates, first-touch attribution) in
+# O(bits) state regardless of key cardinality.
+# ---------------------------------------------------------------------------
+@register(
+    "stream_bloom_e2e",
+    oracle=_stream_bloom_oracle(),
+    doc="Incremental Bloom-filter maintenance across micro-batches: the "
+    "event stream drains one landing file per trigger (4 genuine "
+    "micro-batches), each batch hashes its user keys through the "
+    "shared position function (relational.bf_pos_expr — ONE definition "
+    "with the batch bloom_filter_join_audit on BOTH engines, "
+    "parameterized to 2^17 bits so the grown-corpus fill stays ~0.3) "
+    "and folds (lane, bits) OR-partials through the idempotent "
+    "batch_id-partitioned foreachBatch sink; the read-out OR-merges "
+    "partials — exactly the batch-built filter, since OR is "
+    "associative, commutative AND idempotent — then probes every seen "
+    "user plus an equal-sized offset set of never-seen keys: zero "
+    "false negatives (the Bloom invariant, test-pinned), measured FPR "
+    "on the non-members next to the fill ratio.  Completes the "
+    "streamed-sketch merge-algebra quartet: max (HLL), sum (histogram, "
+    "CMS), OR (Bloom).  At 100 TB the exchange carries at most "
+    "bits/63 lane rows per batch, never the key space.",
+)
+def q_stream_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _BF_LANE_BITS,
+        bf_pos_expr,
+    )
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select("ts", "user_id")
+
+    base = _SCRATCH / (Path(sf_dir).name + "_bloom")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    bf_out, ckpt = str(base / "bloom"), str(base / "ckpt")
+    _land_time_sliced(ev, "ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch (lane, bits) OR-partials; the batch_id partition
+        # keeps the sink idempotent (OR would forgive replays anyway)
+        pos = batch_df.select(
+            F.explode(
+                F.array(
+                    *[
+                        bf_pos_expr(r, F.col("user_id"), _SBF_BITS)
+                        for r in range(_SBF_K)
+                    ]
+                )
+            ).alias("pos")
+        ).distinct()
+        partial = (
+            pos.select(
+                F.floor(F.col("pos") / _BF_LANE_BITS)
+                .cast("int")
+                .alias("lane"),
+                F.expr(
+                    f"shiftleft(1L, cast(pos % {_BF_LANE_BITS} as int))"
+                ).alias("bit"),
+            )
+            .groupBy("lane")
+            .agg(F.bit_or("bit").alias("bits"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(bf_out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # OR-merge of partials == the batch-built filter, exactly
+    bitmap = (
+        spark.read.parquet(bf_out)
+        .groupBy("lane")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+    keys = ev.select(F.col("user_id").alias("k")).distinct()
+    off = keys.groupBy().agg(
+        (F.max("k") + F.lit(1)).alias("__off")
+    )
+    probes = keys.select("k", F.lit(1).alias("member")).unionByName(
+        keys.crossJoin(F.broadcast(off)).select(
+            (F.col("k") + F.col("__off")).alias("k"),
+            F.lit(0).alias("member"),
+        )
+    )
+    hashed = probes
+    for r in range(_SBF_K):
+        hashed = hashed.withColumn(
+            f"p{r}", bf_pos_expr(r, F.col("k"), _SBF_BITS)
+        )
+    for r in range(_SBF_K):
+        hashed = hashed.join(
+            F.broadcast(
+                bitmap.select(
+                    F.col("lane").alias(f"lane{r}"),
+                    F.col("bits").alias(f"bits{r}"),
+                )
+            ),
+            F.col(f"lane{r}")
+            == F.floor(F.col(f"p{r}") / _BF_LANE_BITS).cast("int"),
+            "left",
+        )
+    pass_all = None
+    for r in range(_SBF_K):
+        cond = (
+            F.expr(
+                f"shiftright(bits{r}, cast(p{r} % {_BF_LANE_BITS} as int))"
+                " & 1"
+            )
+            == 1
+        )
+        pass_all = cond if pass_all is None else (pass_all & cond)
+    probed = hashed.select(
+        "member",
+        F.when(pass_all, F.lit(1)).otherwise(F.lit(0)).alias("bloom_pass"),
+    )
+    fill = bitmap.agg(
+        (
+            F.sum(F.bit_count("bits").cast("int")).cast("double")
+            / F.lit(_SBF_BITS)
+        ).alias("fill")
+    )
+    return (
+        probed.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+            F.sum("member").cast("bigint").alias("n_member"),
+            F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+            F.sum(F.col("bloom_pass") * (1 - F.col("member")))
+            .cast("bigint")
+            .alias("n_false_pos"),
+            F.sum(F.col("member") * (1 - F.col("bloom_pass")))
+            .cast("bigint")
+            .alias("n_false_neg"),
+        )
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "n_probes",
+            "n_member",
+            "n_bloom_pass",
+            "n_false_pos",
+            "n_false_neg",
+            F.round(
+                F.col("n_false_pos").cast("double")
+                / F.when(
+                    (F.col("n_probes") - F.col("n_member")) > 0,
+                    F.col("n_probes") - F.col("n_member"),
+                )
+                .otherwise(F.lit(None))
+                .cast("double"),
+                6,
+            ).alias("fpr_measured"),
+            F.round("fill", 6).alias("fill_ratio"),
+        )
+    )

@@ -304,3 +304,64 @@ def test_zorder_audit_prunes_better_than_linear(spark):
     assert (
         rows["zorder"].file_skip_ratio > rows["linear"].file_skip_ratio
     )
+
+
+def test_stream_bloom_or_merge_and_no_false_negatives(spark):
+    """OR-merge invariance on the actual partials + the Bloom
+    invariant: members NEVER fail the filter."""
+    from pathlib import Path
+
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _BF_LANE_BITS,
+        bf_pos_expr,
+    )
+    from quant_market_data_pipeline_spark.queries.streaming_e2e import (
+        _SBF_BITS,
+        _SBF_K,
+        _SCRATCH,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    q = load_all()["stream_bloom_e2e"]
+    row = q.spark(spark, SF_DIR).collect()[0]
+    assert row.n_false_neg == 0
+    assert row.n_bloom_pass == row.n_member + row.n_false_pos
+    assert row.n_probes == 2 * row.n_member
+    assert 0.0 < row.fill_ratio < 1.0
+
+    partials = spark.read.parquet(
+        str(_SCRATCH / (Path(SF_DIR).name + "_bloom") / "bloom")
+    )
+    assert partials.select("batch_id").distinct().count() > 1
+    merged = {
+        r.lane: r.bits
+        for r in partials.groupBy("lane")
+        .agg(F.bit_or("bits").alias("bits"))
+        .collect()
+    }
+    ev = load_table(spark, "events", SF_DIR)
+    batch = {
+        r.lane: r.bits
+        for r in ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        bf_pos_expr(r, F.col("user_id"), _SBF_BITS)
+                        for r in range(_SBF_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .select(
+            F.floor(F.col("pos") / _BF_LANE_BITS).cast("int").alias("lane"),
+            F.expr(
+                f"shiftleft(1L, cast(pos % {_BF_LANE_BITS} as int))"
+            ).alias("bit"),
+        )
+        .groupBy("lane")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    }
+    assert merged == batch

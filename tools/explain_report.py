@@ -188,6 +188,7 @@ QUERIES = [
     "snm_neardup_pairs",
     "stream_countmin_e2e",
     "zorder_skipping_audit",
+    "stream_bloom_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
