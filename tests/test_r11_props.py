@@ -365,3 +365,92 @@ def test_stream_bloom_or_merge_and_no_false_negatives(spark):
         .collect()
     }
     assert merged == batch
+
+
+def test_snm_misses_only_key_displaced_eligible_twins(spark):
+    """The grown-corpus diagnosis, pinned at fixture scale: against
+    the threshold-ELIGIBLE ground truth (twins whose exact 3-gram
+    Jaccard clears the query's own 0.4 threshold) the single pass may
+    miss a twin ONLY through the one documented mode — its 40-char
+    key is shared by more docs than the window spans, so the twin is
+    sorted out of reach (at sf0.001 one 8+-doc key-collision cluster
+    displaces 4 twins: 445/449 = 0.991; at grown sf1.0 the organic
+    vocabulary makes 40-char collisions rare and recall is 1.0).  Any
+    miss with an uncrowded key would be a real bug."""
+    from quant_market_data_pipeline_spark.llm.hashing import (
+        word_shingles,
+        word_tokens,
+    )
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.queries.llm import (
+        _SNM_KEY_LEN,
+        _SNM_W,
+    )
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    d = load_table(spark, "documents", SF_DIR)
+    n = d.count()
+    toks = d.select(
+        "doc_id", word_tokens(F.lower("text")).alias("tokens")
+    )
+    twin_tokens = F.slice(
+        "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
+    )
+    tw = toks.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("tokens"))).alias("sa"),
+        F.array_distinct(word_shingles(twin_tokens)).alias("sb"),
+        F.substring(
+            F.concat_ws(" ", "tokens"), 1, _SNM_KEY_LEN
+        ).alias("key"),
+    )
+    ni = F.size(F.array_intersect("sa", "sb"))
+    ss = F.size("sa") + F.size("sb")
+    eligible = {
+        r.doc_id: r.key
+        for r in tw.select(
+            "doc_id", "key", F.round(ni / (ss - ni), 6).alias("j")
+        )
+        .filter(F.col("j") >= 0.4)
+        .collect()
+    }
+    # corpus key populations (originals + twins share keys for long
+    # docs; short docs diverge — count both sides)
+    key_pop: dict[str, int] = {}
+    for r in (
+        toks.select(
+            F.substring(
+                F.concat_ws(" ", "tokens"), 1, _SNM_KEY_LEN
+            ).alias("key")
+        )
+        .unionByName(
+            toks.select(
+                F.substring(
+                    F.concat_ws(" ", twin_tokens), 1, _SNM_KEY_LEN
+                ).alias("key")
+            )
+        )
+        .groupBy("key")
+        .count()
+        .collect()
+    ):
+        key_pop[r.key] = r["count"]
+
+    out = load_all()["snm_neardup_pairs"].spark(spark, SF_DIR)
+    found = {
+        r.doc_lo
+        for r in out.filter(F.col("doc_hi") - F.col("doc_lo") == n)
+        .collect()
+    }
+    assert eligible, "fixture must carry eligible twins"
+    missed = set(eligible) - found
+    # recall floor vs the eligible ground truth
+    assert len(missed) / len(eligible) < 0.02
+    # and every miss must be key-displacement: more same-key docs
+    # than the window can bridge
+    for doc_id in missed:
+        assert key_pop[eligible[doc_id]] > _SNM_W, (
+            doc_id,
+            eligible[doc_id],
+            key_pop[eligible[doc_id]],
+        )
