@@ -422,7 +422,7 @@ def _bench_history() -> list[tuple[int, dict]]:
                 parsed = json.loads(tail[tail.index('{"metric"'):])
             except (ValueError, json.JSONDecodeError):
                 parsed = {}
-        if parsed.get("queries"):
+        if parsed.get("queries") and not parsed.get("probe"):
             rounds.append((int(m.group(1)), parsed))
     jsonl = os.path.join(os.path.dirname(__file__), "bench_rounds.jsonl")
     try:
@@ -432,7 +432,13 @@ def _bench_history() -> list[tuple[int, dict]]:
                     doc = json.loads(line)
                 except json.JSONDecodeError:
                     continue
-                if doc.get("queries"):
+                # r12 (judge What's-wrong #1): mid-round PROBE runs are
+                # tagged and NEVER become a comparison basis — the r11
+                # regression gate silently compared itself to a slow-host
+                # probe appended here, making regressions_over_20pct
+                # vacuous and env_shift_vs_prev read 0.761 against the
+                # wrong window.
+                if doc.get("queries") and not doc.get("probe"):
                     rounds.append((1000 + int(doc.get("seq", 0)), doc))
     except OSError:
         pass
@@ -469,10 +475,14 @@ def _previous_bench() -> tuple[dict, dict, dict, dict, dict, int]:
 
 def _previous_round_bench(
     root: str | None = None,
-) -> tuple[dict, dict, dict, int, int | None]:
+) -> tuple[dict, dict, dict, int, int | None, dict]:
     """(plan_fp, docscale_queries, tickscale_queries, plan_fp_version,
-    round_n) from the previous ROUND's committed artifact — not the
-    latest run.
+    round_n, full_src) from the previous ROUND's committed artifact —
+    not the latest run.  ``full_src`` is the complete payload the other
+    elements were read from (the jsonl twin when matched, else the slim
+    driver capture): since r12 EVERY cross-round gate (regressions, env
+    shift, shared-cold totals, lane gates) reads from this one basis, so
+    a mid-round probe run can never silently become the baseline.
 
     Round-8 judge finding: ``plan_changed_vs_prev`` compares to the
     latest bench RUN, so a plan change that happens early in a round and
@@ -513,7 +523,7 @@ def _previous_round_bench(
         if parsed.get("queries") and (best is None or n > best[0]):
             best = (n, parsed)
     if best is None:
-        return {}, {}, {}, 1, None
+        return {}, {}, {}, 1, None, {}
     round_n, parsed = best
     twin: dict = {}
     jsonl = os.path.join(here, "bench_rounds.jsonl")
@@ -538,6 +548,7 @@ def _previous_round_bench(
         src.get("tickscale_queries") or {},
         int(src.get("plan_fp_version") or 1),
         round_n,
+        src,
     )
 
 
@@ -743,12 +754,46 @@ def main() -> None:
         executions in one bench session that lag accumulates into real
         executor-store pressure — measured: shingle_novelty's x16 probe
         swung 7.8 s -> 48.7 s in a session whose GC happened not to run.
-        An explicit System.gc() per query pins the store back to a
-        deterministic baseline so probe timings measure the operator,
-        not the session's garbage history.
+
+        r12 (bisecting the r11 countmin/shingle docscale regressions):
+        ``System.gc()`` alone is NOT enough, because the JVM cannot
+        collect an RDD whose py4j reference is still held by an
+        uncollected PYTHON object — the release chain is Python gc ->
+        py4j detach -> JVM gc -> async ContextCleaner unpersist.  CPython
+        refcounting frees most handles immediately, but the query
+        closures build reference CYCLES (DataFrame <-> plan wrappers)
+        that wait for the generational collector, and that wait is
+        allocation-history-dependent — which is exactly why the r11
+        regressions were irreproducible in isolation: measured in-lane
+        x16 walls with only System.gc(): shingle_novelty 20.9 s /
+        minhash_search_topk 10.2 s, with up to ~800 MB of dead blocks
+        resident at query start; with gc.collect() first: 9.5 s / 5.2 s
+        and the store back near zero.  The bounded drain below then
+        gives the async ContextCleaner a moment to actually unpersist
+        what the two collectors just released, so every lane member
+        starts from a deterministic (near-empty) store.
         """
+        import gc as _gc
+
         spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
+        _gc.collect()
+        jvm = spark.sparkContext._jvm
+        jvm.System.gc()
+        jsc = spark.sparkContext._jsc.sc()
+        deadline = time.perf_counter() + 2.0
+        prev_blocks = None
+        while time.perf_counter() < deadline:
+            try:
+                blocks = sum(
+                    x.numCachedPartitions()
+                    for x in jsc.getRDDStorageInfo()
+                )
+            except Exception:
+                break
+            if blocks == 0 or blocks == prev_blocks:
+                break
+            prev_blocks = blocks
+            time.sleep(0.25)
 
     for name in HEADLINE:
         spec = registry.get(name)
@@ -790,9 +835,13 @@ def main() -> None:
         n for n, fps in plan_fps.items() if len(set(fps[1:])) > 1
     ]
 
-    # docscale probe: doc headliners against the x16 derived fixture
+    # docscale probe: doc headliners against the x16 derived fixture.
+    # Since r12 every lane member also records a plan fingerprint (judge
+    # Missing #2: "zero plan changes" previously covered only the 17
+    # headline fingerprints, so a lane plan flip was invisible).
     docscale: dict[str, float] = {}
     docscale_recall: dict[str, float | None] = {}
+    plan_fp_docscale: dict[str, str | None] = {}
     try:
         scale_dir = _build_docscale_dir(spark, sf_dir)
         for t in ("documents", "embeddings"):
@@ -818,11 +867,13 @@ def main() -> None:
             else:
                 df.count()
                 docscale[name] = round(time.perf_counter() - t0, 3)
+            plan_fp_docscale[name] = _plan_fingerprint(df)
     except Exception as exc:  # probe must never sink the headline bench
         docscale = {"error": str(exc)[:200]}
     calib_windows["post_docscale"] = _calibrate(spark)
     # tickscale probe: tick headliners against the x16 events fixture
     tickscale: dict[str, float] = {}
+    plan_fp_tickscale: dict[str, str | None] = {}
     try:
         tick_dir = _build_tickscale_dir(spark, sf_dir)
         load_table(spark, "events", tick_dir).count()  # warm
@@ -832,8 +883,10 @@ def main() -> None:
             if spec is None:
                 continue
             t0 = time.perf_counter()
-            spec.spark(spark, tick_dir).count()
+            df = spec.spark(spark, tick_dir)
+            df.count()
             tickscale[name] = round(time.perf_counter() - t0, 3)
+            plan_fp_tickscale[name] = _plan_fingerprint(df)
     except Exception as exc:  # probe must never sink the headline bench
         tickscale = {"error": str(exc)[:200]}
     calib_windows["post_tickscale"] = _calibrate(spark)
@@ -843,6 +896,7 @@ def main() -> None:
     # sf0.1 warm medians (alpha <= 1 <=> linear or better)
     sf1: dict[str, float] = {}
     sf1_exp: dict[str, float] = {}
+    plan_fp_sf1: dict[str, str | None] = {}
     if os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0":
         try:
             import math
@@ -856,8 +910,10 @@ def main() -> None:
                     continue
                 _drop_dead_blocks()
                 t0 = time.perf_counter()
-                spec.spark(spark, sf1_dir).count()
+                df = spec.spark(spark, sf1_dir)
+                df.count()
                 sf1[name] = round(time.perf_counter() - t0, 3)
+                plan_fp_sf1[name] = _plan_fingerprint(df)
                 base = timings.get(name)
                 if base and base > 0 and sf1[name] > 0:
                     sf1_exp[name] = round(
@@ -917,15 +973,40 @@ def main() -> None:
     # min-over-min regression is a real plan/code cost, not noise.
     # Previous rounds (<= r6) published medians only; the first round
     # after this change falls back to prev median and says so.
+    # ONE pinned basis for every cross-round gate (r12, judge What's-
+    # wrong #1): the previous ROUND's committed BENCH_r{N}.json (full
+    # jsonl twin when matched).  The old behavior — newest history entry
+    # wins — let a mid-round probe run become the baseline, which made
+    # the r11 regressions_over_20pct vacuous.  Fallback when no round
+    # artifact exists (fresh checkout): newest NON-PROBE history entry.
     (
-        prev,
-        prev_cold,
-        prev_min,
-        prev_fp,
-        prev_calib,
-        prev_calib_windows,
-        prev_fp_ver,
-    ) = _previous_bench()
+        prev_round_fp,
+        prev_round_doc,
+        prev_round_tick,
+        prev_round_fp_ver,
+        prev_round_n,
+        prev_round_src,
+    ) = _previous_round_bench()
+    if prev_round_src.get("queries"):
+        prev_basis = f"round_r{prev_round_n}_committed"
+        prev = prev_round_src["queries"]
+        prev_cold = prev_round_src.get("queries_cold") or prev
+        prev_min = prev_round_src.get("queries_min") or {}
+        prev_fp = prev_round_fp
+        prev_calib = prev_round_src.get("calib") or {}
+        prev_calib_windows = prev_round_src.get("calib_windows") or {}
+        prev_fp_ver = prev_round_fp_ver
+    else:
+        prev_basis = "latest_non_probe_run (no committed round artifact)"
+        (
+            prev,
+            prev_cold,
+            prev_min,
+            prev_fp,
+            prev_calib,
+            prev_calib_windows,
+            prev_fp_ver,
+        ) = _previous_bench()
     # environment shift vs the previous round's recorded machine speed:
     # a >15% calibration move means the whole machine is slower/faster —
     # any same-direction flag below is environmental by artifact
@@ -1022,18 +1103,61 @@ def main() -> None:
             and _cur_fp_for_ver(n, ver) != fp_map[n]
         ]
 
+    # Since r12 prev_fp IS the previous round's committed fingerprints
+    # (one basis everywhere), so the two plan-change lists coincide by
+    # construction; both keys are kept for artifact-schema continuity.
     plan_changed_vs_prev = _changed_vs(prev_fp, prev_fp_ver)
-    # ... and vs the previous ROUND's committed artifact (round-8 judge
-    # directive #3): a plan change that settles mid-round washes out of
-    # the latest-run comparison but must still surface per-round.
-    (
-        prev_round_fp,
-        prev_round_doc,
-        prev_round_tick,
-        prev_round_fp_ver,
-        prev_round_n,
-    ) = _previous_round_bench()
     plan_changed_vs_prev_round = _changed_vs(prev_round_fp, prev_round_fp_ver)
+
+    # Per-query regression flags for the SCALE LANES (r12, judge Missing
+    # #1: the lanes gated only shared totals, which is exactly how a
+    # 3.6x single-query regression hid inside a +18% total in r11).
+    # Lane members run ONCE (no min-of-3 defense), so these flags lean
+    # on the per-window calibration shift for the environmental control;
+    # same 20% threshold and 0.5 s floor as the headline gate.
+    def _lane_gate(cur: dict, prev_lane: dict) -> list[str]:
+        return sorted(
+            n
+            for n, t in cur.items()
+            if isinstance(t, (int, float))
+            and isinstance(prev_lane.get(n), (int, float))
+            and prev_lane[n] >= REGRESSION_FLOOR_SEC
+            and t > 1.2 * prev_lane[n]
+        )
+
+    def _lane_plan_changed(cur_fp: dict, prev_lane_fp: dict) -> list[str]:
+        return sorted(
+            n
+            for n, fp in cur_fp.items()
+            if fp is not None
+            and prev_lane_fp.get(n) not in (None, "FLAP")
+            and fp != prev_lane_fp[n]
+        )
+
+    docscale_regressions = _lane_gate(docscale, prev_round_doc)
+    tickscale_regressions = _lane_gate(tickscale, prev_round_tick)
+    sf1_regressions = _lane_gate(sf1, prev_round_src.get("sf1_queries") or {})
+    sf1grown_regressions = _lane_gate(
+        sf1g, prev_round_src.get("sf1grown_queries") or {}
+    )
+    # lane fingerprints compare only same-version artifacts; a version
+    # bump empties the previous map and the compare self-heals next round
+    _lane_fp_comparable = prev_round_fp_ver == PLAN_FP_VERSION
+    plan_changed_docscale = _lane_plan_changed(
+        plan_fp_docscale,
+        (prev_round_src.get("plan_fp_docscale") or {})
+        if _lane_fp_comparable else {},
+    )
+    plan_changed_tickscale = _lane_plan_changed(
+        plan_fp_tickscale,
+        (prev_round_src.get("plan_fp_tickscale") or {})
+        if _lane_fp_comparable else {},
+    )
+    plan_changed_sf1 = _lane_plan_changed(
+        plan_fp_sf1,
+        (prev_round_src.get("plan_fp_sf1") or {})
+        if _lane_fp_comparable else {},
+    )
     shared = sorted(set(timings_cold) & set(prev_cold))
     shared_cold_total = round(sum(timings_cold[n] for n in shared), 3)
     prev_shared_cold_total = round(sum(prev_cold[n] for n in shared), 3)
@@ -1050,6 +1174,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "regressions_over_20pct": regressions,
         "regression_basis": regression_basis,
+        # the ONE artifact every *_vs_prev / regression field below is
+        # computed against (r12): the previous round's committed entry,
+        # never a mid-round probe run
+        "prev_basis": prev_basis,
         "regression_floor_sec": REGRESSION_FLOOR_SEC,
         "exempt_below_floor": exempt_below_floor,
         "drift_over_40pct_vs_best3_min": drift_vs_best3,
@@ -1135,6 +1263,19 @@ def main() -> None:
             ),
             3,
         ),
+        # per-query lane regression flags + plan fingerprints (r12):
+        # the lanes get the headline gate's teeth — 20% flag vs the
+        # pinned prev-round basis, 0.5 s floor, fingerprint drift
+        "docscale_regressions_over_20pct": docscale_regressions,
+        "tickscale_regressions_over_20pct": tickscale_regressions,
+        "sf1_regressions_over_20pct": sf1_regressions,
+        "sf1grown_regressions_over_20pct": sf1grown_regressions,
+        "plan_changed_vs_prev_round_docscale": plan_changed_docscale,
+        "plan_changed_vs_prev_round_tickscale": plan_changed_tickscale,
+        "plan_changed_vs_prev_round_sf1": plan_changed_sf1,
+        "plan_fp_docscale": plan_fp_docscale,
+        "plan_fp_tickscale": plan_fp_tickscale,
+        "plan_fp_sf1": plan_fp_sf1,
         # per-query scale-probe walls recorded in the jsonl history so
         # the NEXT round's same-membership totals have a basis
         "docscale_queries": docscale,
@@ -1165,6 +1306,15 @@ def main() -> None:
         ),
         "detail": "BENCH_FULL_LATEST.json",
     }
+    # Mid-round PROBE runs (builder iteration, bisects) tag themselves
+    # via SPARK_GRAFT_BENCH_PROBE=1 or --probe: the entry still lands in
+    # bench_rounds.jsonl for forensics but is excluded from every
+    # comparison basis (_bench_history skips it).
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_PROBE") == "1"
+        or "--probe" in sys.argv[1:]
+    ):
+        compact["probe"] = True
     full = dict(compact)
     full.update(
         {
@@ -1205,8 +1355,17 @@ def main() -> None:
             "timing",
             "sf",
             "regressions_over_20pct",
+            "regression_basis",
+            "prev_basis",
             "regression_floor_sec",
             "exempt_below_floor",
+            "docscale_regressions_over_20pct",
+            "tickscale_regressions_over_20pct",
+            "sf1_regressions_over_20pct",
+            "sf1grown_regressions_over_20pct",
+            "plan_changed_vs_prev_round_docscale",
+            "plan_changed_vs_prev_round_tickscale",
+            "plan_changed_vs_prev_round_sf1",
             "env_shift_vs_prev",
             "env_shift_shuffle_vs_prev",
             "env_shift_windows",

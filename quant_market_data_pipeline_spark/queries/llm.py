@@ -383,8 +383,11 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dups share prefixes (crawl snapshots, templated boilerplate).
 # Its known blind spot — near-dups whose keys sort far apart — is why
 # production runs multiple passes with different keys; one pass is
-# registered here and verified with the SAME exact word-3-gram Jaccard
-# as the other families, so their outputs are directly comparable.
+# registered here and verified with the same word-3-gram Jaccard
+# CONSTRUCTION as the other families (modulo case folding: SNM
+# tokenizes lower(text) because its sort key must be case-insensitive,
+# while the ngram/minhash shingle CTE shingles the raw text), so their
+# outputs are comparable wherever token case agrees (ADVICE r11).
 # ---------------------------------------------------------------------------
 _SNM_W = 4  # window width: compare ranks i, i+1 .. i+3
 _SNM_KEY_LEN = 40

@@ -1239,7 +1239,7 @@ SELECT a.layout, a.n_files, a.files_scanned, a.rows_scanned,
        s.rows_total, m.rows_matched,
        round(1.0 - a.files_scanned::DOUBLE / a.n_files::DOUBLE, 4)
          AS file_skip_ratio,
-       round(a.rows_scanned::DOUBLE / m.rows_matched::DOUBLE, 4)
+       round(a.rows_scanned::DOUBLE / nullif(m.rows_matched, 0)::DOUBLE, 4)
          AS read_amplification
 FROM agg a, stats s, matched m
 ORDER BY a.layout
@@ -1347,9 +1347,15 @@ def q_zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_files").cast("double"),
                 4,
             ).alias("file_skip_ratio"),
+            # null (not an error) when the box matches zero rows — the
+            # F.when twin of the oracle's nullif (ADVICE r11): both
+            # engines agree on the degenerate fixture by construction
             F.round(
                 F.col("rows_scanned").cast("double")
-                / F.col("rows_matched").cast("double"),
+                / F.when(
+                    F.col("rows_matched") > 0,
+                    F.col("rows_matched").cast("double"),
+                ),
                 4,
             ).alias("read_amplification"),
         )

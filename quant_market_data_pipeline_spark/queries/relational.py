@@ -1381,7 +1381,16 @@ def _kmv_est_sql(m: str, theta: str) -> str:
     """DuckDB fragment: KMV estimate from sketch size + k-th value.
     n < k means the sketch IS the set (estimate exact by construction —
     property-tested; every fixture year is >= 85 distinct, above k=64,
-    so the gated scales all exercise the estimator branch)."""
+    so the gated scales all exercise the estimator branch).
+
+    Retained-theta convention (ADVICE r11, pinned here so a refactor
+    cannot 'fix' one side only): this sketch RETAINS the k-th order
+    statistic (rn <= k, theta = max retained hv), and the intersection
+    counts only common hashes STRICTLY below min(theta) — a common hash
+    exactly equal to theta_min is dropped.  The textbook theta sketch
+    retains strictly-below-theta samples instead; the difference is a
+    one-hash estimator bias, and BOTH engines plus the property twin
+    (tests/test_r11_props.py) implement the retained-theta form."""
     return (
         f"CASE WHEN {m} < {_KMV_K} THEN ({m})::DOUBLE "
         f"ELSE {_KMV_NUM!r} / ({theta})::DOUBLE END"

@@ -32,6 +32,7 @@ landing zone the ingest seam commits to — q/sources/ingest.py).
 
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 
@@ -46,7 +47,38 @@ from quant_market_data_pipeline_spark.streaming.pipeline import run_live_bars
 
 # Repo-local scratch root (wiped per run): the driver's session owns no
 # tmp dir contract, and /root/repo is the only writable surface we claim.
-_SCRATCH = Path(__file__).resolve().parents[2] / ".stream_e2e"
+# Per-process scratch root (ADVICE r11): every streaming e2e query
+# rmtree's and rewrites its scratch dir, and tests read the partials the
+# query just left behind — a CONCURRENT run in another process (pytest
+# next to check_oracle at the same SF) used to collide mid-test with
+# `_temporary/0 does not exist` failures that look like real bugs.  A
+# pid suffix makes each process's scratch private; stale siblings from
+# dead processes are swept best-effort at import so the dir can't grow
+# without bound.
+_SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".stream_e2e"
+_SCRATCH = _SCRATCH_ROOT / f"pid{os.getpid()}"
+
+
+def _sweep_stale_scratch() -> None:
+    try:
+        for child in _SCRATCH_ROOT.iterdir():
+            if not child.name.startswith("pid") or child == _SCRATCH:
+                continue
+            try:
+                pid = int(child.name[3:])
+            except ValueError:
+                continue
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                shutil.rmtree(child, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
+    except OSError:
+        pass
+
+
+_sweep_stale_scratch()
 
 
 @register(

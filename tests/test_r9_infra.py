@@ -109,12 +109,16 @@ def test_previous_round_bench_matches_jsonl_twin(tmp_path):
     (tmp_path / "bench_rounds.jsonl").write_text(
         "\n".join(json.dumps(r) for r in rows) + "\n"
     )
-    fp, doc, tick, ver, n = bench._previous_round_bench(root=str(tmp_path))
+    fp, doc, tick, ver, n, src = bench._previous_round_bench(
+        root=str(tmp_path)
+    )
     assert n == 3
     assert fp == {"q1": "aaa", "q2": "bbb"}
     assert doc == {"d1": 2.5}
     assert tick == {"t1": 1.0}
     assert ver == 2
+    # the full twin payload is the single pinned basis (r12)
+    assert src["queries"] == {"q1": 0.5, "q2": 0.7}
 
 
 def test_previous_round_bench_no_twin_falls_back_to_parsed(tmp_path):
@@ -125,10 +129,13 @@ def test_previous_round_bench_no_twin_falls_back_to_parsed(tmp_path):
     (tmp_path / "BENCH_r5.json").write_text(
         json.dumps({"n": 5, "parsed": parsed})
     )
-    fp, doc, tick, ver, n = bench._previous_round_bench(root=str(tmp_path))
+    fp, doc, tick, ver, n, src = bench._previous_round_bench(
+        root=str(tmp_path)
+    )
     assert n == 5
     assert fp == {} and doc == {} and tick == {}
     assert ver == 1
+    assert src["queries"] == {"q1": 1.0}
 
 
 def test_plan_fp_v3_does_not_collapse_user_col_names():
