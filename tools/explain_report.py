@@ -189,6 +189,10 @@ QUERIES = [
     "stream_countmin_e2e",
     "zorder_skipping_audit",
     "stream_bloom_e2e",
+    # round 12: incremental MinHash maintenance (MIN merge algebra) and
+    # multi-pass sorted-neighborhood dedup (rotated suffix key)
+    "stream_minhash_e2e",
+    "snm_neardup_pairs_2pass",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
