@@ -1178,9 +1178,15 @@ def main() -> None:
         prev_warm = prev_round_src.get(prev_src_key + "_warm") or {}
         if prev_warm:
             return _lane_gate(cur_warm, prev_warm)
-        # transition round: prev artifact has only cold walls — compare
-        # cold-to-cold (same regime) rather than warm-to-cold
-        return _lane_gate(cur_cold, prev_round_src.get(prev_src_key) or {})
+        # Transition round: the previous artifact has only ONCE-COLD
+        # walls, which mix codegen-compile time with execution and made
+        # r10->r11 flag phantom "regressions" on unchanged plans.
+        # Comparing this round's WARM against them is deliberately
+        # conservative (warm <= cold, so anything flagged is a real
+        # execute-cost regression compile luck cannot explain);
+        # cold-vs-cold would re-flag the known compile flips.
+        # Self-heals to warm-vs-warm next round.
+        return _lane_gate(cur_warm, prev_round_src.get(prev_src_key) or {})
 
     def _lane_plan_changed(cur_fp: dict, prev_lane_fp: dict) -> list[str]:
         return sorted(

@@ -315,6 +315,10 @@ _R12_NEW = [
     # reachable ONLY by the rotated suffix key — the per-pair
     # (pass1, pass2, family) output is the datapoint
     "snm_neardup_pairs_2pass",
+    # incremental KMV/theta maintenance: the sixth streamed sketch and
+    # the last distinct merge SHAPE (k-min-of-union order statistic) —
+    # the one whose merged state supports intersection estimates
+    "stream_kmv_e2e",
 ]
 _R12_TOUCHED = [
     # ADVICE r11: read_amplification zero-guard (nullif / F.when) on
@@ -324,11 +328,14 @@ _R12_TOUCHED = [
     # (lsh_corpus_shingled / MINHASH_LSH_ORACLE) for stream_minhash_e2e;
     # semantics identical, source touched, so the driver re-hashes it
     "minhash_lsh_pairs",
+    # hash extracted into the shared kmv_hv_expr/_sql fragments for
+    # stream_kmv_e2e; semantics identical, source touched, re-hashed
+    "kmv_set_ops_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 12 - 46` with (a)+(b) as stdin:
+#     `python tools/staleness_sample.py 12 - 44` with (a)+(b) as stdin:
 #     the ENTIRE remaining r4 cohort (23 — judge Missing #3: drained)
-#     + the 23 stalest of r5
+#     + the 21 stalest of r5
 _R12_SAMPLE = [
     "xsection_momentum_spread",
     "partitioned_lake_day_scan",
@@ -374,8 +381,6 @@ _R12_SAMPLE = [
     "loo_target_encoding",
     "forecast_backtest_mape",
     "tick_size_conformance",
-    "primary_key_audit",
-    "langid_confusion",
 ]
 _PRIORITY = _R12_NEW + _R12_TOUCHED + _R12_SAMPLE
 

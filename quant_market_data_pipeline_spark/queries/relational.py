@@ -1377,6 +1377,21 @@ _KMV_K = 64
 _KMV_NUM = float((_KMV_K - 1) << 52)
 
 
+def kmv_hv_sql(col: str) -> str:
+    """DuckDB fragment: the KMV hash — first 52 bits of md5(col) as
+    BIGINT.  ONE definition shared by the batch set-ops audit and the
+    streamed maintenance (stream_kmv_e2e), so the two sketches cannot
+    drift apart (the cms_bucket / qh_bin / hll register discipline)."""
+    return f"('0x' || substr(md5({col}::VARCHAR), 1, 13))::BIGINT"
+
+
+def kmv_hv_expr(col):
+    """Spark twin of kmv_hv_sql."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
 def _kmv_est_sql(m: str, theta: str) -> str:
     """DuckDB fragment: KMV estimate from sketch size + k-th value.
     n < k means the sketch IS the set (estimate exact by construction —
@@ -1410,7 +1425,7 @@ def _kmv_est_expr(m, theta):
     oracle=f"""
 WITH hv AS (
   SELECT DISTINCT year(o_orderdate)::INTEGER AS y,
-         ('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))::BIGINT AS hv
+         {kmv_hv_sql("o_custkey")} AS hv
   FROM orders
 ), ranked AS (
   SELECT y, hv FROM (
@@ -1502,10 +1517,7 @@ def q_kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("y"), "o_custkey"
     )
-    hv_col = F.conv(
-        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 13), 16, 10
-    ).cast("long")
-    hv = o.select("y", hv_col.alias("hv")).distinct()
+    hv = o.select("y", kmv_hv_expr(F.col("o_custkey")).alias("hv")).distinct()
     wk = Window.partitionBy("y").orderBy("hv")
     # k smallest per year; consumed by est, both union legs and both
     # intersection legs -> materialize the <=k*years-row sketch once

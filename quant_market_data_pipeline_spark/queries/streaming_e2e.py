@@ -1958,3 +1958,170 @@ def q_stream_minhash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(16)])
     )
     return lsh_candidate_pairs(merged, k=16, bands=8, rows_per_band=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental KMV / theta-sketch maintenance (r12): the SIXTH streamed
+# sketch and the last distinct merge shape — an ORDER-STATISTIC merge.
+# Counters SUM, registers MAX, signatures MIN, bitsets OR — all
+# element-wise at a fixed coordinate; a KMV sketch instead retains the
+# k SMALLEST distinct hashes, and partials merge by k-min-of-union:
+# any hash among the global k smallest has at most k-1 hashes below it
+# globally, hence at most k-1 in its own batch, so it survives its
+# batch's partial — the union of per-batch k-mins provably contains
+# the global k-min.  The KMV is the one sketch whose merged state
+# supports INTERSECTION estimates (kmv_set_ops_audit); this stream
+# keeps that capability incrementally maintainable.
+# ---------------------------------------------------------------------------
+def _stream_kmv_oracle() -> str:
+    """Batch KMV distinct-user estimate per event type — generated from
+    the SAME hash + estimator fragments the batch set-ops audit
+    interpolates (relational.kmv_hv_sql / _kmv_est_sql / _KMV_K), so
+    the streamed and batch sketches cannot drift apart."""
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _KMV_K,
+        _kmv_est_sql,
+        kmv_hv_sql,
+    )
+
+    return f"""
+WITH hv AS (
+  SELECT DISTINCT event_type, {kmv_hv_sql("user_id")} AS hv FROM events
+), ranked AS (
+  SELECT event_type, hv FROM (
+    SELECT event_type, hv,
+           row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM hv) WHERE rn <= {_KMV_K}
+), sk AS (
+  SELECT event_type, {_kmv_est_sql("count(*)", "max(hv)")} AS kmv_raw
+  FROM ranked GROUP BY event_type
+), ex AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users
+  FROM events GROUP BY event_type
+)
+SELECT s.event_type, ex.exact_users,
+       round(s.kmv_raw, 4) AS kmv_est,
+       round(abs(s.kmv_raw - ex.exact_users) / ex.exact_users, 6)
+         AS rel_err
+FROM sk s JOIN ex USING (event_type)
+ORDER BY event_type
+"""
+
+
+@register(
+    "stream_kmv_e2e",
+    oracle=_stream_kmv_oracle(),
+    doc="Incremental KMV/theta-sketch maintenance across micro-batches: "
+    "the event stream drains one time-sliced landing file per trigger "
+    "(4 genuine micro-batches), each batch retains its k smallest "
+    "distinct user-id hashes per event type (the shared "
+    "relational.kmv_hv_expr/_sql hash — ONE definition with "
+    "kmv_set_ops_audit on BOTH engines) through the idempotent "
+    "batch_id-partitioned foreachBatch sink; the read-out merges by "
+    "k-MIN-OF-UNION — provably the batch sketch, since a global "
+    "k-smallest hash survives its own batch's k-min — and serves "
+    "per-type distinct estimates next to exact counts.  Completes the "
+    "streamed-sketch merge shapes: element-wise max/sum/sum/OR/MIN "
+    "plus this ORDER-STATISTIC merge, the one whose retained sample "
+    "supports intersection estimates (the capability HLL registers "
+    "cannot express).  At 100 TB each batch exchanges at most "
+    "k rows per event type, never the user space, and a re-crawled "
+    "partition folds in by the same k-min union without recomputing "
+    "history.",
+)
+def q_stream_kmv_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from quant_market_data_pipeline_spark.queries.relational import (
+        _KMV_K,
+        _kmv_est_expr,
+        kmv_hv_expr,
+    )
+    from quant_market_data_pipeline_spark.streaming.bars_stream import (
+        read_tick_stream,
+    )
+
+    configure_runtime(spark)
+    ev = load_table(spark, "events", sf_dir).select(
+        "ts", "user_id", "event_type"
+    )
+
+    base = _SCRATCH / (Path(sf_dir).name + "_kmv")
+    shutil.rmtree(base, ignore_errors=True)
+    landing = str(base / "landing")
+    kmv_out, ckpt = str(base / "kmv"), str(base / "ckpt")
+    _land_time_sliced(ev, "ts", landing, n_slices=4)
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stream = read_tick_stream(
+        spark, landing, schema=schema, fmt="parquet", max_files_per_trigger=1
+    )
+    wk = Window.partitionBy("event_type").orderBy("hv")
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch k-min partial: k smallest distinct hashes per type;
+        # the batch_id partition makes a checkpoint-replayed batch
+        # overwrite exactly its own leaves (idempotent recovery)
+        partial = (
+            batch_df.select(
+                "event_type", kmv_hv_expr(F.col("user_id")).alias("hv")
+            )
+            .distinct()
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "hv")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(kmv_out)
+        )
+
+    query = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    # k-min-of-union merge == the batch sketch exactly (order statistic
+    # of the distinct union); the estimator is the shared branch
+    merged = (
+        spark.read.parquet(kmv_out)
+        .select("event_type", "hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = merged.groupBy("event_type").agg(
+        _kmv_est_expr(F.count(F.lit(1)), F.max("hv")).alias("kmv_raw")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            F.round("kmv_raw", 4).alias("kmv_est"),
+            F.round(
+                F.abs(
+                    F.col("kmv_raw") - F.col("exact_users").cast("double")
+                )
+                / F.col("exact_users").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

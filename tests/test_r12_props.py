@@ -224,3 +224,74 @@ def test_snm_2pass_jaccard_matches_python_twin(snm2):
         )
         assert r.jaccard >= 0.4
         assert r.doc_lo < r.doc_hi
+
+
+# --- streamed KMV (k-min-of-union order-statistic merge) --------------------
+
+
+def test_stream_kmv_merged_equals_batch_and_python_twin(spark):
+    """The k-min-of-union merge must reproduce the batch sketch EXACTLY
+    (set equality of retained hashes per type, pinned on the actual
+    on-disk partials), the landing must split types across >1 batch,
+    and the served estimates must match an independent plain-Python
+    reimplementation of the published KMV construction (k and the
+    (k-1)*2^52 numerator re-derived here, never imported)."""
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    rows = load_all()["stream_kmv_e2e"].spark(spark, SF_DIR).collect()
+    assert rows
+    out = {r.event_type: r for r in rows}
+
+    scratch = _kmv_scratch()
+    partials = spark.read.parquet(str(scratch / "kmv"))
+    assert partials.select("batch_id").distinct().count() > 1
+    multi = (
+        partials.groupBy("event_type")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert multi > 0
+
+    # independent python twin: k, numerator, hash all re-derived
+    K = 64
+    NUM = float((K - 1) << 52)
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "event_type"
+    ).collect()
+    by_type: dict[str, set[int]] = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    merged = {
+        (r.event_type, r.hv)
+        for r in partials.select("event_type", "hv").distinct().collect()
+    }
+    for etype, uids in by_type.items():
+        hvs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:13], 16)
+            for u in uids
+        )
+        sketch = hvs[:K]
+        est = float(len(sketch)) if len(sketch) < K else NUM / sketch[-1]
+        r = out[etype]
+        assert r.exact_users == len(uids)
+        assert r.kmv_est == pytest.approx(round(est, 4), abs=1e-9)
+        assert r.rel_err == pytest.approx(
+            round(abs(est - len(uids)) / len(uids), 6), abs=1e-9
+        )
+        assert r.rel_err < 0.5
+        # merged retained set per type must CONTAIN the batch k-min
+        # (k-min-of-union property) — the read-out re-ranks to <= k
+        merged_type = sorted(
+            hv for (t, hv) in merged if t == etype
+        )[:K]
+        assert merged_type == sketch
+
+
+def _kmv_scratch():
+    from quant_market_data_pipeline_spark.queries.streaming_e2e import (
+        _SCRATCH,
+    )
+
+    return _SCRATCH / (Path(SF_DIR).name + "_kmv")

@@ -189,10 +189,12 @@ QUERIES = [
     "stream_countmin_e2e",
     "zorder_skipping_audit",
     "stream_bloom_e2e",
-    # round 12: incremental MinHash maintenance (MIN merge algebra) and
-    # multi-pass sorted-neighborhood dedup (rotated suffix key)
+    # round 12: incremental MinHash maintenance (MIN merge algebra),
+    # multi-pass sorted-neighborhood dedup (rotated suffix key), and
+    # incremental KMV/theta maintenance (k-min-of-union order statistic)
     "stream_minhash_e2e",
     "snm_neardup_pairs_2pass",
+    "stream_kmv_e2e",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.

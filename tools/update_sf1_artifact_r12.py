@@ -18,12 +18,13 @@ from __future__ import annotations
 import json
 
 art = json.load(open("CORRECTNESS_LOCAL_sf1.json"))
-run = json.load(open(".sf1_runs/r12_new.json"))
-assert run["sf_dir"].endswith(".bench_scale/sf1.0_grown")
-assert run["strict"]
-for name, res in run["results"].items():
-    assert res["status"] == "ok", (name, res)
-    art["results"][name] = {"status": "ok", "strict": True}
+for run_path in (".sf1_runs/r12_new.json", ".sf1_runs/r12_kmv.json"):
+    run = json.load(open(run_path))
+    assert run["sf_dir"].endswith(".bench_scale/sf1.0_grown")
+    assert run["strict"]
+    for name, res in run["results"].items():
+        assert res["status"] == "ok", (name, res)
+        art["results"][name] = {"status": "ok", "strict": True}
 
 r = art["results"]
 art["n_ok"] = sum(1 for v in r.values() if v["status"] == "ok")
@@ -35,8 +36,9 @@ art["n_queries"] = len(r)
 art["provenance"] = (
     art["provenance"]
     + "; r12: new/touched queries (streamed MinHash MIN-merge, 2-pass "
-    "SNM, zorder zero-guard, shared LSH corpus fragment) re-verified "
-    "strict on the same fixture (.sf1_runs/r12_new.json)"
+    "SNM, streamed KMV k-min union + shared kmv_hv fragment, zorder "
+    "zero-guard, shared LSH corpus fragment) re-verified "
+    "strict on the same fixture (.sf1_runs/r12_new.json, r12_kmv.json)"
 )
 with open("CORRECTNESS_LOCAL_sf1.json", "w") as f:
     json.dump(art, f, indent=1, sort_keys=True)
