@@ -658,10 +658,23 @@ def q_snm_neardup_pairs_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
     )
     corpus = toks.unionByName(planted).unionByName(rerendered)
+    # Shuffle-weight split (the lsh_candidate_pairs join-back
+    # discipline): the rank windows and the offset-explode equi-join
+    # carry ONLY (doc_id, key) — the ~50-string shingle arrays would
+    # otherwise ride through two sorts and a 3x-exploded exchange; the
+    # arrays live in their own materialized frame and are fetched by
+    # two membership joins AFTER the pair set is deduped.  Measured
+    # trade (warm walls): x16 replicated corpus 13.9 s carried ->
+    # 10.1 s joined back; grown sf1 6.3 s -> 8.3 s the OTHER way,
+    # because the planted families make 63% of docs emit a pair, so
+    # the "output-sized" joins are corpus-sized there.  At production
+    # dedup rates (output pairs are a few % of the corpus) the join-
+    # back side of the trade only improves, while carried arrays cost
+    # the full corpus through every sort regardless — so the plan
+    # optimizes for the regime the operator is FOR.
     keyed = materialize_corpus(
         corpus.select(
             "doc_id",
-            F.array_distinct(word_shingles(F.col("tokens"))).alias("sh"),
             F.substring(
                 F.concat_ws(" ", "tokens"), 1, _SNM_KEY_LEN
             ).alias("k1"),
@@ -670,17 +683,20 @@ def q_snm_neardup_pairs_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("k2"),
         )
     )
+    sh_frame = materialize_corpus(
+        corpus.select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("tokens"))).alias("sh"),
+        )
+    )
 
     def pass_cands(key_col: str, pass_no: int) -> DataFrame:
         wrn = Window.partitionBy("blk").orderBy(key_col, "doc_id")
         ranked = keyed.withColumn(
             "blk", F.substring(key_col, 1, _SNM_BLK_LEN)
-        ).select("doc_id", "sh", "blk", F.row_number().over(wrn).alias("rn"))
+        ).select("doc_id", "blk", F.row_number().over(wrn).alias("rn"))
         probe = ranked.select(
-            "blk",
-            "rn",
-            F.col("doc_id").alias("id_a"),
-            F.col("sh").alias("sh_a"),
+            "blk", "rn", F.col("doc_id").alias("id_a")
         ).withColumn(
             "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W)]))
         ).withColumn("rn_b", F.col("rn") + F.col("d"))
@@ -689,35 +705,46 @@ def q_snm_neardup_pairs_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "blk",
                 F.col("rn").alias("rn_b"),
                 F.col("doc_id").alias("id_b"),
-                F.col("sh").alias("sh_b"),
             ),
             ["blk", "rn_b"],
-        ).select(
-            F.lit(pass_no).alias("pass"),
-            "id_a",
-            "id_b",
-            "sh_a",
-            "sh_b",
-        )
+        ).select(F.lit(pass_no).alias("pass"), "id_a", "id_b")
 
     cand = pass_cands("k1", 1).unionByName(pass_cands("k2", 2))
+    pairs = (
+        cand.select(
+            "pass",
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(
+            F.max(F.col("pass") == 1).alias("pass1"),
+            F.max(F.col("pass") == 2).alias("pass2"),
+        )
+    )
+    # verify step: arrays fetched at output size, intersect in-row
+    scored = (
+        pairs.join(
+            sh_frame.select(
+                F.col("doc_id").alias("doc_lo"), F.col("sh").alias("sh_a")
+            ),
+            "doc_lo",
+        )
+        .join(
+            sh_frame.select(
+                F.col("doc_id").alias("doc_hi"), F.col("sh").alias("sh_b")
+            ),
+            "doc_hi",
+        )
+    )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     sz_sum = F.size("sh_a") + F.size("sh_b")
-    scored = cand.select(
-        "pass",
-        F.least("id_a", "id_b").alias("doc_lo"),
-        F.greatest("id_a", "id_b").alias("doc_hi"),
-        n_inter.alias("n_inter"),
-        sz_sum.alias("sz_sum"),
-    )
-    agg = scored.groupBy("doc_lo", "doc_hi").agg(
-        F.max(F.col("pass") == 1).alias("pass1"),
-        F.max(F.col("pass") == 2).alias("pass2"),
-        F.max(
-            F.round(
-                F.col("n_inter") / (F.col("sz_sum") - F.col("n_inter")), 6
-            )
-        ).alias("jaccard"),
+    agg = scored.select(
+        "doc_lo",
+        "doc_hi",
+        "pass1",
+        "pass2",
+        F.round(n_inter / (sz_sum - n_inter), 6).alias("jaccard"),
     )
     return (
         agg.crossJoin(F.broadcast(off))
