@@ -768,3 +768,81 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cell", "cos_sim", "rn")
     )
+
+
+# --- product quantization (r12) ---------------------------------------------
+# The memory tier of production ANN: a 64-float vector (256 B) becomes
+# M=4 one-byte codes by quantizing each 16-dim subvector to its nearest
+# of K=16 codebook entries.  Codebooks here are the first K vectors'
+# subvectors (deterministic, the ivf_topk centroid convention — a
+# production deployment plugs k-means codebooks into the same plan).
+PQ_M = 4  # subspaces
+PQ_SUB = 16  # dims per subspace
+PQ_K = 16  # codebook entries per subspace
+
+
+def l2_sq(a: Column, b: Column, round_digits: int = 6) -> Column:
+    """Rounded squared L2 distance — the PQ/ADC metric.  Left-fold sum
+    in element order, so DuckDB's list_sum over the same comprehension
+    reproduces every double bit-for-bit."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_digits,
+    )
+
+
+def pq_subvectors(
+    vecs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, m, sv): each vector exploded into its M subvectors."""
+    v = as_double(F.col(vec_col))
+    return vecs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(v, m * PQ_SUB + 1, PQ_SUB).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.m").alias("m"), F.col("__s.sv").alias("sv"))
+
+
+def pq_codebooks(vecs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(m, cid, cv): the deterministic codebooks — first PQ_K vectors'
+    subvectors per subspace."""
+    return (
+        pq_subvectors(vecs.filter(F.col(id_col) < PQ_K), id_col)
+        .select(
+            "m", F.col(id_col).alias("cid"), F.col("sv").alias("cv")
+        )
+    )
+
+
+def pq_encode(sub: DataFrame, codebooks: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, cid, d2): each subvector's nearest codebook entry
+    (rounded-L2 argmin, lower cid wins ties — the ivf_assign tiebreak)
+    with its quantization error.  Codebooks broadcast (M*K tiny rows);
+    encoding is a map-side scan over the corpus — at 100 TB this is the
+    one full pass a PQ index build costs, and the output is 4 bytes of
+    code per vector instead of 256 B of floats."""
+    scored = sub.join(F.broadcast(codebooks), "m").select(
+        id_col,
+        "m",
+        "cid",
+        l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "m").orderBy("d2", "cid")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -319,6 +319,11 @@ _R12_NEW = [
     # the last distinct merge SHAPE (k-min-of-union order statistic) —
     # the one whose merged state supports intersection estimates
     "stream_kmv_e2e",
+    # product quantization — the ANN memory tier: 64x compression
+    # priced by the per-subspace reconstruction error and the
+    # two-stage (ADC -> exact re-rank) recall audit
+    "pq_reconstruction_report",
+    "pq_adc_recall_audit",
 ]
 _R12_TOUCHED = [
     # ADVICE r11: read_amplification zero-guard (nullif / F.when) on
@@ -333,9 +338,9 @@ _R12_TOUCHED = [
     "kmv_set_ops_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 12 - 44` with (a)+(b) as stdin:
+#     `python tools/staleness_sample.py 12 - 42` with (a)+(b) as stdin:
 #     the ENTIRE remaining r4 cohort (23 — judge Missing #3: drained)
-#     + the 21 stalest of r5
+#     + the 19 stalest of r5
 _R12_SAMPLE = [
     "xsection_momentum_spread",
     "partitioned_lake_day_scan",
@@ -379,8 +384,6 @@ _R12_SAMPLE = [
     "freshness_staleness_audit",
     "hybrid_rrf_fusion",
     "loo_target_encoding",
-    "forecast_backtest_mape",
-    "tick_size_conformance",
 ]
 _PRIORITY = _R12_NEW + _R12_TOUCHED + _R12_SAMPLE
 

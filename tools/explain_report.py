@@ -195,6 +195,10 @@ QUERIES = [
     "stream_minhash_e2e",
     "snm_neardup_pairs_2pass",
     "stream_kmv_e2e",
+    # round 12 (second half): product quantization — encode pass +
+    # two-stage ADC/re-rank search audit
+    "pq_reconstruction_report",
+    "pq_adc_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.

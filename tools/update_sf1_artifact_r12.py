@@ -18,7 +18,12 @@ from __future__ import annotations
 import json
 
 art = json.load(open("CORRECTNESS_LOCAL_sf1.json"))
-for run_path in (".sf1_runs/r12_new.json", ".sf1_runs/r12_kmv.json"):
+for run_path in (
+    ".sf1_runs/r12_new.json",
+    ".sf1_runs/r12_kmv.json",
+    ".sf1_runs/r12_snm2opt.json",
+    ".sf1_runs/r12_pq.json",
+):
     run = json.load(open(run_path))
     assert run["sf_dir"].endswith(".bench_scale/sf1.0_grown")
     assert run["strict"]
