@@ -153,6 +153,10 @@ DOCSCALE = [
     # r12: the multi-pass variant — prices the second (suffix-key) sort
     # at scale; expected ~2x the single pass plus the 3rd corpus leg
     "snm_neardup_pairs_2pass",
+    # r12: the PQ memory tier — encode pass cost and the two-stage
+    # ADC/re-rank search at the x16 vector corpus
+    "pq_reconstruction_report",
+    "pq_adc_recall_audit",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the
@@ -1425,6 +1429,17 @@ def main() -> None:
     # list; the per-query auxiliary dicts (mins, spreads, cold walls,
     # plan fingerprints, calibration, scale probes) live in
     # BENCH_FULL_LATEST.json + bench_rounds.jsonl.
+    # The PRINTED line must survive the driver's 2000-char stdout-tail
+    # capture (measured: BENCH_r11's captured tail is exactly 2000
+    # chars and the r11 line was 1973 — one more key and the line is
+    # FRONT-clipped, `index('{"metric"')` fails, and the round artifact
+    # stops being usable as the next round's pinned basis).  So the
+    # slim line carries ONLY the headline metric, per-query medians and
+    # the flag lists; everything else lives in BENCH_FULL_LATEST.json +
+    # the bench_rounds.jsonl twin, which _previous_round_bench matches
+    # by (value, queries).  _SLIM_DROP_ORDER then defends against flag
+    # lists growing in a bad round: least-essential keys are dropped
+    # until the line fits, and the dropped names are recorded.
     slim = {
         k: compact[k]
         for k in (
@@ -1435,45 +1450,59 @@ def main() -> None:
             "timing",
             "sf",
             "regressions_over_20pct",
-            "regression_basis",
             "prev_basis",
-            "regression_floor_sec",
-            "exempt_below_floor",
+            "lane_gate_basis",
             "docscale_regressions_over_20pct",
             "tickscale_regressions_over_20pct",
             "sf1_regressions_over_20pct",
             "sf1grown_regressions_over_20pct",
+            "plan_changed_vs_prev_round",
             "plan_changed_vs_prev_round_docscale",
-            "plan_changed_vs_prev_round_tickscale",
-            "plan_changed_vs_prev_round_sf1",
-            "lane_gate_basis",
+            "plan_flaps_within_round",
             "env_shift_vs_prev",
             "env_shift_shuffle_vs_prev",
-            "env_shift_windows",
-            "plan_fp_version",
-            "plan_flaps_within_round",
-            "plan_changed_vs_prev",
-            "plan_changed_vs_prev_round",
-            "plan_prev_round_n",
-            "plan_prev_round_fp_n",
             "shared_cold_total",
             "prev_shared_cold_total",
-            "shared_cold_n",
-            "docscale_total",
-            "docscale_n",
             "docscale_shared_total",
             "prev_docscale_shared_total",
-            "tickscale_total",
-            "tickscale_n",
             "tickscale_shared_total",
             "prev_tickscale_shared_total",
             "sf1_total",
             "sf1grown_total",
-            "docscale_recall",
             "detail",
         )
     }
     slim["drift_over_40pct_vs_best3_min"] = sorted(drift_vs_best3)
+    _SLIM_DROP_ORDER = [
+        "detail",
+        "lane_gate_basis",
+        "sf1_total",
+        "sf1grown_total",
+        "tickscale_shared_total",
+        "prev_tickscale_shared_total",
+        "docscale_shared_total",
+        "prev_docscale_shared_total",
+        "shared_cold_total",
+        "prev_shared_cold_total",
+        "plan_flaps_within_round",
+        "drift_over_40pct_vs_best3_min",
+        "plan_changed_vs_prev_round_docscale",
+        "plan_changed_vs_prev_round",
+        "sf1grown_regressions_over_20pct",
+        "sf1_regressions_over_20pct",
+        "tickscale_regressions_over_20pct",
+        "docscale_regressions_over_20pct",
+    ]
+    _SLIM_LIMIT = 1900
+    dropped = []
+    for key in _SLIM_DROP_ORDER:
+        if len(json.dumps(slim)) <= _SLIM_LIMIT:
+            break
+        if key in slim:
+            dropped.append(key)
+            del slim[key]
+    if dropped:
+        slim["slim_dropped"] = dropped
     sys.stdout.flush()
     print(json.dumps(slim))
 
