@@ -1361,8 +1361,9 @@ def main() -> None:
         "lane_gate_basis": (
             "warm_vs_prev_warm"
             if (prev_round_src.get("docscale_queries_warm") or {})
-            else "cold_vs_prev_cold (prev round pre-dates warm lanes; "
-            "self-heals next round)"
+            else "warm_vs_prev_cold (prev round pre-dates warm lanes; "
+            "conservative — warm <= cold, so a flag is a real execute-"
+            "cost regression; self-heals to warm_vs_warm next round)"
         ),
         "sf1_queries": sf1,
         # measured recall of the audit queries AT the x16 corpus
