@@ -154,9 +154,12 @@ DOCSCALE = [
     # at scale; expected ~2x the single pass plus the 3rd corpus leg
     "snm_neardup_pairs_2pass",
     # r12: the PQ memory tier — encode pass cost and the two-stage
-    # ADC/re-rank search at the x16 vector corpus
+    # ADC/re-rank search at the x16 vector corpus, plus the composed
+    # IVF+PQ index (the x16 recall prices the fixed-32-cell config
+    # against the cells ~ sqrt(n) re-index law)
     "pq_reconstruction_report",
     "pq_adc_recall_audit",
+    "ann_ivfpq_recall_audit",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the
@@ -171,6 +174,7 @@ DOCSCALE_RECALL = {
     "ann_mt_recall_audit",
     "ann_ivf_recall_audit",
     "ann_mp_recall_audit",
+    "ann_ivfpq_recall_audit",
 }
 
 

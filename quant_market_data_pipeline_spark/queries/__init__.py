@@ -324,6 +324,10 @@ _R12_NEW = [
     # two-stage (ADC -> exact re-rank) recall audit
     "pq_reconstruction_report",
     "pq_adc_recall_audit",
+    # IVF+PQ composed — the production index shape: cell pruning, ADC
+    # over codes, exact re-rank; recall + n_cand price the whole
+    # composition against the full-corpus exact ground truth
+    "ann_ivfpq_recall_audit",
 ]
 _R12_TOUCHED = [
     # ADVICE r11: read_amplification zero-guard (nullif / F.when) on
@@ -338,9 +342,9 @@ _R12_TOUCHED = [
     "kmv_set_ops_audit",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 12 - 42` with (a)+(b) as stdin:
+#     `python tools/staleness_sample.py 12 - 41` with (a)+(b) as stdin:
 #     the ENTIRE remaining r4 cohort (23 — judge Missing #3: drained)
-#     + the 19 stalest of r5
+#     + the 18 stalest of r5
 _R12_SAMPLE = [
     "xsection_momentum_spread",
     "partitioned_lake_day_scan",
@@ -383,7 +387,6 @@ _R12_SAMPLE = [
     "peak_concurrency_daily",
     "freshness_staleness_audit",
     "hybrid_rrf_fusion",
-    "loo_target_encoding",
 ]
 _PRIORITY = _R12_NEW + _R12_TOUCHED + _R12_SAMPLE
 

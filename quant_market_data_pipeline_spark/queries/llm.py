@@ -4112,6 +4112,234 @@ def q_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}, cents AS (
+  SELECT vec_id AS ccid, v AS ccv FROM vecs WHERE vec_id < {_IVF_CELLS}
+), cscored AS (
+  SELECT a.vec_id, c.ccid,
+         round(list_sum([(a.v[i]-c.ccv[i])*(a.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS cd2
+  FROM vecs a CROSS JOIN cents c
+), probed AS (
+  SELECT vec_id, ccid AS cell, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM cscored) WHERE rn <= {_IVF_PROBE}
+), q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 20
+), qd AS (
+  SELECT q.query_id, q.m, c.cid,
+         round(list_sum([(q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM q JOIN cb c ON c.m = q.m
+), candset AS (
+  SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id
+  FROM probed pq
+  JOIN (SELECT vec_id, cell FROM probed WHERE probe_rank = 1) pc
+    ON pc.cell = pq.cell AND pc.vec_id <> pq.vec_id
+  WHERE pq.vec_id < 20
+), adc AS (
+  SELECT cs.query_id, cs.neighbor_id, round(sum(qd.d2), 6) AS adist
+  FROM candset cs
+  JOIN codes ON codes.vec_id = cs.neighbor_id
+  JOIN qd ON qd.query_id = cs.query_id
+         AND qd.m = codes.m AND qd.cid = codes.cid
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+  FROM adc
+), reranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum([(qa.v[i]-nb.v[i])*(qa.v[i]-nb.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM cand c
+  JOIN vecs qa ON qa.vec_id = c.query_id
+  JOIN vecs nb ON nb.vec_id = c.neighbor_id
+  WHERE c.rn <= 32
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM reranked) WHERE rn <= 3
+), ncand AS (
+  SELECT query_id, count(*)::BIGINT AS n_cand FROM candset GROUP BY 1
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id,
+       coalesce(nc.n_cand, 0) AS n_cand,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_3
+FROM exact e
+LEFT JOIN approx a USING (query_id, neighbor_id)
+LEFT JOIN ncand nc ON nc.query_id = e.query_id
+GROUP BY e.query_id, nc.n_cand
+""",
+    doc=f"IVF+PQ composed — the production index shape: L2 coarse "
+    f"quantization into {_IVF_CELLS} cells (the canonical IVFADC "
+    f"metric; queries probe their {_IVF_PROBE} nearest cells, "
+    "neighbors live in their assigned cell, so candidates are bounded "
+    "by n_probe * n / n_cells per query and reported as n_cand), ADC "
+    "lookup-table distances over the candidates' 4-byte codes only, "
+    "exact re-rank of the ADC top-32 against raw floats fetched at "
+    "output size, and recall@3 against the FULL-corpus exact L2 top-3 "
+    "— so the one number prices the whole composition (IVF pruning "
+    "loss + quantization loss − re-rank recovery) next to its cost.  "
+    "Everything reuses the audited parts: the PQ codebook/encode "
+    "fragments, the IVF first-k deterministic centroids, the ADC "
+    "integer-only join, the WindowGroupLimit candidate cap.  At "
+    "100 TB this is the index that fits: cells partition the corpus, "
+    "codes shrink it 64x, and raw vectors are touched only for 32 "
+    "re-rank candidates per query.",
+)
+def q_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        l2_sq,
+        pq_codebooks,
+        pq_encode,
+        pq_subvectors,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    cscored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
+    probed = materialize_corpus(
+        cscored.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= _IVF_PROBE)
+        .select("vec_id", F.col("ccid").alias("cell"), "probe_rank")
+    )
+    candset = (
+        probed.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            probed.filter(F.col("probe_rank") == 1).select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    sub = pq_subvectors(emb)
+    cb = pq_codebooks(emb)
+    codes = pq_encode(sub, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cid"
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+    )
+    adc = (
+        candset.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    cand = adc.withColumn("rn", F.row_number().over(wq))
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    reranked = (
+        cand.filter(F.col("rn") <= 32)
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_sq(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    approx = (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = candset.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(F.broadcast(ncand), "query_id", "left")
+        .groupBy("query_id", "n_cand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("bigint")).alias(
+                "n_cand"
+            ),
+            "n_exact",
+            "n_hit",
+            "recall_at_3",
+        )
+    )
+
+
+@register(
     "ann_mt_recall_audit",
     oracle=f"""
 {_MT_PRELUDE}, cand AS (

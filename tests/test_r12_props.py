@@ -363,3 +363,27 @@ def test_pq_rerank_never_loses_an_adc_hit(spark):
         assert r.recall_reranked == pytest.approx(
             r.n_hit_reranked / 3, abs=1e-6
         )
+
+
+def test_ivfpq_composition_structure(spark):
+    """IVF+PQ composed: candidates are cell-bounded (n_cand << corpus),
+    the full-corpus ground truth has exactly 3 rows per query, and at
+    this fixture scale the composition holds high recall — the grown-
+    corpus boundary (fixed 32 cells vs the cells ~ sqrt(n) law) is
+    documented in COVERAGE, not asserted here."""
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    rows = (
+        load_all()["ann_ivfpq_recall_audit"].spark(spark, SF_DIR).collect()
+    )
+    n = load_table(spark, "embeddings", SF_DIR).count()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_exact == 3
+        assert 0 <= r.n_cand < n  # pruned, never the whole corpus
+        assert r.recall_at_3 == pytest.approx(r.n_hit / 3, abs=1e-6)
+    mean_cand = sum(r.n_cand for r in rows) / len(rows)
+    assert mean_cand <= 0.25 * n  # 2 cells of ~n/32 each + slack
+    micro = sum(r.n_hit for r in rows) / sum(r.n_exact for r in rows)
+    assert micro > 0.8

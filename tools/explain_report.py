@@ -199,6 +199,7 @@ QUERIES = [
     # two-stage ADC/re-rank search audit
     "pq_reconstruction_report",
     "pq_adc_recall_audit",
+    "ann_ivfpq_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.

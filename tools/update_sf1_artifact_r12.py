@@ -23,6 +23,7 @@ for run_path in (
     ".sf1_runs/r12_kmv.json",
     ".sf1_runs/r12_snm2opt.json",
     ".sf1_runs/r12_pq.json",
+    ".sf1_runs/r12_ivfpq.json",
 ):
     run = json.load(open(run_path))
     assert run["sf_dir"].endswith(".bench_scale/sf1.0_grown")
