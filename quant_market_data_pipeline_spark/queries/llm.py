@@ -151,7 +151,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SHINGLE_CTE = """
 toks AS (
-  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS tokens
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, source, sh FROM (
@@ -173,7 +173,7 @@ _TWIN_OFF_SQL = "(SELECT coalesce(max(doc_id) + 1, 0) FROM documents)"
 
 _PLANTED_SHINGLE_CTE = f"""
 toks0 AS (
-  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tokens
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS tokens
   FROM documents
 ), corpus AS (
   SELECT doc_id, source, tokens FROM toks0
@@ -204,7 +204,9 @@ def _planted_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of _PLANTED_SHINGLE_CTE: corpus + 10-token-truncated
     planted twins, exploded to distinct (doc_id, source, shingle) rows."""
     d = _docs_wide(spark, sf_dir)
-    toks = d.select("doc_id", "source", word_tokens("text").alias("tokens"))
+    toks = d.select(
+        "doc_id", "source", word_tokens(F.lower("text")).alias("tokens")
+    )
     planted = _with_twin_offset(toks).select(
         (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         "source",
@@ -255,7 +257,9 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=True is the free in-row array_distinct (min over the
     # shingle SET == min over the multiset): one md5 per distinct
     # shingle per doc instead of per occurrence
-    return minhash_signatures(doc_shingles(d, distinct=True))
+    return minhash_signatures(
+        doc_shingles(d.withColumn("text", F.lower("text")), distinct=True)
+    )
 
 
 _BAND_UNION = "\nUNION ALL\n".join(
@@ -272,9 +276,11 @@ _BAND_UNION = "\nUNION ALL\n".join(
 # drift apart.
 MINHASH_LSH_ORACLE = f"""
 WITH corpus AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
   UNION ALL
-  SELECT doc_id + {_TWIN_OFF_SQL}, regexp_extract_all(text, '\\S+')[1:30]
+  SELECT doc_id + {_TWIN_OFF_SQL},
+         regexp_extract_all(lower(text), '\\S+')[1:30]
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, sh FROM (
@@ -302,7 +308,9 @@ def lsh_corpus_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents + planted 30-token-prefix twins) — the shared input of
     minhash_lsh_pairs and stream_minhash_e2e."""
     d = _docs_wide(spark, sf_dir)
-    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    toks = d.select(
+        "doc_id", word_tokens(F.lower("text")).alias("tokens")
+    )
     planted = _with_twin_offset(toks).select(
         (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         F.slice("tokens", 1, 30).alias("tokens"),
@@ -399,10 +407,12 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Its known blind spot — near-dups whose keys sort far apart — is why
 # production runs multiple passes with different keys; one pass is
 # registered here and verified with the same word-3-gram Jaccard
-# CONSTRUCTION as the other families (modulo case folding: SNM
-# tokenizes lower(text) because its sort key must be case-insensitive,
-# while the ngram/minhash shingle CTE shingles the raw text), so their
-# outputs are comparable wherever token case agrees (ADVICE r11).
+# CONSTRUCTION as the other families.  Since r13 ALL four families
+# tokenize lower(text) — SNM always did (its sort key must be
+# case-insensitive) and the ngram / MinHash / SimHash-verify shingle
+# CTEs were unified onto the same folding (VERDICT r12 #6) — so the
+# four candidate generators are now measured against an IDENTICAL
+# Jaccard, no caveat.
 # ---------------------------------------------------------------------------
 _SNM_W = 4  # window width: compare ranks i, i+1 .. i+3
 _SNM_KEY_LEN = 40
@@ -4494,9 +4504,11 @@ _MH_AUDIT_SAMPLE = 100  # audit query docs: doc_id < 100 (deterministic)
     "minhash_recall_audit",
     oracle=f"""
 WITH corpus AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tokens FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tokens
+  FROM documents
   UNION ALL
-  SELECT doc_id + {_TWIN_OFF_SQL}, regexp_extract_all(text, '\\S+')[1:30]
+  SELECT doc_id + {_TWIN_OFF_SQL},
+         regexp_extract_all(lower(text), '\\S+')[1:30]
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, sh FROM (
@@ -4552,7 +4564,9 @@ FROM truth t LEFT JOIN lsh l USING (doc_lo, doc_hi)
 )
 def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
-    toks = d.select("doc_id", word_tokens("text").alias("tokens"))
+    toks = d.select(
+        "doc_id", word_tokens(F.lower("text")).alias("tokens")
+    )
     planted = _with_twin_offset(toks).select(
         (F.col("doc_id") + F.col("__off")).alias("doc_id"),
         F.slice("tokens", 1, 30).alias("tokens"),
@@ -4911,7 +4925,7 @@ WITH {_SHINGLE_CTE}, shb AS (
   FROM shb GROUP BY doc_id
 ), qdoc AS (
   SELECT doc_id AS query_id,
-         regexp_extract_all(text, '\\S+')[1:{_MS_PREFIX}] AS tokens
+         regexp_extract_all(lower(text), '\\S+')[1:{_MS_PREFIX}] AS tokens
   FROM documents ORDER BY doc_id LIMIT {_MS_QUERY_N}
 ), qsh AS (
   SELECT DISTINCT query_id, sh FROM (
@@ -4965,7 +4979,9 @@ FROM ranked WHERE rank <= {_MS_TOPK}
 def q_minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_wide(spark, sf_dir)
     sigs = materialize_corpus(
-        minhash_signatures(doc_shingles(d, distinct=True))
+        minhash_signatures(
+            doc_shingles(d.withColumn("text", F.lower("text")), distinct=True)
+        )
     )
     qdocs = (
         _docs(spark, sf_dir)
@@ -4973,7 +4989,9 @@ def q_minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MS_QUERY_N)
         .select(
             F.col("doc_id").alias("query_id"),
-            F.slice(word_tokens("text"), 1, _MS_PREFIX).alias("tokens"),
+            F.slice(
+                word_tokens(F.lower("text")), 1, _MS_PREFIX
+            ).alias("tokens"),
         )
     )
     qsh = qdocs.select(
