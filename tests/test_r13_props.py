@@ -118,3 +118,26 @@ def test_pq_trained_audit_reports_both_tiers(spark):
     base = {r["m"]: r["avg_sq_err"] for r in by_cb["id_sliced"]}
     tr = {r["m"]: r["avg_sq_err"] for r in by_cb["kmeans_5it"]}
     assert all(tr[m] <= base[m] for m in range(_M))
+
+
+def test_ivfpq_adaptive_config_and_refine_dominates_adc(spark):
+    """The adaptive audit's two data-derived knobs (VERDICT r12 #4):
+    n_cells follows greatest(32, ceil(sqrt(n))), and the full-candidate
+    refine can never score below the ADC top-3 (both draw from the same
+    candidate set; exact re-ranking of ALL of it is optimal over it)."""
+    import math
+
+    from quant_market_data_pipeline_spark.queries import load_all
+    from quant_market_data_pipeline_spark.sources.tables import load_table
+
+    n = load_table(spark, "embeddings", SF_DIR).count()
+    c = math.isqrt(n)
+    want_cells = max(32, c if c * c == n else c + 1)
+    rows = load_all()["ann_ivfpq_adaptive_recall_audit"].spark(
+        spark, SF_DIR
+    ).collect()
+    assert rows and all(r["n_cells"] == want_cells for r in rows)
+    assert all(r["recall_at_3"] >= r["recall_adc"] for r in rows)
+    # candidates bounded: n_probe * n is the trivial ceiling, the real
+    # bound is per-cell population; pin the structural one
+    assert all(0 <= r["n_cand"] < n for r in rows)
