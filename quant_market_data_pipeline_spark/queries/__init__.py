@@ -388,7 +388,78 @@ _R12_SAMPLE = [
     "freshness_staleness_audit",
     "hybrid_rrf_fusion",
 ]
-_PRIORITY = _R12_NEW + _R12_TOUCHED + _R12_SAMPLE
+# --- round 13 window -------------------------------------------------------
+_R13_NEW = [
+    # k-means-trained PQ codebooks (judge directive #3): 5 Lloyd
+    # iterations unrolled as a chained CTE on the oracle side, the
+    # MLlib-style driver loop on the engine side — recall uplift and
+    # the monotone distortion cut priced next to the id-sliced seed
+    "pq_trained_recall_audit",
+    "pq_trained_distortion_report",
+    # adaptive IVF+PQ (judge directive #4): cells = ceil(sqrt(n))
+    # derived from the data in both engines, refine cap scales with
+    # n_cand — grown-sf1.0 recall 0.23 (fixed 32 cells) -> 0.933
+    "ann_ivfpq_adaptive_recall_audit",
+]
+_R13_TOUCHED = [
+    # shingle case-folding unification (judge directive #6): every
+    # member of the shared lowered shingle/minhash constructions —
+    # oracle and engine changed together, so the driver re-hashes all
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "jaccard_pairs_df_capped",
+    "neardup_calibration",
+    "minhash_search_topk",
+    "minhash_recall_audit",
+    "minhash_band_sweep",
+    "containment_neardup_pairs",
+    "stream_minhash_e2e",
+]
+# (c) staleness-weighted sample, recomputed by
+#     `python tools/staleness_sample.py 13 - 37` with (a)+(b) as stdin:
+#     the ENTIRE r5 remnant (7) + the ENTIRE r6 cohort (22 — judge
+#     directive #5: both drained) + the 8 stalest of r7
+_R13_SAMPLE = [
+    "langid_confusion",
+    "overnight_intraday_split",
+    "loo_target_encoding",
+    "primary_key_audit",
+    "forecast_backtest_mape",
+    "mad_outlier_ticks",
+    "tick_size_conformance",
+    "anomaly_zscore_counts",
+    "obv_daily",
+    "intraday_seasonality",
+    "gap_fill_ffill",
+    "regional_revenue",
+    "position_pnl_daily",
+    "asof_join_nearest",
+    "cohort_retention",
+    "small_qty_avg_revenue",
+    "retention_expiry_e2e",
+    "meanrev_backtest_5min",
+    "compaction_e2e",
+    "unpivot_ohlc",
+    "realized_vol_signature",
+    "nation_trade_volume",
+    "window_rank_topn",
+    "brand_supplier_stats",
+    "user_erasure_e2e",
+    "temporal_features",
+    "session_window_stats",
+    "return_autocorr",
+    "asof_join_forward",
+    "repetition_profile",
+    "boilerplate_prefix_report",
+    "event_study_car",
+    "dup_span_coverage",
+    "yang_zhang_vol",
+    "fama_macbeth_momentum",
+    "vpin_toxicity",
+    "unigram_negative_sampling_table",
+]
+_PRIORITY = _R13_NEW + _R13_TOUCHED + _R13_SAMPLE
 
 
 def load_all() -> dict[str, QuerySpec]:

@@ -59,14 +59,28 @@ _SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".stream_e2e"
 _SCRATCH = _SCRATCH_ROOT / f"pid{os.getpid()}"
 
 
-def _sweep_stale_scratch() -> None:
+def _sweep_stale_scratch(max_age_sec: float = 86400.0) -> None:
+    import time as _time
+
     try:
+        now = _time.time()
         for child in _SCRATCH_ROOT.iterdir():
             if not child.name.startswith("pid") or child == _SCRATCH:
                 continue
             try:
                 pid = int(child.name[3:])
             except ValueError:
+                continue
+            # age backstop (ADVICE r12): os.kill(pid, 0) keys liveness on
+            # the PID NUMBER, so a recycled pid belonging to an unrelated
+            # process would pin a dead sibling's scratch forever — a
+            # day-old dir cannot belong to a live bench/test process
+            try:
+                stale_by_age = now - child.stat().st_mtime > max_age_sec
+            except OSError:
+                stale_by_age = False
+            if stale_by_age:
+                shutil.rmtree(child, ignore_errors=True)
                 continue
             try:
                 os.kill(pid, 0)  # signal 0: existence probe only

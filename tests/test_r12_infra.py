@@ -66,14 +66,14 @@ def test_streaming_scratch_is_per_process():
 
 
 def test_r12_window_is_50_and_drains_r4_cohort():
+    """(The live `first 50 == window` assertion moved to
+    test_r13_infra.py — the registry now leads with the r13 window.)"""
     from quant_market_data_pipeline_spark import queries as q
 
     window = q._R12_NEW + q._R12_TOUCHED + q._R12_SAMPLE
     assert len(window) == 50
     assert len(set(window)) == 50
     reg = q.load_all()
-    first50 = list(reg)[:50]
-    assert first50 == window
     # every query whose latest driver verification is r4 must be in the
     # window (the full-slot stalest-first policy, pointed at r4)
     seen: dict[str, int] = {}

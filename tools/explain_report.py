@@ -200,6 +200,11 @@ QUERIES = [
     "pq_reconstruction_report",
     "pq_adc_recall_audit",
     "ann_ivfpq_recall_audit",
+    # round 13: k-means-trained PQ codebooks + the adaptive
+    # (cells~sqrt(n), n_cand-scaled refine) composed index
+    "pq_trained_recall_audit",
+    "pq_trained_distortion_report",
+    "ann_ivfpq_adaptive_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
