@@ -1261,23 +1261,30 @@ def main() -> None:
     # artifact landed on a window its own calibration flagged >15% slow
     # and its 12 flags needed COVERAGE's probe cross-reference to read.
     # Now the artifact carries its own correction: value_envnorm is the
-    # headline wall divided by the CPU-lane calibration shift, and every
-    # flag list has an *_envnorm twin computed on shift-divided walls —
-    # a flag present in the RAW list but absent from the ENVNORM list is
-    # environmental by the artifact alone; a flag in BOTH survived the
-    # environmental control and is a real code/plan cost.  Lanes use
-    # their own window's shift (env_shift_windows) when the previous
-    # round recorded it, the whole-run shift otherwise.
+    # headline wall divided by the CPU-lane calibration shift
+    # (symmetric — it is informational), and every flag list has an
+    # *_envnorm twin: the flags that SURVIVE the environmental control.
+    # The flag normalization clamps the shift at 1.0 — only a SLOWER
+    # window (shift > 1) can create spurious flags, so only that
+    # direction is corrected; dividing by a <1 shift would instead
+    # inflate every wall by calibration noise (first clean probe run:
+    # 16 phantom docscale entries from a 0.875 window).  Consequences:
+    # envnorm is a SUBSET of the raw list, and the read is one step —
+    # raw-only flags are environmental by the artifact alone, envnorm
+    # flags are real code/plan cost.  Lanes use their own window's
+    # shift (env_shift_windows) when the previous round recorded it,
+    # the whole-run shift otherwise.
     def _envnorm_flags(cur: dict, basis_map: dict, shift) -> list | None:
         if not shift or shift <= 0:
             return None
+        eff = max(float(shift), 1.0)
         return sorted(
             n
             for n, t in cur.items()
             if isinstance(t, (int, float))
             and isinstance(basis_map.get(n), (int, float))
             and basis_map[n] >= REGRESSION_FLOOR_SEC
-            and t / shift > 1.2 * basis_map[n]
+            and t / eff > 1.2 * basis_map[n]
         )
 
     def _lane_envnorm(

@@ -882,6 +882,7 @@ def pq_train_codebooks(
     id_col: str = "vec_id",
     iters: int = PQ_ITERS,
     train_n: int = PQ_TRAIN_N,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """(m, cid, cv): k-means codebooks after ``iters`` Lloyd steps.
 
@@ -895,11 +896,13 @@ def pq_train_codebooks(
     """
     spark = vecs.sparkSession
     tsub = materialize_corpus(
-        pq_subvectors(vecs.filter(F.col(id_col) < train_n), id_col)
+        pq_subvectors(
+            vecs.filter(F.col(id_col) < train_n), id_col, vec_col
+        )
     )
     # seed: first PQ_K vectors' subvectors, collected (M*K tiny rows)
     seed = (
-        pq_subvectors(vecs.filter(F.col(id_col) < PQ_K), id_col)
+        pq_subvectors(vecs.filter(F.col(id_col) < PQ_K), id_col, vec_col)
         .select("m", F.col(id_col).alias("cid"), F.col("sv").alias("cv"))
         .collect()
     )

@@ -400,6 +400,12 @@ _R13_NEW = [
     # derived from the data in both engines, refine cap scales with
     # n_cand — grown-sf1.0 recall 0.23 (fixed 32 cells) -> 0.933
     "ann_ivfpq_adaptive_recall_audit",
+    # residual PQ / IVFADC proper: PQ of v - centroid(cell) with
+    # per-(query, probed-cell) lookup tables; both encodings priced
+    # against one shared ground truth — the corpus-dependent trade
+    # measured, not assumed (residual wins where flat collapsed)
+    "pq_residual_distortion_report",
+    "ann_ivfpq_residual_recall_audit",
 ]
 _R13_TOUCHED = [
     # shingle case-folding unification (judge directive #6): every
@@ -417,9 +423,9 @@ _R13_TOUCHED = [
     "stream_minhash_e2e",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 13 - 37` with (a)+(b) as stdin:
+#     `python tools/staleness_sample.py 13 - 35` with (a)+(b) as stdin:
 #     the ENTIRE r5 remnant (7) + the ENTIRE r6 cohort (22 — judge
-#     directive #5: both drained) + the 8 stalest of r7
+#     directive #5: both drained) + the 6 stalest of r7
 _R13_SAMPLE = [
     "langid_confusion",
     "overnight_intraday_split",
@@ -456,8 +462,6 @@ _R13_SAMPLE = [
     "dup_span_coverage",
     "yang_zhang_vol",
     "fama_macbeth_momentum",
-    "vpin_toxicity",
-    "unigram_negative_sampling_table",
 ]
 _PRIORITY = _R13_NEW + _R13_TOUCHED + _R13_SAMPLE
 

@@ -4133,37 +4133,47 @@ _PQ_ITERS = 5
 _PQ_TRAIN_N = 1024
 
 
-def _pq_lloyd_chain(iters: int = _PQ_ITERS, train_n: int = _PQ_TRAIN_N) -> str:
-    """CTE fragments appended after _PQ_CODES_CTE: tsub + cb1..cb{iters}
-    (cb0 is _PQ_CODES_CTE's id-sliced `cb` — the seed)."""
+def _pq_lloyd_chain(
+    iters: int = _PQ_ITERS,
+    train_n: int = _PQ_TRAIN_N,
+    sub_src: str = "sub",
+    seed_src: str = "cb",
+    prefix: str = "cb",
+) -> str:
+    """CTE fragments appended after _PQ_CODES_CTE: {prefix}tsub +
+    {prefix}1..{prefix}{iters} ({prefix}0 aliases ``seed_src``, the
+    id-sliced seed; ``sub_src`` supplies the (vec_id, m, sv) rows the
+    chain trains on — `sub` for flat PQ, the residual subvectors for
+    IVFADC residual PQ)."""
+    tsub = f"{prefix}tsub" if prefix != "cb" else "tsub"
     parts = [
-        f""", tsub AS (
-  SELECT vec_id, m, sv FROM sub WHERE vec_id < {train_n}
-), cb0 AS (SELECT m, cid, cv FROM cb)"""
+        f""", {tsub} AS (
+  SELECT vec_id, m, sv FROM {sub_src} WHERE vec_id < {train_n}
+), {prefix}0 AS (SELECT m, cid, cv FROM {seed_src})"""
     ]
     for t in range(1, iters + 1):
-        prev = f"cb{t - 1}"
+        prev = f"{prefix}{t - 1}"
         parts.append(
-            f""", td{t} AS (
+            f""", {prefix}td{t} AS (
   SELECT s.vec_id, s.m, c.cid,
          round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
                          for i in generate_series(1,16)]), 6) AS d2
-  FROM tsub s JOIN {prev} c ON c.m = s.m
-), ta{t} AS (
+  FROM {tsub} s JOIN {prev} c ON c.m = s.m
+), {prefix}ta{t} AS (
   SELECT vec_id, m, cid FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
       AS rn
-    FROM td{t}) WHERE rn = 1
-), tm{t} AS (
+    FROM {prefix}td{t}) WHERE rn = 1
+), {prefix}tm{t} AS (
   SELECT m, cid, list(val ORDER BY pos) AS cv FROM (
     SELECT a.m, a.cid, p.pos, round(avg(s.sv[p.pos]), 6) AS val
-    FROM ta{t} a
-    JOIN tsub s ON s.vec_id = a.vec_id AND s.m = a.m
+    FROM {prefix}ta{t} a
+    JOIN {tsub} s ON s.vec_id = a.vec_id AND s.m = a.m
     CROSS JOIN generate_series(1, 16) AS p(pos)
     GROUP BY 1, 2, 3) GROUP BY m, cid
-), cb{t} AS (
+), {prefix}{t} AS (
   SELECT c.m, c.cid, coalesce(t.cv, c.cv) AS cv
-  FROM {prev} c LEFT JOIN tm{t} t ON t.m = c.m AND t.cid = c.cid
+  FROM {prev} c LEFT JOIN {prefix}tm{t} t ON t.m = c.m AND t.cid = c.cid
 )"""
         )
     return "".join(parts)
@@ -4947,6 +4957,459 @@ def q_ann_ivfpq_adaptive_recall_audit(
     )
     exact_scored = (
         vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx_adc.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(F.broadcast(ncand), "query_id", "left")
+        .groupBy("query_id", "n_cand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit_adc").cast("bigint").alias("n_hit_adc"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit_adc").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_adc"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .select(
+            "query_id",
+            F.lit(n_cells).cast("bigint").alias("n_cells"),
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("bigint")).alias(
+                "n_cand"
+            ),
+            "n_exact",
+            "n_hit_adc",
+            "n_hit",
+            "recall_adc",
+            "recall_at_3",
+        )
+    )
+
+
+# --- residual PQ / IVFADC proper (r13, second half) ------------------------
+# The adaptive audit exposed WHERE the flat-PQ ADC is weakest: on the
+# grown corpus (near-uniform pairwise distances) whole-vector codes
+# rank candidates at recall 0.033.  The standard alternative (Jegou et
+# al., the FAISS IVFADC design) encodes the RESIDUAL v - centroid(cell)
+# instead of v, which makes the cell-center component of every
+# candidate distance EXACT (||q-x|| == ||(q-c)-(x-c)|| within a cell;
+# only the residual detail is quantized), at the price of a
+# per-(query, probed-cell) lookup table — n_probe * M * K tiny rows,
+# still broadcastable.  MEASURED ON THIS FIXTURE the trade is
+# corpus-dependent, and that is the point of registering both audits:
+# residual ADC recall 0.083 vs flat 0.033 where flat has collapsed
+# (grown sf1.0), but BELOW flat at sf0.001/0.01/0.1 (0.183/0.267/0.150
+# vs 0.233/0.433/0.300) because this corpus's vectors are near-uniform
+# random — residuals are differences of uniforms with ~2x the variance
+# (the distortion report shows it: avg 0.29 vs 0.18 per subspace), so
+# the same 16-entry budget covers a WIDER cloud.  On clustered real
+# embeddings the inequality flips; the audit pair is the instrument a
+# user runs on THEIR corpus before choosing the encoding.
+_RES_CELLS_CTE = f""", nconf AS (
+  SELECT greatest(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM vecs
+), cents AS (
+  SELECT vec_id AS ccid, v AS ccv FROM vecs
+  WHERE vec_id < (SELECT n_cells FROM nconf)
+), cscored AS (
+  SELECT a.vec_id, c.ccid,
+         round(list_sum([(a.v[i]-c.ccv[i])*(a.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS cd2
+  FROM vecs a CROSS JOIN cents c
+), probed AS (
+  SELECT vec_id, ccid AS cell, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM cscored) WHERE rn <= {_IVF_PROBE}
+), assign AS (
+  SELECT vec_id, cell FROM probed WHERE probe_rank = 1
+), res AS (
+  SELECT a.vec_id,
+         [a.v[i] - c.ccv[i] for i in generate_series(1,64)] AS v
+  FROM vecs a
+  JOIN assign s ON s.vec_id = a.vec_id
+  JOIN cents c ON c.ccid = s.cell
+), rsub AS (
+  SELECT vec_id, mm.m, list_slice(v, mm.m*16+1, mm.m*16+16) AS sv
+  FROM res, unnest([0,1,2,3]) AS mm(m)
+), rseed AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM rsub WHERE vec_id < 16
+)"""
+
+_RES_CODES_CTE = f"""{_RES_CELLS_CTE}{
+    _pq_lloyd_chain(sub_src="rsub", seed_src="rseed", prefix="rcb")
+}, rdist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM rsub s JOIN rcb{_PQ_ITERS} c ON c.m = s.m
+), rcodes AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM rdist) WHERE rn = 1
+)"""
+
+
+def _residual_spark_parts(spark: SparkSession, sf_dir: str):
+    """Shared Spark construction: (vecs, cents, probed, residual frame,
+    trained residual codebooks, residual codes with d2) — the engine
+    twin of _RES_CODES_CTE."""
+    import math
+
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        l2_sq,
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    c = math.isqrt(n)
+    n_cells = max(32, c if c * c == n else c + 1)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    cscored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
+    probed = materialize_corpus(
+        cscored.withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= _IVF_PROBE)
+        .select("vec_id", F.col("ccid").alias("cell"), "probe_rank")
+    )
+    assign = probed.filter(F.col("probe_rank") == 1).select(
+        "vec_id", "cell"
+    )
+    res = materialize_corpus(
+        vecs.join(assign, "vec_id")
+        .join(
+            F.broadcast(cents),
+            F.col("cell") == F.col("ccid"),
+        )
+        .select(
+            "vec_id",
+            F.zip_with("v", "ccv", lambda a, b: a - b).alias("v"),
+        )
+    )
+    rcb = pq_train_codebooks(res, vec_col="v")
+    rcodes = pq_encode(pq_subvectors(res, vec_col="v"), rcb)
+    return n_cells, vecs, cents, probed, res, rcb, rcodes
+
+
+@register(
+    "pq_residual_distortion_report",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}{_pq_lloyd_chain()}, distt AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM sub s JOIN cb{_PQ_ITERS} c ON c.m = s.m
+), codest AS (
+  SELECT vec_id, m, cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM distt) WHERE rn = 1
+){_RES_CODES_CTE}
+SELECT m, 'kmeans_flat' AS codebook, count(*)::BIGINT AS n_vecs,
+       round(avg(d2), 6) AS avg_sq_err, round(max(d2), 6) AS max_sq_err
+FROM codest GROUP BY m
+UNION ALL
+SELECT m, 'kmeans_residual' AS codebook, count(*)::BIGINT AS n_vecs,
+       round(avg(d2), 6) AS avg_sq_err, round(max(d2), 6) AS max_sq_err
+FROM rcodes GROUP BY m
+""",
+    doc="Residual-PQ distortion priced against flat PQ on the SAME "
+    f"trained budget ({_PQ_ITERS} Lloyd iterations, 4x16-entry "
+    "codebooks): per subspace, the avg/max squared quantization error "
+    "of whole-vector codes vs codes of the IVF residual "
+    "v - centroid(cell).  On clustered corpora residuals concentrate "
+    "and this number drops — the textbook case for FAISS's IVFADC.  "
+    "On THIS fixture it RISES (measured ~0.29 vs ~0.18): the vectors "
+    "are near-uniform random, so residuals are differences of "
+    "uniforms with ~2x the variance, and the report is the diagnostic "
+    "that explains why residual ADC trails flat at the small SFs "
+    "while winning where flat has collapsed (see "
+    "ann_ivfpq_residual_recall_audit) — measure before re-encoding.  "
+    "Scale shape: residual construction is the IVF assignment "
+    "(broadcast sqrt(n) centroids, one map pass) plus a zip_with "
+    "subtract; both encode passes are the audited broadcast-argmin "
+    "shape.",
+)
+def q_pq_residual_distortion_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    sub = materialize_corpus(pq_subvectors(emb))
+    flat = pq_encode(sub, pq_train_codebooks(emb))
+    *_, rcodes = _residual_spark_parts(spark, sf_dir)
+
+    def report(codes: DataFrame, label: str) -> DataFrame:
+        return (
+            codes.groupBy("m")
+            .agg(
+                F.lit(label).alias("codebook"),
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.round(F.avg("d2"), 6).alias("avg_sq_err"),
+                F.round(F.max("d2"), 6).alias("max_sq_err"),
+            )
+            .select("m", "codebook", "n_vecs", "avg_sq_err", "max_sq_err")
+        )
+
+    return report(flat, "kmeans_flat").unionByName(
+        report(rcodes, "kmeans_residual")
+    )
+
+
+@register(
+    "ann_ivfpq_residual_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}{_RES_CODES_CTE}, q AS (
+  SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 20
+), qres AS (
+  SELECT p.vec_id AS query_id, p.cell,
+         [q.v[i] - c.ccv[i] for i in generate_series(1,64)] AS v
+  FROM probed p
+  JOIN q ON q.query_id = p.vec_id
+  JOIN cents c ON c.ccid = p.cell
+), qrsub AS (
+  SELECT query_id, cell, mm.m, list_slice(v, mm.m*16+1, mm.m*16+16) AS sv
+  FROM qres, unnest([0,1,2,3]) AS mm(m)
+), lut AS (
+  SELECT s.query_id, s.cell, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM qrsub s JOIN rcb{_PQ_ITERS} c ON c.m = s.m
+), candset AS (
+  SELECT pq.vec_id AS query_id, pc.vec_id AS neighbor_id, pq.cell
+  FROM probed pq
+  JOIN (SELECT vec_id, cell FROM probed WHERE probe_rank = 1) pc
+    ON pc.cell = pq.cell AND pc.vec_id <> pq.vec_id
+  WHERE pq.vec_id < 20
+), adc AS (
+  SELECT cs.query_id, cs.neighbor_id, round(sum(l.d2), 6) AS adist
+  FROM candset cs
+  JOIN rcodes ON rcodes.vec_id = cs.neighbor_id
+  JOIN lut l ON l.query_id = cs.query_id AND l.cell = cs.cell
+            AND l.m = rcodes.m AND l.cid = rcodes.cid
+  GROUP BY 1, 2
+), approx_adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 3
+), reranked AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_sum([(qa.v[i]-nb.v[i])*(qa.v[i]-nb.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM candset c
+  JOIN vecs qa ON qa.vec_id = c.query_id
+  JOIN vecs nb ON nb.vec_id = c.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM reranked) WHERE rn <= 3
+), ncand AS (
+  SELECT query_id, count(*)::BIGINT AS n_cand FROM candset GROUP BY 1
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id,
+       (SELECT CAST(n_cells AS BIGINT) FROM nconf) AS n_cells,
+       coalesce(nc.n_cand, 0) AS n_cand,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(aa.neighbor_id) AS BIGINT) AS n_hit_adc,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(aa.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_3
+FROM exact e
+LEFT JOIN approx_adc aa USING (query_id, neighbor_id)
+LEFT JOIN approx a USING (query_id, neighbor_id)
+LEFT JOIN ncand nc ON nc.query_id = e.query_id
+GROUP BY e.query_id, nc.n_cand
+""",
+    doc="IVFADC proper — the adaptive IVF+PQ audit with RESIDUAL "
+    "quantization (Jegou et al.; the FAISS production encoding): codes "
+    "are PQ of v - centroid(cell), which makes the cell-center part "
+    "of every candidate distance EXACT (only residual detail is "
+    "quantized); each query builds one 4x16 lookup table per PROBED "
+    "CELL (query residual vs the trained residual codebooks) — the "
+    "ADC join keys on (query, cell, m, code), still integer-only "
+    "against a broadcast table.  Same adaptive cells~sqrt(n) config, "
+    "same n_cand-scaled refine, same exact ground truth as "
+    "ann_ivfpq_adaptive_recall_audit, so the ONE number that moves is "
+    "recall_adc — and it moves BOTH WAYS on this fixture: 0.083 vs "
+    "flat 0.033 at grown sf1.0 (2.5x, where flat collapsed), below "
+    "flat at sf0.001/0.01/0.1 (near-uniform vectors double residual "
+    "variance; pq_residual_distortion_report is the diagnostic).  "
+    "Registering both encodings with one shared ground truth is the "
+    "deliverable: the corpus decides, measured, not assumed.  Scale "
+    "shape: everything the adaptive audit does plus one zip_with "
+    "subtract per vector and a per-(query, cell) LUT of n_probe*M*K "
+    "tiny rows.",
+)
+def q_ann_ivfpq_residual_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import l2_sq
+
+    (
+        n_cells,
+        vecs,
+        cents,
+        probed,
+        res,
+        rcb,
+        rcodes,
+    ) = _residual_spark_parts(spark, sf_dir)
+    q = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qres = (
+        probed.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(F.broadcast(q), "query_id")
+        .join(F.broadcast(cents), F.col("cell") == F.col("ccid"))
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "ccv", lambda a, b: a - b).alias("v"),
+        )
+    )
+    qrsub = qres.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("v"), m * 16 + 1, 16).alias("sv"),
+                    )
+                    for m in range(4)
+                ]
+            )
+        ).alias("__s"),
+    ).select(
+        "query_id", "cell", F.col("__s.m").alias("m"),
+        F.col("__s.sv").alias("sv"),
+    )
+    lut = qrsub.join(F.broadcast(rcb), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "cid",
+        l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+    )
+    candset = (
+        probed.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            probed.filter(F.col("probe_rank") == 1).select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cell")
+    )
+    adc = (
+        candset.join(
+            rcodes.select(
+                F.col("vec_id").alias("neighbor_id"), "m", "cid"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(lut), ["query_id", "cell", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    approx_adc = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    reranked = (
+        candset.select("query_id", "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_sq(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    approx = (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = candset.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

@@ -141,3 +141,31 @@ def test_ivfpq_adaptive_config_and_refine_dominates_adc(spark):
     # candidates bounded: n_probe * n is the trivial ceiling, the real
     # bound is per-cell population; pin the structural one
     assert all(0 <= r["n_cand"] < n for r in rows)
+
+
+def test_residual_audit_shares_ground_truth_with_flat(spark):
+    """The residual audit isolates the ENCODING: same adaptive cells,
+    same candidate set, same exact ground truth as the flat audit — so
+    n_cells, n_cand, n_exact and the refine recall must be IDENTICAL
+    per query; only the ADC column may differ."""
+    from quant_market_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    flat = {
+        r["query_id"]: r
+        for r in reg["ann_ivfpq_adaptive_recall_audit"].spark(
+            spark, SF_DIR
+        ).collect()
+    }
+    res = {
+        r["query_id"]: r
+        for r in reg["ann_ivfpq_residual_recall_audit"].spark(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(flat) == set(res)
+    for q, f in flat.items():
+        r = res[q]
+        for col in ("n_cells", "n_cand", "n_exact", "recall_at_3"):
+            assert f[col] == r[col], (q, col, f[col], r[col])
+        assert r["recall_at_3"] >= r["recall_adc"]

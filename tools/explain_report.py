@@ -205,6 +205,8 @@ QUERIES = [
     "pq_trained_recall_audit",
     "pq_trained_distortion_report",
     "ann_ivfpq_adaptive_recall_audit",
+    "pq_residual_distortion_report",
+    "ann_ivfpq_residual_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.

@@ -22,6 +22,7 @@ RUNS = [
     ".sf1_runs/r13_ivfpq_adaptive.json",
     ".sf1_runs/r13_pq_trained.json",
     ".sf1_runs/r13_casefold.json",
+    ".sf1_runs/r13_residual.json",
 ]
 
 art = json.load(open("CORRECTNESS_LOCAL_sf1.json"))
@@ -40,11 +41,15 @@ art["n_excluded"] = sum(
     1 for v in r.values() if v["status"].startswith("excluded")
 )
 art["n_queries"] = len(r)
+# idempotent: strip any prior r13 clause before appending (the script
+# re-runs when a late-round query adds a run file)
+art["provenance"] = art["provenance"].split("; r13:")[0]
 art["provenance"] = (
     art["provenance"]
     + "; r13: new/touched queries (trained-PQ pair, adaptive IVF+PQ, "
-    "the 10-member shingle case-folding unification) re-verified "
-    "strict on the same fixture (" + ", ".join(RUNS) + ")"
+    "the residual-PQ/IVFADC pair, the 10-member shingle case-folding "
+    "unification) re-verified strict on the same fixture ("
+    + ", ".join(RUNS) + ")"
 )
 with open("CORRECTNESS_LOCAL_sf1.json", "w") as f:
     json.dump(art, f, indent=1, sort_keys=True)
