@@ -826,20 +826,30 @@ def main() -> None:
         warm <= cold invariant holds by construction.  Returns
         (wall, warm_spread, last_df)."""
         walls = []
-        df = None
+        fps = []
         for _ in range(2):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = run()
             walls.append(round(time.perf_counter() - t0, 3))
+            fps.append(_plan_fingerprint(df))
         if cold_wall is not None and min(walls) > cold_wall:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = run()
             walls.append(round(time.perf_counter() - t0, 3))
+            fps.append(_plan_fingerprint(df))
         spread = round(max(walls) - min(walls), 3)
         wall = min(walls + ([cold_wall] if cold_wall is not None else []))
-        return round(wall, 3), spread, df
+        # lane twin of the headline plan_flaps (r13): two same-code
+        # probes showed 4 lane members whose fingerprints differ RUN TO
+        # RUN (AQE load-dependent re-plans on the collect()-actioned
+        # recall audits) — recording one run's hash made every such
+        # member a phantom "plan changed vs prev round" entry.  A
+        # member whose warm runs executed different plans records FLAP,
+        # and the changed-list compare skips FLAP on either side.
+        fp = "FLAP" if len(set(fps)) > 1 else fps[-1]
+        return round(wall, 3), spread, fp
 
     for name in HEADLINE:
         spec = registry.get(name)
@@ -941,9 +951,8 @@ def main() -> None:
             (
                 docscale_warm[name],
                 docscale_warm_spread[name],
-                df,
+                plan_fp_docscale[name],
             ) = _lane_warm_wall(_run, docscale.get(name))
-            plan_fp_docscale[name] = _plan_fingerprint(df)
     except Exception as exc:  # probe must never sink the headline bench
         docscale = {"error": str(exc)[:200]}
     calib_windows["post_docscale"] = _calibrate(spark)
@@ -973,9 +982,8 @@ def main() -> None:
             (
                 tickscale_warm[name],
                 tickscale_warm_spread[name],
-                df,
+                plan_fp_tickscale[name],
             ) = _lane_warm_wall(_run, tickscale.get(name))
-            plan_fp_tickscale[name] = _plan_fingerprint(df)
     except Exception as exc:  # probe must never sink the headline bench
         tickscale = {"error": str(exc)[:200]}
     calib_windows["post_tickscale"] = _calibrate(spark)
@@ -1013,9 +1021,8 @@ def main() -> None:
                 (
                     sf1_warm[name],
                     sf1_warm_spread[name],
-                    df,
+                    plan_fp_sf1[name],
                 ) = _lane_warm_wall(_run, sf1.get(name))
-                plan_fp_sf1[name] = _plan_fingerprint(df)
                 base = timings.get(name)
                 if base and base > 0 and sf1[name] > 0:
                     sf1_exp[name] = round(
@@ -1318,7 +1325,7 @@ def main() -> None:
         return sorted(
             n
             for n, fp in cur_fp.items()
-            if fp is not None
+            if fp not in (None, "FLAP")
             and prev_lane_fp.get(n) not in (None, "FLAP")
             and fp != prev_lane_fp[n]
         )
