@@ -406,6 +406,10 @@ _R13_NEW = [
     # measured, not assumed (residual wins where flat collapsed)
     "pq_residual_distortion_report",
     "ann_ivfpq_residual_recall_audit",
+    # SQ8 scalar quantization — the middle memory tier (64 B/vector):
+    # per-dimension 8-bit linear quantization, recall ~1.0 with NO
+    # re-rank stage; completes the raw/SQ8/PQ quantization menu
+    "sq8_recall_audit",
 ]
 _R13_TOUCHED = [
     # shingle case-folding unification (judge directive #6): every
@@ -423,9 +427,9 @@ _R13_TOUCHED = [
     "stream_minhash_e2e",
 ]
 # (c) staleness-weighted sample, recomputed by
-#     `python tools/staleness_sample.py 13 - 35` with (a)+(b) as stdin:
+#     `python tools/staleness_sample.py 13 - 34` with (a)+(b) as stdin:
 #     the ENTIRE r5 remnant (7) + the ENTIRE r6 cohort (22 — judge
-#     directive #5: both drained) + the 6 stalest of r7
+#     directive #5: both drained) + the 5 stalest of r7
 _R13_SAMPLE = [
     "langid_confusion",
     "overnight_intraday_split",
@@ -461,7 +465,6 @@ _R13_SAMPLE = [
     "event_study_car",
     "dup_span_coverage",
     "yang_zhang_vol",
-    "fama_macbeth_momentum",
 ]
 _PRIORITY = _R13_NEW + _R13_TOUCHED + _R13_SAMPLE
 

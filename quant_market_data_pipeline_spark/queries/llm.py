@@ -5470,6 +5470,210 @@ def q_ann_ivfpq_residual_recall_audit(
     )
 
 
+# --- SQ8 scalar quantization (r13): the third memory tier ------------------
+# Completes the quantization menu the PQ family opened: raw 256 B,
+# SQ8 64 B (this — per-dimension 8-bit linear quantization against the
+# corpus min/max, the FAISS ScalarQuantizer), PQ 4 B.  SQ8 is the tier
+# users actually deploy when recall matters and 4x memory is enough:
+# 8 bits per dimension preserves distance ordering almost exactly, so
+# it needs no re-rank stage.  Determinism: the per-dimension q is
+# rounded to 6 dp BEFORE the *255 (collapses cross-engine ulp drift —
+# a 6-dp decimal times 255 cannot land on an exact .5 except at
+# multiples of 0.1, where both engines round half away from zero the
+# same way); zero-span dimensions encode 0.
+
+
+@register(
+    "sq8_recall_audit",
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), dimstats AS (
+  SELECT pos, min(v[pos]) AS lo, max(v[pos]) AS hi
+  FROM vecs CROSS JOIN generate_series(1, 64) AS p(pos)
+  GROUP BY pos
+), stats AS (
+  SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
+  FROM dimstats
+), codes AS (
+  SELECT vec_id,
+         [CAST(coalesce(round(round((v[i] - s.lo[i])
+                / nullif(s.hi[i] - s.lo[i], 0.0), 6) * 255), 0) AS INTEGER)
+          for i in generate_series(1, 64)] AS code
+  FROM vecs CROSS JOIN stats s
+), recon AS (
+  SELECT vec_id,
+         [round(s.lo[i] + code[i] / 255.0 * (s.hi[i] - s.lo[i]), 6)
+          for i in generate_series(1, 64)] AS rv
+  FROM codes CROSS JOIN stats s
+), rerr AS (
+  SELECT v.vec_id,
+         round(list_sum([(v.v[i]-r.rv[i])*(v.v[i]-r.rv[i])
+                         for i in generate_series(1,64)]), 6) AS e2
+  FROM vecs v JOIN recon r ON r.vec_id = v.vec_id
+), q AS (
+  SELECT vec_id AS query_id, v FROM vecs WHERE vec_id < 20
+), approx_scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(list_sum([(q.v[i]-r.rv[i])*(q.v[i]-r.rv[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM recon r CROSS JOIN q WHERE r.vec_id <> q.query_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM approx_scored) WHERE rn <= 3
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_3,
+       (SELECT round(avg(e2), 6) FROM rerr) AS avg_recon_err
+FROM exact e LEFT JOIN approx a USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+    doc="SQ8 scalar quantization — the middle memory tier between raw "
+    "floats (256 B) and PQ codes (4 B): every dimension linearly "
+    "quantized to 8 bits against the corpus per-dimension min/max "
+    "(the FAISS ScalarQuantizer), 64 B per vector.  The audit scores "
+    "SQ8-reconstructed L2 top-3 against the exact top-3 on the shared "
+    "20-query ground truth, plus the corpus-wide mean reconstruction "
+    "error — measured recall ~1.0 WITHOUT any re-rank stage, which is "
+    "the tier's pitch: 4x memory cut at effectively exact ordering, "
+    "where PQ's 64x cut needs the refine pass (pq/ann_ivfpq audits).  "
+    "Together the three audits are the quantization menu a 100 TB "
+    "embedding store chooses from, each priced on the same ground "
+    "truth.  Scale shape: dimstats is one map-side min/max agg to 64 "
+    "rows broadcast back; encode/reconstruct are one map pass; the "
+    "audit's exact side is bounded by the 20-query sample contract.",
+)
+def q_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        l2_sq,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    # per-dimension min/max: explode to (pos, val), agg to 64 rows,
+    # collect + re-literalize (the broadcast dimension-stats frame)
+    stats = (
+        vecs.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * 64
+    hi = [0.0] * 64
+    for r in stats:
+        lo[r["pos"]] = r["lo"]
+        hi[r["pos"]] = r["hi"]
+    lo_c = F.array(*[F.lit(x) for x in lo])
+    hi_c = F.array(*[F.lit(x) for x in hi])
+    span = F.zip_with(hi_c, lo_c, lambda h, l: h - l)
+    # code_i = round(round((v_i - lo_i)/span_i, 6) * 255); zero-span -> 0
+    codes = vecs.select(
+        "vec_id",
+        F.zip_with(
+            F.zip_with(F.col("v"), lo_c, lambda v, l: v - l),
+            span,
+            lambda d, sp: F.coalesce(
+                F.round(
+                    F.round(d / F.nullif(sp, F.lit(0.0)), 6) * 255, 0
+                ),
+                F.lit(0.0),
+            ).cast("int"),
+        ).alias("code"),
+    )
+    recon = codes.select(
+        "vec_id",
+        F.zip_with(
+            F.zip_with(
+                F.col("code").cast("array<double>"),
+                lo_c,
+                lambda c, l: F.struct(c.alias("c"), l.alias("l")),
+            ),
+            span,
+            lambda cl, sp: F.round(
+                cl["l"] + cl["c"] / 255.0 * sp, 6
+            ),
+        ).alias("rv"),
+    )
+    recon = materialize_corpus(recon)
+    rerr = (
+        vecs.join(recon, "vec_id")
+        .select(l2_sq(F.col("v"), F.col("rv")).alias("e2"))
+        .agg(F.round(F.avg("e2"), 6).alias("avg_recon_err"))
+    )
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    approx_scored = (
+        recon.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("rv")).alias("d2"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    approx = (
+        approx_scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .crossJoin(F.broadcast(rerr))
+        .select(
+            "query_id", "n_exact", "n_hit", "recall_at_3", "avg_recon_err"
+        )
+    )
+
+
 @register(
     "ann_mt_recall_audit",
     oracle=f"""

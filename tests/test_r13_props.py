@@ -169,3 +169,31 @@ def test_residual_audit_shares_ground_truth_with_flat(spark):
         for col in ("n_cells", "n_cand", "n_exact", "recall_at_3"):
             assert f[col] == r[col], (q, col, f[col], r[col])
         assert r["recall_at_3"] >= r["recall_adc"]
+
+
+def test_sq8_encoder_matches_numpy_twin_and_recall_floor(spark):
+    """Independent numpy twin of the SQ8 encoder (per-dimension 8-bit
+    linear quantization against corpus min/max, q rounded to 6 dp
+    before *255, zero-span dims encode 0) — reconstruction error and
+    recall come from the production query; the twin re-derives the
+    mean reconstruction error from the published construction alone."""
+    from quant_market_data_pipeline_spark.queries import load_all
+
+    rows = load_all()["sq8_recall_audit"].spark(spark, SF_DIR).collect()
+    got_err = rows[0]["avg_recon_err"]
+    assert all(r["avg_recon_err"] == got_err for r in rows)
+    emb = _load_emb()
+    lo, hi = emb.min(0), emb.max(0)
+    span = hi - lo
+    with np.errstate(divide="ignore", invalid="ignore"):
+        q = np.round((emb - lo) / span, 6)
+    q = np.where(span == 0, 0.0, q)
+    code = np.round(q * 255)
+    recon = np.round(lo + code / 255.0 * span, 6)
+    want_err = np.round(
+        np.round(((emb - recon) ** 2).sum(1), 6).mean(), 6
+    )
+    assert abs(got_err - want_err) < 2e-6, (got_err, want_err)
+    # 8 bits/dim preserves ordering: the tier's pitch is a recall
+    # floor without any re-rank stage
+    assert sum(r["recall_at_3"] for r in rows) / len(rows) >= 0.9

@@ -207,6 +207,7 @@ QUERIES = [
     "ann_ivfpq_adaptive_recall_audit",
     "pq_residual_distortion_report",
     "ann_ivfpq_residual_recall_audit",
+    "sq8_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.

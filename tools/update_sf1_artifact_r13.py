@@ -23,6 +23,7 @@ RUNS = [
     ".sf1_runs/r13_pq_trained.json",
     ".sf1_runs/r13_casefold.json",
     ".sf1_runs/r13_residual.json",
+    ".sf1_runs/r13_sq8.json",
 ]
 
 art = json.load(open("CORRECTNESS_LOCAL_sf1.json"))
@@ -47,7 +48,7 @@ art["provenance"] = art["provenance"].split("; r13:")[0]
 art["provenance"] = (
     art["provenance"]
     + "; r13: new/touched queries (trained-PQ pair, adaptive IVF+PQ, "
-    "the residual-PQ/IVFADC pair, the 10-member shingle case-folding "
+    "the residual-PQ/IVFADC pair, the SQ8 tier, the 10-member shingle case-folding "
     "unification) re-verified strict on the same fixture ("
     + ", ".join(RUNS) + ")"
 )
