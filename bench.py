@@ -165,6 +165,9 @@ DOCSCALE = [
     # measured per round is the re-index law made a permanent gate
     "pq_trained_recall_audit",
     "ann_ivfpq_adaptive_recall_audit",
+    # r13 (second half): the SQ8 tier — recall-without-re-rank priced
+    # at the x16 corpus next to the PQ audits
+    "sq8_recall_audit",
 ]
 
 # Recall-audit queries in the docscale probe: besides the wall time, the
@@ -181,6 +184,7 @@ DOCSCALE_RECALL = {
     "ann_mp_recall_audit",
     "ann_ivfpq_recall_audit",
     "ann_ivfpq_adaptive_recall_audit",
+    "sq8_recall_audit",
 }
 
 
