@@ -635,7 +635,7 @@ def _calibrate(spark) -> dict[str, float]:
     }
 
 
-PLAN_FP_VERSION = 3
+PLAN_FP_VERSION = 4
 
 
 def _plan_fingerprint(df, version: int = PLAN_FP_VERSION) -> str | None:
@@ -697,6 +697,19 @@ def _normalize_plan_str(s: str, version: int) -> str:
         )
     else:
         s = re.sub(r"_\d+#", "_n#", s)
+    # v4 (r14): excise the FileScan DataFilters span entirely.  The plan
+    # printer TRUNCATES that list at a fixed character budget, and the
+    # raw (pre-normalization) expression-id widths (#123 vs #1234) shift
+    # the cut point — two byte-identical plans then hash differently,
+    # which is exactly the missing_buckets_audit "flap" of r12/r13 (the
+    # judge-diffed variants differ in ONE truncated char) and the
+    # mechanism behind the phantom cross-round docscale plan-change
+    # entries.  No semantic loss: the same predicates appear untruncated
+    # in PushedFilters (id-free) and the scan columns in ReadSchema.
+    if version >= 4:
+        s = re.sub(
+            r"DataFilters: \[.*?(?=, Format:)", "DataFilters: [..]", s
+        )
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=\d+\]", "[id=x]", s)
     s = re.sub(r"QueryStage \d+", "QueryStage x", s)
@@ -765,7 +778,7 @@ def main() -> None:
     plan_fps: dict[str, list[str | None]] = {}
     # final-run fingerprints under OLDER normalizer formulas, kept only
     # for comparison against artifacts recorded under those versions
-    plan_fps_old: dict[int, dict[str, str | None]] = {1: {}, 2: {}}
+    plan_fps_old: dict[int, dict[str, str | None]] = {1: {}, 2: {}, 3: {}}
     def _drop_dead_blocks() -> None:
         """Unpin defunct checkpoint/broadcast blocks between queries.
 
@@ -827,8 +840,14 @@ def main() -> None:
         observed execution INCLUDING the cold run — any observed wall
         upper-bounds the true steady-state cost (compile only adds), so
         the tightest observed bound is the honest warm number and the
-        warm <= cold invariant holds by construction.  Returns
-        (wall, warm_spread, last_df)."""
+        warm <= cold invariant holds by construction.  The UNCLAMPED
+        warm-only minimum is returned alongside it (ADVICE r13): a
+        fluke-fast cold reading would otherwise permanently cap the
+        recorded wall below the true steady state and mask a genuine
+        warm regression at next round's 1.2x gate — the gates compare
+        warm_min like-for-like while the artifact wall keeps the
+        warm <= cold clamp.  Returns (wall, warm_min, warm_spread,
+        plan_fp)."""
         walls = []
         fps = []
         for _ in range(2):
@@ -853,7 +872,7 @@ def main() -> None:
         # member whose warm runs executed different plans records FLAP,
         # and the changed-list compare skips FLAP on either side.
         fp = "FLAP" if len(set(fps)) > 1 else fps[-1]
-        return round(wall, 3), spread, fp
+        return round(wall, 3), round(min(walls), 3), spread, fp
 
     for name in HEADLINE:
         spec = registry.get(name)
@@ -914,6 +933,7 @@ def main() -> None:
     # lane gates flag on WARM (fallback: cold, self-heals next round).
     docscale: dict[str, float] = {}
     docscale_warm: dict[str, float] = {}
+    docscale_warm_min: dict[str, float] = {}
     docscale_warm_spread: dict[str, float] = {}
     docscale_recall: dict[str, float | None] = {}
     plan_fp_docscale: dict[str, str | None] = {}
@@ -954,6 +974,7 @@ def main() -> None:
 
             (
                 docscale_warm[name],
+                docscale_warm_min[name],
                 docscale_warm_spread[name],
                 plan_fp_docscale[name],
             ) = _lane_warm_wall(_run, docscale.get(name))
@@ -963,6 +984,7 @@ def main() -> None:
     # tickscale probe: tick headliners against the x16 events fixture
     tickscale: dict[str, float] = {}
     tickscale_warm: dict[str, float] = {}
+    tickscale_warm_min: dict[str, float] = {}
     tickscale_warm_spread: dict[str, float] = {}
     plan_fp_tickscale: dict[str, str | None] = {}
     try:
@@ -985,6 +1007,7 @@ def main() -> None:
 
             (
                 tickscale_warm[name],
+                tickscale_warm_min[name],
                 tickscale_warm_spread[name],
                 plan_fp_tickscale[name],
             ) = _lane_warm_wall(_run, tickscale.get(name))
@@ -997,6 +1020,7 @@ def main() -> None:
     # sf0.1 warm medians (alpha <= 1 <=> linear or better)
     sf1: dict[str, float] = {}
     sf1_warm: dict[str, float] = {}
+    sf1_warm_min: dict[str, float] = {}
     sf1_warm_spread: dict[str, float] = {}
     sf1_exp: dict[str, float] = {}
     plan_fp_sf1: dict[str, str | None] = {}
@@ -1024,6 +1048,7 @@ def main() -> None:
 
                 (
                     sf1_warm[name],
+                    sf1_warm_min[name],
                     sf1_warm_spread[name],
                     plan_fp_sf1[name],
                 ) = _lane_warm_wall(_run, sf1.get(name))
@@ -1045,6 +1070,7 @@ def main() -> None:
     # generated.
     sf1g: dict[str, float] = {}
     sf1g_warm: dict[str, float] = {}
+    sf1g_warm_min: dict[str, float] = {}
     sf1g_warm_spread: dict[str, float] = {}
     grown_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -1072,9 +1098,12 @@ def main() -> None:
                     df.count()
                     return df
 
-                sf1g_warm[name], sf1g_warm_spread[name], _ = (
-                    _lane_warm_wall(_run, sf1g.get(name))
-                )
+                (
+                    sf1g_warm[name],
+                    sf1g_warm_min[name],
+                    sf1g_warm_spread[name],
+                    _,
+                ) = _lane_warm_wall(_run, sf1g.get(name))
         except Exception as exc:
             sf1g = {"error": str(exc)[:200]}
 
@@ -1251,11 +1280,19 @@ def main() -> None:
 
     def _lane_gate_warm(cur_warm: dict, prev_src_key: str) -> list[str]:
         """Flag on the WARM lane walls (compile time excluded — the r11
-        shingle_novelty lesson).  The fallback basis is PREV-side only:
-        until the previous round's artifact carries warm numbers, this
-        round's warm walls compare against its once-cold walls
-        (conservative; self-heals to warm-vs-warm next round)."""
-        prev_warm = prev_round_src.get(prev_src_key + "_warm") or {}
+        shingle_novelty lesson).  Both sides prefer the UNCLAMPED
+        warm-only minimum (`*_warm_min`, ADVICE r13) so a fluke-fast
+        cold reading baked into the clamped wall cannot mask a genuine
+        warm regression; the clamped `*_warm` remains the fallback for
+        artifacts that predate the split.  The final fallback basis is
+        PREV-side only: until the previous round's artifact carries
+        warm numbers, this round's warm walls compare against its
+        once-cold walls (conservative; self-heals next round)."""
+        prev_warm = (
+            prev_round_src.get(prev_src_key + "_warm_min")
+            or prev_round_src.get(prev_src_key + "_warm")
+            or {}
+        )
         if prev_warm:
             return _lane_gate(cur_warm, prev_warm)
         # Transition round: the previous artifact has only ONCE-COLD
@@ -1305,7 +1342,8 @@ def main() -> None:
             "py_sha_ms"
         ) or env_shift
         prev_lane = (
-            prev_round_src.get(prev_src_key + "_warm")
+            prev_round_src.get(prev_src_key + "_warm_min")
+            or prev_round_src.get(prev_src_key + "_warm")
             or prev_round_src.get(prev_src_key)
             or {}
         )
@@ -1313,16 +1351,16 @@ def main() -> None:
 
     regressions_envnorm = _envnorm_flags(timings_min, basis, env_shift)
     docscale_regressions_envnorm = _lane_envnorm(
-        docscale_warm, "docscale_queries", "post_docscale"
+        docscale_warm_min, "docscale_queries", "post_docscale"
     )
     tickscale_regressions_envnorm = _lane_envnorm(
-        tickscale_warm, "tickscale_queries", "post_tickscale"
+        tickscale_warm_min, "tickscale_queries", "post_tickscale"
     )
     sf1_regressions_envnorm = _lane_envnorm(
-        sf1_warm, "sf1_queries", "post_sf1"
+        sf1_warm_min, "sf1_queries", "post_sf1"
     )
     sf1grown_regressions_envnorm = _lane_envnorm(
-        sf1g_warm, "sf1grown_queries", "post_sf1"
+        sf1g_warm_min, "sf1grown_queries", "post_sf1"
     )
 
     def _lane_plan_changed(cur_fp: dict, prev_lane_fp: dict) -> list[str]:
@@ -1334,12 +1372,16 @@ def main() -> None:
             and fp != prev_lane_fp[n]
         )
 
-    docscale_regressions = _lane_gate_warm(docscale_warm, "docscale_queries")
-    tickscale_regressions = _lane_gate_warm(
-        tickscale_warm, "tickscale_queries"
+    docscale_regressions = _lane_gate_warm(
+        docscale_warm_min, "docscale_queries"
     )
-    sf1_regressions = _lane_gate_warm(sf1_warm, "sf1_queries")
-    sf1grown_regressions = _lane_gate_warm(sf1g_warm, "sf1grown_queries")
+    tickscale_regressions = _lane_gate_warm(
+        tickscale_warm_min, "tickscale_queries"
+    )
+    sf1_regressions = _lane_gate_warm(sf1_warm_min, "sf1_queries")
+    sf1grown_regressions = _lane_gate_warm(
+        sf1g_warm_min, "sf1grown_queries"
+    )
     # lane fingerprints compare only same-version artifacts; a version
     # bump empties the previous map and the compare self-heals next round
     _lane_fp_comparable = prev_round_fp_ver == PLAN_FP_VERSION
@@ -1494,13 +1536,17 @@ def main() -> None:
         # walls keep cross-round continuity with pre-r12 artifacts.
         "docscale_queries": docscale,
         "docscale_queries_warm": docscale_warm,
+        "docscale_queries_warm_min": docscale_warm_min,
         "docscale_warm_spread": docscale_warm_spread,
         "tickscale_queries": tickscale,
         "tickscale_queries_warm": tickscale_warm,
+        "tickscale_queries_warm_min": tickscale_warm_min,
         "tickscale_warm_spread": tickscale_warm_spread,
         "sf1_queries_warm": sf1_warm,
+        "sf1_queries_warm_min": sf1_warm_min,
         "sf1_warm_spread": sf1_warm_spread,
         "sf1grown_queries_warm": sf1g_warm,
+        "sf1grown_queries_warm_min": sf1g_warm_min,
         "sf1grown_warm_spread": sf1g_warm_spread,
         "lane_gate_basis": (
             "warm_vs_prev_warm"

@@ -893,6 +893,21 @@ def pq_train_codebooks(
     Returns a literal-backed DataFrame (M*K rows) ready to broadcast
     into :func:`pq_encode` — identical plan shape to the untrained
     codebooks, which is the whole point.
+
+    Cross-engine parity contract (ADVICE r13): the recursion is exact
+    between engines iff no rounded quantity (assignment d2, centroid
+    mean) lands within summation-reordering drift of a 0.5e-6 boundary
+    at ANY iteration — one flipped bit at iteration 1 changes every
+    later assignment.  The margins are order statistics of the fixture,
+    so they are MEASURED, not assumed:
+    tests/test_r14_props.py::test_lloyd_round6_boundary_margin_canary
+    recomputes every rounded quantity unrounded via an independent
+    numpy twin and asserts >=100x headroom over the per-class drift
+    bound (d2: 16-term same-order fold, ~5.7e-10 boundary-units; means:
+    partial-agg reorder over <=1024 members, ~2e-8) on every committed
+    fixture.  If a regenerated fixture trips the canary, widen the
+    trained-codebook tolerance contract (drift-retry) rather than
+    chasing a phantom engine bug.
     """
     spark = vecs.sparkSession
     tsub = materialize_corpus(

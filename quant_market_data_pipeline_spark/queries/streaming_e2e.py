@@ -59,6 +59,25 @@ _SCRATCH_ROOT = Path(__file__).resolve().parents[2] / ".stream_e2e"
 _SCRATCH = _SCRATCH_ROOT / f"pid{os.getpid()}"
 
 
+def _query_scratch(sf_dir: str, suffix: str = "") -> Path:
+    """Fresh per-query scratch dir under this process's pid root.
+
+    Besides the rmtree-and-return every e2e query needs, this touches
+    the pid root's mtime (ADVICE r13): streaming writes land in NESTED
+    checkpoint subdirs, which never refresh the pid dir's own mtime, so
+    without the utime a legitimate run exceeding the sweep's 24h age
+    backstop could have its scratch deleted mid-run by a newly started
+    sibling process.  Every query creates its scratch through here, so
+    an ACTIVE process's pid dir mtime is always as fresh as its last
+    query start — liveness is reflected where the sweep looks for it.
+    """
+    base = _SCRATCH / (Path(sf_dir).name + suffix)
+    shutil.rmtree(base, ignore_errors=True)
+    _SCRATCH.mkdir(parents=True, exist_ok=True)
+    os.utime(_SCRATCH)
+    return base
+
+
 def _sweep_stale_scratch(max_age_sec: float = 86400.0) -> None:
     import time as _time
 
@@ -128,8 +147,7 @@ def q_stream_bars_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("price"),
     )
 
-    base = _SCRATCH / Path(sf_dir).name
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "")
     landing = str(base / "landing")
     out = str(base / "bars")
     ckpt = str(base / "ckpt")
@@ -193,8 +211,7 @@ def q_stream_attribution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     ev = load_table(spark, "events", sf_dir)
 
-    base = _SCRATCH / (Path(sf_dir).name + "_attr")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_attr")
     v_dir, p_dir = str(base / "views"), str(base / "purchases")
     out, ckpt = str(base / "out"), str(base / "ckpt")
 
@@ -297,8 +314,7 @@ def q_stream_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = ev.unionByName(sentinels)
 
-    base = _SCRATCH / (Path(sf_dir).name + "_sess")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_sess")
     landing = str(base / "landing")
     out, ckpt = str(base / "out"), str(base / "ckpt")
     corpus.repartition(4).write.parquet(landing)
@@ -399,8 +415,7 @@ def q_stream_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("symbol"), "bar_ts", "close"
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_zscore")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_zscore")
     landing = str(base / "landing")
     out, ckpt = str(base / "out"), str(base / "ckpt")
     bars.repartition(4).write.parquet(landing)
@@ -540,8 +555,7 @@ def _run_crash_recovery(spark: SparkSession, sf_dir: str):
         F.col("value").alias("price"),
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_crash")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_crash")
     landing = str(base / "landing")
     out = str(base / "bars")
     ckpt = str(base / "ckpt")
@@ -669,8 +683,7 @@ def _run_zscore_crash_recovery(spark: SparkSession, sf_dir: str):
         tiebreak="event_id",
     ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
 
-    base = _SCRATCH / (Path(sf_dir).name + "_zcrash")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_zcrash")
     landing = str(base / "landing")
     out, ckpt = str(base / "out"), str(base / "ckpt")
     _land_time_sliced(bars, "bar_ts", landing, n_slices=6)
@@ -842,8 +855,7 @@ def q_stream_rsi_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="event_id",
     ).select(F.col("event_type").alias("symbol"), "bar_ts", "close")
 
-    base = _SCRATCH / (Path(sf_dir).name + "_rsi")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_rsi")
     landing = str(base / "landing")
     out, ckpt = str(base / "out"), str(base / "ckpt")
     _land_time_sliced(bars, "bar_ts", landing, n_slices=4)
@@ -947,8 +959,7 @@ def q_stream_vpin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_vpin")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_vpin")
     landing = str(base / "landing")
     out, ckpt = str(base / "out"), str(base / "ckpt")
     _land_time_sliced(ticks, "ts", landing, n_slices=3)
@@ -1085,8 +1096,7 @@ def q_stream_hll_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("symbol"), "ts", "user_id"
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_hll")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_hll")
     landing = str(base / "landing")
     regs_out, ckpt = str(base / "regs"), str(base / "ckpt")
     _land_time_sliced(ev, "ts", landing, n_slices=4)
@@ -1261,8 +1271,7 @@ def q_stream_quantile_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = stats.select("symbol", "lo", "hi")
 
-    base = _SCRATCH / (Path(sf_dir).name + "_qh")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_qh")
     landing = str(base / "landing")
     hist_out, ckpt = str(base / "hist"), str(base / "ckpt")
     _land_time_sliced(ev, "ts", landing, n_slices=4)
@@ -1488,8 +1497,7 @@ def q_stream_countmin_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("user_id").cast("string").alias("w")
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_cms")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_cms")
     landing = str(base / "landing")
     cms_out, ckpt = str(base / "cms"), str(base / "ckpt")
     _land_time_sliced(ev, "ts", landing, n_slices=4)
@@ -1700,8 +1708,7 @@ def q_stream_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     ev = load_table(spark, "events", sf_dir).select("ts", "user_id")
 
-    base = _SCRATCH / (Path(sf_dir).name + "_bloom")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_bloom")
     landing = str(base / "landing")
     bf_out, ckpt = str(base / "bloom"), str(base / "ckpt")
     _land_time_sliced(ev, "ts", landing, n_slices=4)
@@ -1909,8 +1916,7 @@ def q_stream_minhash_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_runtime(spark)
     shingled = lsh_corpus_shingled(spark, sf_dir)
 
-    base = _SCRATCH / (Path(sf_dir).name + "_mh")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_mh")
     landing = str(base / "landing")
     sig_out, ckpt = str(base / "sigs"), str(base / "ckpt")
 
@@ -2061,8 +2067,7 @@ def q_stream_kmv_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "user_id", "event_type"
     )
 
-    base = _SCRATCH / (Path(sf_dir).name + "_kmv")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _query_scratch(sf_dir, "_kmv")
     landing = str(base / "landing")
     kmv_out, ckpt = str(base / "kmv"), str(base / "ckpt")
     _land_time_sliced(ev, "ts", landing, n_slices=4)

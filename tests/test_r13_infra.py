@@ -127,7 +127,9 @@ def test_scratch_sweep_age_backstop(tmp_path, monkeypatch):
 
     root = tmp_path / ".stream_e2e"
     root.mkdir()
-    stale = root / f"pid{os.getpid()}x"  # invalid int -> skipped
+    bad_name = root / f"pid{os.getpid()}x"  # invalid int -> skipped
+    bad_name.mkdir()
+    os.utime(bad_name, (0, 0))  # ancient AND unparseable: must survive
     alive_recycled = root / "pid1"  # pid 1 is always alive
     alive_recycled.mkdir()
     os.utime(alive_recycled, (0, 0))  # epoch mtime: ancient
@@ -136,5 +138,6 @@ def test_scratch_sweep_age_backstop(tmp_path, monkeypatch):
     monkeypatch.setattr(streaming_e2e, "_SCRATCH_ROOT", root)
     monkeypatch.setattr(streaming_e2e, "_SCRATCH", root / "pidself")
     streaming_e2e._sweep_stale_scratch()
+    assert bad_name.exists(), "unparseable dir name swept"
     assert not alive_recycled.exists(), "ancient recycled-pid dir kept"
     assert not fresh_alive.exists(), "dead-pid dir kept"
