@@ -1451,7 +1451,14 @@ def q_vwap_slippage_tca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("value") > F.col("pv"), 1)
         .otherwise(-1)
     )
-    signed = t.join(vwap, ["symbol", "trading_day"]).select(
+    # explicit broadcast (r14): the vwap frame is (symbol, day)-sized —
+    # a dimension at every scale this engine targets — but its runtime
+    # byte size sat ON AQE's broadcast threshold, flipping the join
+    # between BHJ (t reuses its window exchange; probe floor ~0.34 s at
+    # sf0.1) and SMJ (a second full shuffle of the tick frame; ~0.69 s)
+    # run to run — the r13 bench's only drift_over_40pct flag.  Pinning
+    # the dimension side makes the plan load-independent.
+    signed = t.join(F.broadcast(vwap), ["symbol", "trading_day"]).select(
         "symbol", "trading_day", "value", "vw", side.alias("side")
     )
     return signed.groupBy("symbol", "trading_day").agg(
