@@ -955,3 +955,242 @@ def pq_train_codebooks(
     return spark.createDataFrame(
         [(m, c, v) for (m, c), v in sorted(cb.items())], cb_schema
     )
+
+
+IVF_TRAIN_ITERS = 5  # same fixed-iteration contract as PQ_ITERS
+IVF_TRAIN_MIN_N = 1024  # training slice >= max(this, 32*n_cells)
+IVF_TRAIN_PER_CELL = 32  # FAISS-guidance training budget per centroid
+
+
+def ivf_train_slice_n(n_cells: int) -> int:
+    """Training-slice bound for the coarse quantizer: ~32 members per
+    prospective cell (the FAISS 30-256-points-per-centroid training
+    guidance), floored at IVF_TRAIN_MIN_N.  MEASURED on the clustered
+    fixture (n=20,000, k=142): an 8-points-per-cell slice UNDERSAMPLES
+    cell populations and makes max-cell skew WORSE than the id-sliced
+    seed (4.98 vs 3.93); at 32/cell the trained centroids converge
+    (identical at 57/cell and full-corpus) with skew 3.81 and coarse
+    distortion 0.151 vs the seed's 0.479.  Data-derived the same way
+    in the DuckDB oracle: greatest(1024, 32*n_cells).  Cost shape:
+    slice x n_cells = 32*n_cells^2 per iteration — O(n) under the
+    cells~sqrt(n) law, the same order as the corpus assignment pass
+    itself."""
+    return max(IVF_TRAIN_MIN_N, IVF_TRAIN_PER_CELL * n_cells)
+
+
+def ivf_train_centroids(
+    vecs: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    iters: int = IVF_TRAIN_ITERS,
+) -> DataFrame:
+    """(ccid, ccv): k-means-TRAINED coarse quantizer after ``iters``
+    Lloyd steps at full vector width — :func:`pq_train_codebooks`'
+    machinery pointed at the 64-dim coarse level (VERDICT r13 #2).
+
+    Why: the id-sliced coarse seeds (``vec_id < n_cells``) are
+    arbitrary data points; on clustered corpora several land inside
+    the same mixture component and nearest-centroid assignment splits
+    cell populations arbitrarily — hot cells break the cells~sqrt(n)
+    candidate bound whose premise is balance.  Lloyd steps move the
+    centroids toward the population's actual mass.
+
+    Determinism contract (identical to the PQ trainer, oracle-twinned
+    by the unrolled-CTE chain): seed = first ``n_cells`` vectors by id,
+    training slice = first :func:`ivf_train_slice_n` vectors by id,
+    rounded-L2 argmin assignment with the lower-ccid tiebreak, per-
+    dimension means rounded to 6 digits, empty cells keep the previous
+    centroid.  Scale shape: per iteration one broadcast of n_cells
+    centroid rows against the BOUNDED training slice and one
+    (n_cells x dim)-row driver collect — corpus-independent.  At
+    n_cells beyond ~1e4 (corpora past ~1e8 vectors) the driver-loop
+    collect stops being free and training belongs to MLlib KMeans;
+    this trainer's contract is the oracle-checkable audit range.
+    """
+    spark = vecs.sparkSession
+    train_n = ivf_train_slice_n(n_cells)
+    tr = materialize_corpus(
+        vecs.filter(F.col(id_col) < train_n).select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+    )
+    seed = (
+        vecs.filter(F.col(id_col) < n_cells)
+        .select(
+            F.col(id_col).alias("ccid"),
+            as_double(F.col(vec_col)).alias("ccv"),
+        )
+        .collect()
+    )
+    cb = {r["ccid"]: list(r["ccv"]) for r in seed}
+    dim = len(next(iter(cb.values())))
+    cb_schema = "ccid BIGINT, ccv ARRAY<DOUBLE>"
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(sorted(cb.items()), cb_schema)
+        scored = tr.crossJoin(F.broadcast(cb_df)).select(
+            "vec_id",
+            "ccid",
+            "v",
+            l2_sq(F.col("v"), F.col("ccv")).alias("d2"),
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("ccid", F.posexplode("v").alias("pos", "val"))
+        )
+        means = (
+            assigned.groupBy("ccid", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("val"))
+            .collect()
+        )
+        nxt: dict[int, list[float]] = {}
+        for r in means:
+            nxt.setdefault(r["ccid"], [0.0] * dim)[r["pos"]] = r["val"]
+        cb = {cid: nxt.get(cid, prev) for cid, prev in cb.items()}
+    return spark.createDataFrame(sorted(cb.items()), cb_schema)
+
+
+# --- SQ8 scalar quantizer (r13 audit, factored r14 for the streamed -----
+# vector-index maintenance): per-dimension linear 8-bit codes against
+# corpus min/max — the FAISS ScalarQuantizer.  ONE definition shared by
+# the batch audit (queries/llm.py sq8_recall_audit) and the streaming
+# incremental encoder (queries/streaming_e2e.py stream_vector_index_e2e)
+# so the two paths cannot drift apart; the DuckDB twins live as
+# queries/llm.py SQ8_*_CTE fragments under the same contract.
+def sq8_dim_stats(
+    vecs: DataFrame, vec_col: str = "v", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """(lo, hi) per dimension: one map-side min/max agg collected at
+    ``dim`` rows — the frozen quantizer parameters.  Bounded collect
+    (64 rows), the broadcast-dimension-stats convention."""
+    stats = (
+        vecs.select(F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    lo = [0.0] * dim
+    hi = [0.0] * dim
+    for r in stats:
+        lo[r["pos"]] = r["lo"]
+        hi[r["pos"]] = r["hi"]
+    return lo, hi
+
+
+def sq8_codes(
+    vecs: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, code): code_i = round(round((v_i - lo_i)/span_i, 6) * 255),
+    zero-span dimensions code to 0.  The quantizer params are literal
+    arrays (plan-time constants), so the encode is one map pass."""
+    lo_c = F.array(*[F.lit(x) for x in lo])
+    hi_c = F.array(*[F.lit(x) for x in hi])
+    span = F.zip_with(hi_c, lo_c, lambda h, l: h - l)
+    return vecs.select(
+        id_col,
+        F.zip_with(
+            F.zip_with(F.col(vec_col), lo_c, lambda v, l: v - l),
+            span,
+            lambda d, sp: F.coalesce(
+                F.round(
+                    F.round(d / F.nullif(sp, F.lit(0.0)), 6) * 255, 0
+                ),
+                F.lit(0.0),
+            ).cast("int"),
+        ).alias("code"),
+    )
+
+
+def sq8_recon(
+    codes: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, rv): rv_i = round(lo_i + code_i/255 * span_i, 6) — the
+    reconstruction the SQ8 tier searches against."""
+    lo_c = F.array(*[F.lit(x) for x in lo])
+    hi_c = F.array(*[F.lit(x) for x in hi])
+    span = F.zip_with(hi_c, lo_c, lambda h, l: h - l)
+    return codes.select(
+        id_col,
+        F.zip_with(
+            F.zip_with(
+                F.col("code").cast("array<double>"),
+                lo_c,
+                lambda c, l: F.struct(c.alias("c"), l.alias("l")),
+            ),
+            span,
+            lambda cl, sp: F.round(cl["l"] + cl["c"] / 255.0 * sp, 6),
+        ).alias("rv"),
+    )
+
+
+def opq_rotation_matrix(dim: int = 64, round_digits: int = 6) -> list[list[float]]:
+    """A fixed seeded near-orthonormal rotation for the OPQ-style ADC
+    tier (VERDICT r13 stretch #7): pure-Python Gram-Schmidt over an
+    md5-derived base matrix (same hash convention as
+    :func:`hyperplane_vector`), rows rounded to ``round_digits`` at the
+    END so both engines consume byte-identical literals.
+
+    Pure Python (no numpy/LAPACK) so the derivation is deterministic
+    on every platform: the matrix is baked as LITERALS into the Spark
+    plan and the DuckDB oracle by the SAME process, and the committed
+    recall numbers are reproducible from this function alone.  The
+    round-6 snap leaves rows orthonormal to ~1e-6 — the rotation is
+    part of the ENCODER (codebooks are trained in rotated space and
+    distances compared within it), so exact orthonormality is not a
+    correctness requirement, only distance preservation to well below
+    quantization noise.
+    """
+    base = [
+        [
+            (int(hashlib.md5(f"opq|{i}|{j}".encode()).hexdigest()[:15], 16)
+             % 2001 - 1000) / 1000.0
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    rows: list[list[float]] = []
+    for i in range(dim):
+        v = list(base[i])
+        for u in rows:
+            d = sum(a * b for a, b in zip(v, u))
+            v = [a - d * b for a, b in zip(v, u)]
+        nrm = sum(a * a for a in v) ** 0.5
+        rows.append([a / nrm for a in v])
+    return [[round(a, round_digits) for a in row] for row in rows]
+
+
+def opq_rotate(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+) -> DataFrame:
+    """(id, v): vectors rotated by :func:`opq_rotation_matrix`, each
+    component a sequential-fold dot product against a literal row
+    (same summation order as the oracle's list_dot_product) rounded to
+    ``round_digits`` — the OPQ pre-step before subspace split/training.
+
+    Cost note: 64 interpreted HOF folds per row (the rotation is not
+    in the production hot path at this size; the audit prices whether
+    it EARNS a gemm-Arrow fast path — if ADC recall doesn't move, it
+    doesn't).
+    """
+    rows = opq_rotation_matrix(round_digits=round_digits)
+    comps = [
+        F.round(
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in row])),
+            round_digits,
+        )
+        for row in rows
+    ]
+    return vecs.select(id_col, F.array(*comps).alias("v"))

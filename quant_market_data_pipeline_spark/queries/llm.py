@@ -5481,32 +5481,43 @@ def q_ann_ivfpq_residual_recall_audit(
 # a 6-dp decimal times 255 cannot land on an exact .5 except at
 # multiples of 0.1, where both engines round half away from zero the
 # same way); zero-span dimensions encode 0.
-
-
-@register(
-    "sq8_recall_audit",
-    oracle="""
-WITH vecs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), dimstats AS (
+#
+# r14: the stats/encode/reconstruct CTEs are module-level fragments and
+# the Spark encode lives in llm/similarity.py (sq8_dim_stats/sq8_codes/
+# sq8_recon) — ONE definition shared with the streamed incremental
+# encoder (queries/streaming_e2e.py stream_vector_index_e2e), so the
+# batch and streaming paths cannot drift apart.
+SQ8_STATS_CTE = """dimstats AS (
   SELECT pos, min(v[pos]) AS lo, max(v[pos]) AS hi
   FROM vecs CROSS JOIN generate_series(1, 64) AS p(pos)
   GROUP BY pos
 ), stats AS (
   SELECT list(lo ORDER BY pos) AS lo, list(hi ORDER BY pos) AS hi
   FROM dimstats
-), codes AS (
+)"""
+
+SQ8_CODES_CTE = """codes AS (
   SELECT vec_id,
          [CAST(coalesce(round(round((v[i] - s.lo[i])
                 / nullif(s.hi[i] - s.lo[i], 0.0), 6) * 255), 0) AS INTEGER)
           for i in generate_series(1, 64)] AS code
   FROM vecs CROSS JOIN stats s
-), recon AS (
+)"""
+
+SQ8_RECON_CTE = """recon AS (
   SELECT vec_id,
          [round(s.lo[i] + code[i] / 255.0 * (s.hi[i] - s.lo[i]), 6)
           for i in generate_series(1, 64)] AS rv
   FROM codes CROSS JOIN stats s
-), rerr AS (
+)"""
+
+
+@register(
+    "sq8_recall_audit",
+    oracle=f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {SQ8_STATS_CTE}, {SQ8_CODES_CTE}, {SQ8_RECON_CTE}, rerr AS (
   SELECT v.vec_id,
          round(list_sum([(v.v[i]-r.rv[i])*(v.v[i]-r.rv[i])
                          for i in generate_series(1,64)]), 6) AS e2
@@ -5562,55 +5573,19 @@ def q_sq8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from quant_market_data_pipeline_spark.llm.similarity import (
         as_double,
         l2_sq,
+        sq8_codes,
+        sq8_dim_stats,
+        sq8_recon,
     )
 
     emb = _embeddings(spark, sf_dir)
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    # per-dimension min/max: explode to (pos, val), agg to 64 rows,
-    # collect + re-literalize (the broadcast dimension-stats frame)
-    stats = (
-        vecs.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
-        .collect()
-    )
-    lo = [0.0] * 64
-    hi = [0.0] * 64
-    for r in stats:
-        lo[r["pos"]] = r["lo"]
-        hi[r["pos"]] = r["hi"]
-    lo_c = F.array(*[F.lit(x) for x in lo])
-    hi_c = F.array(*[F.lit(x) for x in hi])
-    span = F.zip_with(hi_c, lo_c, lambda h, l: h - l)
-    # code_i = round(round((v_i - lo_i)/span_i, 6) * 255); zero-span -> 0
-    codes = vecs.select(
-        "vec_id",
-        F.zip_with(
-            F.zip_with(F.col("v"), lo_c, lambda v, l: v - l),
-            span,
-            lambda d, sp: F.coalesce(
-                F.round(
-                    F.round(d / F.nullif(sp, F.lit(0.0)), 6) * 255, 0
-                ),
-                F.lit(0.0),
-            ).cast("int"),
-        ).alias("code"),
-    )
-    recon = codes.select(
-        "vec_id",
-        F.zip_with(
-            F.zip_with(
-                F.col("code").cast("array<double>"),
-                lo_c,
-                lambda c, l: F.struct(c.alias("c"), l.alias("l")),
-            ),
-            span,
-            lambda cl, sp: F.round(
-                cl["l"] + cl["c"] / 255.0 * sp, 6
-            ),
-        ).alias("rv"),
-    )
-    recon = materialize_corpus(recon)
+    # per-dimension min/max: one map-side agg collected at 64 rows and
+    # re-literalized (the broadcast dimension-stats frame); encode and
+    # reconstruct are the SHARED single-definition map passes
+    # (llm/similarity.py — also the streamed encoder's fragments)
+    lo, hi = sq8_dim_stats(vecs)
+    recon = materialize_corpus(sq8_recon(sq8_codes(vecs, lo, hi), lo, hi))
     rerr = (
         vecs.join(recon, "vec_id")
         .select(l2_sq(F.col("v"), F.col("rv")).alias("e2"))
@@ -6374,5 +6349,720 @@ def q_minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
             "doc_id",
             F.round("est", 6).alias("est_jaccard"),
+        )
+    )
+
+
+# --- trained coarse quantizer (r14): IVF cells from Lloyd, not ids --------
+# VERDICT r13 #2: every IVF audit seeds its cells from the first
+# ceil(sqrt(n)) vectors BY ID.  On near-uniform fixtures that is fine;
+# on clustered corpora id-sliced centroids are arbitrary cluster
+# members — several land in the same mixture component and nearest-
+# centroid assignment splits populations arbitrarily (hot cells), which
+# breaks the cells~sqrt(n) per-query candidate bound whose premise is
+# balance.  This audit points the r13 Lloyd machinery at the 64-dim
+# coarse level (llm/similarity.py ivf_train_centroids) and REPORTS the
+# balance next to recall: skew = max cell population / mean (n/cells),
+# under BOTH the id-sliced and the trained centroids, so the id-sliced
+# premise is measured rather than assumed.  Same determinism contract
+# as the PQ trainer (round-6 L2 argmin, lower-ccid tiebreak, round-6
+# means, empty-keeps-prev, first-greatest(1024, 4*n_cells)-by-id
+# training slice); the oracle unrolls the 5 iterations as a chained
+# 64-dim CTE.  Measured (clustered fixture, n=20,000, 16 planted
+# imbalanced clusters): see COVERAGE.md r14 — the skew split is the
+# datapoint the r13 verdict asked for.
+_IVF_TRAIN_ITERS = 5
+
+
+def _coarse_lloyd_chain(iters: int = _IVF_TRAIN_ITERS) -> str:
+    """CTE fragments appended after nconf+cents: ctr (training slice,
+    greatest(1024, 4*n_cells) lowest ids) + cc0..cc{iters} — the 64-dim
+    coarse twin of _pq_lloyd_chain, seeded from the id-sliced cents."""
+    parts = [
+        """, ctr AS (
+  SELECT vec_id, v FROM vecs
+  WHERE vec_id < (SELECT greatest(1024, 32 * n_cells) FROM nconf)
+), cc0 AS (SELECT ccid, ccv FROM cents)"""
+    ]
+    for t in range(1, iters + 1):
+        prev = f"cc{t - 1}"
+        parts.append(
+            f""", ccd{t} AS (
+  SELECT s.vec_id, c.ccid,
+         round(list_sum([(s.v[i]-c.ccv[i])*(s.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM ctr s CROSS JOIN {prev} c
+), cca{t} AS (
+  SELECT vec_id, ccid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid)
+      AS rn
+    FROM ccd{t}) WHERE rn = 1
+), ccm{t} AS (
+  SELECT ccid, list(val ORDER BY pos) AS ccv FROM (
+    SELECT a.ccid, p.pos, round(avg(s.v[p.pos]), 6) AS val
+    FROM cca{t} a
+    JOIN ctr s ON s.vec_id = a.vec_id
+    CROSS JOIN generate_series(1, 64) AS p(pos)
+    GROUP BY 1, 2) GROUP BY ccid
+), cc{t} AS (
+  SELECT c.ccid, coalesce(t.ccv, c.ccv) AS ccv
+  FROM {prev} c LEFT JOIN ccm{t} t ON t.ccid = c.ccid
+)"""
+        )
+    return "".join(parts)
+
+
+@register(
+    "ann_ivfpq_trained_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}{_pq_lloyd_chain()}, nconf AS (
+  SELECT count(*) AS n,
+         greatest(32, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS n_cells
+  FROM vecs
+), cents AS (
+  SELECT vec_id AS ccid, v AS ccv FROM vecs
+  WHERE vec_id < (SELECT n_cells FROM nconf)
+){_coarse_lloyd_chain()}, cscored_id AS (
+  SELECT a.vec_id, c.ccid,
+         round(list_sum([(a.v[i]-c.ccv[i])*(a.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS cd2
+  FROM vecs a CROSS JOIN cents c
+), assign_id AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM cscored_id) WHERE rn = 1
+), cscored_tr AS (
+  SELECT a.vec_id, c.ccid,
+         round(list_sum([(a.v[i]-c.ccv[i])*(a.v[i]-c.ccv[i])
+                         for i in generate_series(1,64)]), 6) AS cd2
+  FROM vecs a CROSS JOIN cc{_IVF_TRAIN_ITERS} c
+), probed AS (
+  SELECT vec_id, ccid AS cell, cd2, rn AS probe_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cd2, ccid) AS rn
+    FROM cscored_tr) WHERE rn <= {_IVF_PROBE}
+), capconf AS (
+  SELECT CAST(ceil(2.0 * n / n_cells) AS BIGINT) AS cap FROM nconf
+), ranked_in_cell AS (
+  SELECT vec_id, cell, cd2,
+         row_number() OVER (PARTITION BY cell ORDER BY cd2, vec_id)
+           AS cr
+  FROM probed WHERE probe_rank = 1
+), final_assign AS (
+  SELECT r.vec_id,
+         CASE WHEN r.cr <= (SELECT cap FROM capconf) THEN r.cell
+              ELSE coalesce(p2.cell, r.cell) END AS cell
+  FROM ranked_in_cell r
+  LEFT JOIN (SELECT vec_id, cell FROM probed WHERE probe_rank = 2) p2
+    ON p2.vec_id = r.vec_id
+), skews AS (
+  SELECT round(CAST(mi.max_pop * nc.n_cells AS DOUBLE) / nc.n, 6)
+           AS skew_id_sliced,
+         round(CAST(mt.max_pop * nc.n_cells AS DOUBLE) / nc.n, 6)
+           AS skew_trained,
+         round(CAST(mc.max_pop * nc.n_cells AS DOUBLE) / nc.n, 6)
+           AS skew_capped,
+         ei.coarse_err_id, et.coarse_err_trained
+  FROM (SELECT max(pop) AS max_pop FROM (
+          SELECT cell, count(*) AS pop FROM assign_id GROUP BY cell)) mi,
+       (SELECT max(pop) AS max_pop FROM (
+          SELECT cell, count(*) AS pop FROM probed
+          WHERE probe_rank = 1 GROUP BY cell)) mt,
+       (SELECT max(pop) AS max_pop FROM (
+          SELECT cell, count(*) AS pop FROM final_assign
+          GROUP BY cell)) mc,
+       (SELECT round(avg(cd2), 6) AS coarse_err_id FROM (
+          SELECT vec_id, min(cd2) AS cd2 FROM cscored_id
+          GROUP BY vec_id)) ei,
+       (SELECT round(avg(cd2), 6) AS coarse_err_trained FROM probed
+        WHERE probe_rank = 1) et,
+       nconf nc
+), q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 20
+), qd AS (
+  SELECT q.query_id, q.m, c.cid,
+         round(list_sum([(q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM q JOIN cb{_PQ_ITERS} c ON c.m = q.m
+), distt AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM sub s JOIN cb{_PQ_ITERS} c ON c.m = s.m
+), codest AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM distt) WHERE rn = 1
+), candset AS (
+  SELECT pq.vec_id AS query_id, fa.vec_id AS neighbor_id
+  FROM probed pq
+  JOIN final_assign fa
+    ON fa.cell = pq.cell AND fa.vec_id <> pq.vec_id
+  WHERE pq.vec_id < 20
+), adc AS (
+  SELECT cs.query_id, cs.neighbor_id, round(sum(qd.d2), 6) AS adist
+  FROM candset cs
+  JOIN codest ON codest.vec_id = cs.neighbor_id
+  JOIN qd ON qd.query_id = cs.query_id
+         AND qd.m = codest.m AND qd.cid = codest.cid
+  GROUP BY 1, 2
+), approx_adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adc) WHERE rn <= 3
+), reranked AS (
+  SELECT cs.query_id, cs.neighbor_id,
+         round(list_sum([(qa.v[i]-nb.v[i])*(qa.v[i]-nb.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM candset cs
+  JOIN vecs qa ON qa.vec_id = cs.query_id
+  JOIN vecs nb ON nb.vec_id = cs.neighbor_id
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM reranked) WHERE rn <= 3
+), ncand AS (
+  SELECT query_id, count(*)::BIGINT AS n_cand FROM candset GROUP BY 1
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id,
+       (SELECT n_cells FROM nconf) AS n_cells,
+       coalesce(nc.n_cand, 0) AS n_cand,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(aa.neighbor_id) AS BIGINT) AS n_hit_adc,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+       round(CAST(count(aa.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_at_3,
+       sk.skew_id_sliced, sk.skew_trained, sk.skew_capped,
+       sk.coarse_err_id, sk.coarse_err_trained
+FROM exact e
+LEFT JOIN approx_adc aa USING (query_id, neighbor_id)
+LEFT JOIN approx a USING (query_id, neighbor_id)
+LEFT JOIN ncand nc ON nc.query_id = e.query_id
+CROSS JOIN skews sk
+GROUP BY e.query_id, nc.n_cand, sk.skew_id_sliced, sk.skew_trained,
+         sk.skew_capped, sk.coarse_err_id, sk.coarse_err_trained
+""",
+    doc="Adaptive IVF+PQ with a k-means-TRAINED coarse quantizer and a "
+    "CAPPED-OVERFLOW assignment (VERDICT r13 #2): the r13 Lloyd "
+    "machinery pointed at the 64-dim coarse level (llm/similarity.py "
+    "ivf_train_centroids — same determinism contract as the PQ "
+    "trainer: round-6 L2 argmin, lower-ccid tiebreak, round-6 means, "
+    "empty-keeps-prev, training bounded to the first greatest(1024, "
+    "32*n_cells) vectors by id, the FAISS ~30-points-per-centroid "
+    "budget: an 8/cell slice measurably WORSENED balance on the "
+    "clustered fixture — 4.98 vs the seed's 3.93; the oracle unrolls "
+    "the 5 iterations as a chained 64-dim CTE).  The index assignment "
+    "is balance-BOUNDED, not just balance-hoped: within each cell the "
+    "cap=ceil(2n/n_cells) closest vectors stay and the overflow moves "
+    "one deterministic hop to its second-nearest cell ((cd2, vec_id) "
+    "ranking — oracle-checkable).  Reports per query the adaptive "
+    "audit's recall/candidate columns PLUS the measured premise of "
+    "the cells~sqrt(n) candidate bound: max-cell skew under the "
+    "id-sliced seed, the trained centroids, and the capped index "
+    "(clustered fixture: 3.93 / 3.81 / 2.29 — training alone barely "
+    "moves a MAX statistic; the cap is what bounds it, at 3.9% of "
+    "vectors spilled one hop), and the coarse quantization error "
+    "under both centroid sets (0.479 -> 0.151: distortion, which "
+    "recall actually routes through, is where training pays).  Scale "
+    "shape: training is iters x (32*n_cells^2 distance rows) = O(n) "
+    "under cells~sqrt(n) — same order as the corpus assignment pass; "
+    "the rebalance adds one per-cell window and a broadcast-sized "
+    "second-probe join; skew/error columns are map-side aggregates "
+    "over integer cell ids.",
+)
+def q_ann_ivfpq_trained_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import math
+
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        ivf_train_centroids,
+        l2_sq,
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    n = emb.count()
+    c = math.isqrt(n)
+    n_cells = max(32, c if c * c == n else c + 1)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents_id = vecs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
+    )
+    cents_tr = ivf_train_centroids(emb, n_cells, vec_col="embedding")
+
+    def _assign_rank(cents: DataFrame, upto: int) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+        )
+        wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
+        return (
+            scored.withColumn("probe_rank", F.row_number().over(wp))
+            .filter(F.col("probe_rank") <= upto)
+            .select(
+                "vec_id", F.col("ccid").alias("cell"), "cd2", "probe_rank"
+            )
+        )
+
+    assign_id = _assign_rank(cents_id, 1)
+    probed = materialize_corpus(_assign_rank(cents_tr, _IVF_PROBE))
+    # capped-overflow assignment (the index's skew bound): within each
+    # cell the cap closest vectors stay; the overflow moves ONE hop to
+    # its second-nearest cell — a deterministic (cd2, vec_id) ranking,
+    # so the rebalance is oracle-checkable like everything else
+    cap = math.ceil(2.0 * n / n_cells)
+    wc = Window.partitionBy("cell").orderBy("cd2", "vec_id")
+    ranked_in_cell = (
+        probed.filter(F.col("probe_rank") == 1)
+        .withColumn("cr", F.row_number().over(wc))
+    )
+    p2 = probed.filter(F.col("probe_rank") == 2).select(
+        "vec_id", F.col("cell").alias("cell2")
+    )
+    final_assign = materialize_corpus(
+        ranked_in_cell.join(p2, "vec_id", "left").select(
+            "vec_id",
+            F.when(F.col("cr") <= cap, F.col("cell"))
+            .otherwise(F.coalesce(F.col("cell2"), F.col("cell")))
+            .alias("cell"),
+        )
+    )
+
+    def _max_pop(assign: DataFrame) -> DataFrame:
+        return assign.groupBy("cell").count().agg(
+            F.max("count").alias("max_pop")
+        )
+
+    def _skew(frame: DataFrame, alias: str) -> DataFrame:
+        return _max_pop(frame).select(
+            F.round(
+                F.col("max_pop").cast("double") * n_cells / n, 6
+            ).alias(alias)
+        )
+
+    skews = (
+        _skew(assign_id, "skew_id_sliced")
+        .crossJoin(
+            _skew(
+                probed.filter(F.col("probe_rank") == 1), "skew_trained"
+            )
+        )
+        .crossJoin(_skew(final_assign, "skew_capped"))
+        .crossJoin(
+            assign_id.agg(
+                F.round(F.avg("cd2"), 6).alias("coarse_err_id")
+            )
+        )
+        .crossJoin(
+            probed.filter(F.col("probe_rank") == 1).agg(
+                F.round(F.avg("cd2"), 6).alias("coarse_err_trained")
+            )
+        )
+    )
+    candset = (
+        probed.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(
+            final_assign.select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            ),
+            "cell",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    sub = pq_subvectors(emb)
+    cb = pq_train_codebooks(emb)
+    codes = pq_encode(sub, cb).select(
+        F.col("vec_id").alias("neighbor_id"), "m", "cid"
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "m",
+            "cid",
+            l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+    )
+    adc = (
+        candset.join(codes, "neighbor_id")
+        .join(F.broadcast(qd), ["query_id", "m", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    approx_adc = (
+        adc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    reranked = (
+        candset.join(F.broadcast(qv), "query_id")
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2_sq(F.col("qv"), F.col("nv")).alias("d2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    approx = (
+        reranked.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    ncand = candset.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx_adc.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit_adc")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                approx.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(F.broadcast(ncand), "query_id", "left")
+        .crossJoin(F.broadcast(skews))
+        .groupBy(
+            "query_id",
+            "n_cand",
+            "skew_id_sliced",
+            "skew_trained",
+            "skew_capped",
+            "coarse_err_id",
+            "coarse_err_trained",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit_adc").cast("bigint").alias("n_hit_adc"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.count("hit_adc").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_adc"),
+            F.round(
+                F.count("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_at_3"),
+        )
+        .select(
+            "query_id",
+            F.lit(n_cells).cast("bigint").alias("n_cells"),
+            F.coalesce(F.col("n_cand"), F.lit(0).cast("bigint")).alias(
+                "n_cand"
+            ),
+            "n_exact",
+            "n_hit_adc",
+            "n_hit",
+            "recall_adc",
+            "recall_at_3",
+            "skew_id_sliced",
+            "skew_trained",
+            "skew_capped",
+            "coarse_err_id",
+            "coarse_err_trained",
+        )
+    )
+
+
+# --- OPQ-style rotation for the ADC tier (r14 stretch, VERDICT r13 #7) ----
+# OPQ (Ge et al., CVPR 2013) rotates the space before product
+# quantization so the subspace split aligns with the data's principal
+# directions and per-subspace codebooks spend their 16 entries where
+# the variance is.  The full OPQ alternates rotation and codebook
+# updates; this audit prices the DETERMINISTIC first rung — a fixed
+# seeded near-orthonormal rotation (llm/similarity.py
+# opq_rotation_matrix: pure-Python Gram-Schmidt over md5-derived
+# floats, identical literals in both engines) followed by the standard
+# Lloyd-trained PQ in rotated space — against the unrotated trained
+# PQ on ONE raw-space exact ground truth.  If a generic rotation does
+# not move ADC-only recall, ADC-only is refine-mandatory on this
+# data and the tier's story closes with a measured datapoint.
+def _opq_rotation_sql() -> str:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        opq_rotation_matrix,
+    )
+
+    rows = opq_rotation_matrix()
+    return (
+        "["
+        + ",".join(
+            "[" + ",".join(repr(x) for x in row) + "]" for row in rows
+        )
+        + "]"
+    )
+
+
+@register(
+    "opq_rotation_recall_audit",
+    oracle=f"""
+WITH {_PQ_CODES_CTE}{_pq_lloyd_chain()}, rmat AS (
+  SELECT {_opq_rotation_sql()} AS R
+), rv0 AS (
+  SELECT vec_id, r.r AS pos,
+         round(list_dot_product(m.R[r.r], v), 6) AS val
+  FROM vecs CROSS JOIN rmat m CROSS JOIN generate_series(1, 64) AS r(r)
+), rvecs AS (
+  SELECT vec_id, list(val ORDER BY pos) AS v FROM rv0 GROUP BY vec_id
+), osub AS (
+  SELECT vec_id, mm.m, list_slice(v, mm.m*16+1, mm.m*16+16) AS sv
+  FROM rvecs, unnest([0,1,2,3]) AS mm(m)
+), oseed AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM osub WHERE vec_id < 16
+){_pq_lloyd_chain(sub_src="osub", seed_src="oseed", prefix="ocb")}, distt AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM sub s JOIN cb{_PQ_ITERS} c ON c.m = s.m
+), codest AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM distt) WHERE rn = 1
+), odist AS (
+  SELECT s.vec_id, s.m, c.cid,
+         round(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM osub s JOIN ocb{_PQ_ITERS} c ON c.m = s.m
+), ocodes AS (
+  SELECT vec_id, m, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid)
+      AS rn
+    FROM odist) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 20
+), qd AS (
+  SELECT q.query_id, q.m, c.cid,
+         round(list_sum([(q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM q JOIN cb{_PQ_ITERS} c ON c.m = q.m
+), oq AS (
+  SELECT vec_id AS query_id, m, sv FROM osub WHERE vec_id < 20
+), oqd AS (
+  SELECT q.query_id, q.m, c.cid,
+         round(list_sum([(q.sv[i]-c.cv[i])*(q.sv[i]-c.cv[i])
+                         for i in generate_series(1,16)]), 6) AS d2
+  FROM oq q JOIN ocb{_PQ_ITERS} c ON c.m = q.m
+), adcp AS (
+  SELECT qd.query_id, codest.vec_id AS neighbor_id,
+         round(sum(qd.d2), 6) AS adist
+  FROM codest JOIN qd ON qd.m = codest.m AND qd.cid = codest.cid
+  WHERE codest.vec_id <> qd.query_id
+  GROUP BY 1, 2
+), adcr AS (
+  SELECT qd.query_id, ocodes.vec_id AS neighbor_id,
+         round(sum(qd.d2), 6) AS adist
+  FROM ocodes JOIN oqd qd ON qd.m = ocodes.m AND qd.cid = ocodes.cid
+  WHERE ocodes.vec_id <> qd.query_id
+  GROUP BY 1, 2
+), approx_p AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adcp) WHERE rn <= 3
+), approx_r AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+    FROM adcr) WHERE rn <= 3
+), exact_scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum([(a.v[i]-b.v[i])*(a.v[i]-b.v[i])
+                         for i in generate_series(1,64)]), 6) AS d2
+  FROM vecs a JOIN vecs b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id < 20
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 3
+)
+SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(count(ap.neighbor_id) AS BIGINT) AS n_hit_adc_plain,
+       CAST(count(ar.neighbor_id) AS BIGINT) AS n_hit_adc_rot,
+       round(CAST(count(ap.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc_plain,
+       round(CAST(count(ar.neighbor_id) AS DOUBLE) / count(*), 6)
+         AS recall_adc_rot
+FROM exact e
+LEFT JOIN approx_p ap USING (query_id, neighbor_id)
+LEFT JOIN approx_r ar USING (query_id, neighbor_id)
+GROUP BY e.query_id
+""",
+    doc="OPQ-style rotation priced against unrotated trained PQ on ONE "
+    "raw-space exact ground truth (VERDICT r13 stretch #7): a fixed "
+    "seeded near-orthonormal rotation (pure-Python Gram-Schmidt over "
+    "md5-derived floats, rows rounded to 6 dp, identical literals in "
+    "both engines — llm/similarity.py opq_rotation_matrix) is applied "
+    "before the subspace split, Lloyd codebooks are trained IN "
+    "ROTATED SPACE under the r13 determinism contract, and ADC-only "
+    "recall@3 of both encoders is reported per query.  A rotation "
+    "mixes every original coordinate into every subspace, so "
+    "per-subspace codebooks see isotropic marginals instead of the "
+    "raw axis split — the first rung of Ge et al.'s OPQ ladder, and "
+    "the measured answer to whether the ADC tier's failure on this "
+    "data is the axis-aligned split (rotation lifts recall) or "
+    "quantization noise vs neighbor-gap scale (it doesn't, and "
+    "ADC-only is refine-mandatory — the documented close of the "
+    "tier's story).  Scale shape: the rotation is one map pass of 64 "
+    "sequential-fold dot products per vector against literal rows; "
+    "everything downstream reuses the audited trained-PQ fragments "
+    "(broadcast codebooks, integer-keyed ADC joins, WindowGroupLimit "
+    "top-k, sample-bounded exact side).",
+)
+def q_opq_rotation_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from quant_market_data_pipeline_spark.llm.similarity import (
+        as_double,
+        l2_sq,
+        opq_rotate,
+        pq_encode,
+        pq_subvectors,
+        pq_train_codebooks,
+    )
+
+    emb = _embeddings(spark, sf_dir)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    rvecs = materialize_corpus(opq_rotate(vecs))
+    sub = materialize_corpus(pq_subvectors(emb))
+    osub = materialize_corpus(pq_subvectors(rvecs, vec_col="v"))
+    cb_p = pq_train_codebooks(emb)
+    cb_r = pq_train_codebooks(rvecs, vec_col="v")
+    codes_p = pq_encode(sub, cb_p).select("vec_id", "m", "cid")
+    codes_r = pq_encode(osub, cb_r).select("vec_id", "m", "cid")
+
+    def adc_top3(
+        sub_f: DataFrame, codes: DataFrame, cb: DataFrame
+    ) -> DataFrame:
+        q = sub_f.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), "m", "sv"
+        )
+        qd = q.join(F.broadcast(cb), "m").select(
+            "query_id",
+            "m",
+            "cid",
+            l2_sq(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        adc = (
+            codes.join(F.broadcast(qd), ["m", "cid"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+            .agg(F.round(F.sum("d2"), 6).alias("adist"))
+        )
+        w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+        return (
+            adc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("query_id", "neighbor_id")
+        )
+
+    approx_p = adc_top3(sub, codes_p, cb_p)
+    approx_r = adc_top3(osub, codes_r, cb_r)
+    qv = vecs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    exact_scored = (
+        vecs.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2_sq(F.col("qv"), F.col("v")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        exact_scored.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            F.broadcast(
+                approx_p.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit_p")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                approx_r.select(
+                    "query_id", "neighbor_id", F.lit(1).alias("hit_r")
+                )
+            ),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit_p").cast("bigint").alias("n_hit_adc_plain"),
+            F.count("hit_r").cast("bigint").alias("n_hit_adc_rot"),
+            F.round(
+                F.count("hit_p").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_adc_plain"),
+            F.round(
+                F.count("hit_r").cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall_adc_rot"),
         )
     )
