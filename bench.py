@@ -197,6 +197,38 @@ def _micro_recall(name: str, rows: list) -> float | None:
     total = sum(r["n_exact"] for r in rows)
     return round(hits / total, 4) if total else None
 
+
+def _micro_recalls(rows: list) -> dict:
+    """Micro-averaged recall for EVERY n_hit* column of an audit frame
+    (the quantization audits report several tiers side by side:
+    n_hit_adc_base / n_hit_adc_trained / n_hit_rr_trained / n_hit_adc /
+    n_hit) — generic so new tiers land in the lane without a bench
+    edit."""
+    if not rows:
+        return {}
+    total = sum(r.get("n_exact", 0) for r in rows)
+    if not total:
+        return {}
+    return {
+        k.replace("n_hit", "recall", 1): round(
+            sum(r[k] for r in rows) / total, 4
+        )
+        for k in rows[0]
+        if k.startswith("n_hit")
+    }
+
+
+# CLUSTERED lane members (r14): the quantization menu re-priced on the
+# planted-mixture fixture every round — flat+trained PQ, adaptive and
+# residual IVF+PQ, the trained-coarse balance audit, and SQ8
+CLUSTERED = [
+    "pq_trained_recall_audit",
+    "ann_ivfpq_adaptive_recall_audit",
+    "ann_ivfpq_residual_recall_audit",
+    "ann_ivfpq_trained_recall_audit",
+    "sq8_recall_audit",
+]
+
 # Tick-side twin of the doc probe (round-4 judge directive): events is
 # 2 MiB at sf0.1, so the tick headliners are fixed-overhead-dominated
 # and a quadratic would be invisible.  Replicate events x16 (new
@@ -1107,6 +1139,61 @@ def main() -> None:
         except Exception as exc:
             sf1g = {"error": str(exc)[:200]}
 
+    # CLUSTERED lane (r14, judge directive #1): the quantization-menu
+    # recall audits on the planted-Gaussian-mixture fixture
+    # (tools/gen_clustered.py — n=20,000 like sf1.0_grown, but 16
+    # imbalanced well-separated clusters), so every round re-measures
+    # the menu where the ENCODER, not distance contrast, binds: flat
+    # vs residual PQ, SQ8, and the trained-coarse cell balance.
+    # Skipped silently when the fixture has not been generated.
+    clustered: dict[str, float] = {}
+    clustered_warm: dict[str, float] = {}
+    clustered_warm_min: dict[str, float] = {}
+    clustered_warm_spread: dict[str, float] = {}
+    clustered_recall: dict[str, dict] = {}
+    clustered_skew: dict[str, float] = {}
+    clustered_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_scale",
+        "clustered",
+    )
+    if (
+        os.environ.get("SPARK_GRAFT_SF1_PROBE", "1") != "0"
+        and os.path.isdir(clustered_dir)
+    ):
+        try:
+            load_table(spark, "embeddings", clustered_dir).count()  # warm
+            for name in CLUSTERED:
+                spec = registry.get(name)
+                if spec is None:
+                    continue
+                _drop_dead_blocks()
+                t0 = time.perf_counter()
+                rows = [
+                    r.asDict()
+                    for r in spec.spark(spark, clustered_dir).collect()
+                ]
+                clustered[name] = round(time.perf_counter() - t0, 3)
+                clustered_recall[name] = _micro_recalls(rows)
+                for r in rows[:1]:
+                    for k in ("skew_id_sliced", "skew_trained"):
+                        if k in r:
+                            clustered_skew[k] = r[k]
+
+                def _run(spec=spec):
+                    df = spec.spark(spark, clustered_dir)
+                    df.collect()
+                    return df
+
+                (
+                    clustered_warm[name],
+                    clustered_warm_min[name],
+                    clustered_warm_spread[name],
+                    _,
+                ) = _lane_warm_wall(_run, clustered.get(name))
+        except Exception as exc:
+            clustered = {"error": str(exc)[:200]}
+
     calib_windows["post_sf1"] = _calibrate(spark)
     # bracketing lists (pre/post headline + final), kept for continuity
     # with pre-r11 artifacts and the whole-run env_shift medians
@@ -1362,6 +1449,9 @@ def main() -> None:
     sf1grown_regressions_envnorm = _lane_envnorm(
         sf1g_warm_min, "sf1grown_queries", "post_sf1"
     )
+    clustered_regressions_envnorm = _lane_envnorm(
+        clustered_warm_min, "clustered_queries", "post_sf1"
+    )
 
     def _lane_plan_changed(cur_fp: dict, prev_lane_fp: dict) -> list[str]:
         return sorted(
@@ -1381,6 +1471,9 @@ def main() -> None:
     sf1_regressions = _lane_gate_warm(sf1_warm_min, "sf1_queries")
     sf1grown_regressions = _lane_gate_warm(
         sf1g_warm_min, "sf1grown_queries"
+    )
+    clustered_regressions = _lane_gate_warm(
+        clustered_warm_min, "clustered_queries"
     )
     # lane fingerprints compare only same-version artifacts; a version
     # bump empties the previous map and the compare self-heals next round
@@ -1547,6 +1640,14 @@ def main() -> None:
         "sf1_warm_spread": sf1_warm_spread,
         "sf1grown_queries_warm": sf1g_warm,
         "sf1grown_queries_warm_min": sf1g_warm_min,
+        "clustered_queries": clustered,
+        "clustered_queries_warm": clustered_warm,
+        "clustered_queries_warm_min": clustered_warm_min,
+        "clustered_queries_warm_spread": clustered_warm_spread,
+        "clustered_recall": clustered_recall,
+        "clustered_skew": clustered_skew,
+        "clustered_regressions_over_20pct": clustered_regressions,
+        "clustered_regressions_envnorm": clustered_regressions_envnorm,
         "sf1grown_warm_spread": sf1g_warm_spread,
         "lane_gate_basis": (
             "warm_vs_prev_warm"
@@ -1649,6 +1750,8 @@ def main() -> None:
             "tickscale_regressions_over_20pct",
             "sf1_regressions_over_20pct",
             "sf1grown_regressions_over_20pct",
+            "clustered_regressions_over_20pct",
+            "clustered_regressions_envnorm",
             "docscale_regressions_envnorm",
             "tickscale_regressions_envnorm",
             "sf1_regressions_envnorm",
@@ -1682,6 +1785,8 @@ def main() -> None:
         "shared_cold_total",
         "prev_shared_cold_total",
         "plan_flaps_within_round",
+        "clustered_regressions_envnorm",
+        "clustered_regressions_over_20pct",
         "sf1grown_regressions_envnorm",
         "sf1_regressions_envnorm",
         "tickscale_regressions_envnorm",
