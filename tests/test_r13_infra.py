@@ -40,11 +40,12 @@ def _window():
 
 
 def test_r13_window_is_live_driver_prefix():
+    """(The live `first 50 == window` assertion moved to
+    test_r14_infra.py — the registry now leads with the r14 window.)"""
     new, touched_l, sample, names = _window()
     window = new + touched_l + sample
     assert len(window) == 50
     assert len(set(window)) == 50
-    assert names[:50] == window
 
 
 def test_r13_sample_matches_policy():
@@ -53,7 +54,16 @@ def test_r13_sample_matches_policy():
     new, touched_l, sample, names = _window()
     touched = set(new) | set(touched_l)
     k = 50 - len(new) - len(touched_l)
-    expected = ss.staleness_sample(13, names, touched, k=k, repo_root=REPO)
+    # era scope: replay the policy as of r13 — the r14-NEW queries did
+    # not exist then (and, never-verified, would sort stalest of all),
+    # so exclude them from the candidate pool; staleness_sample(13, ..)
+    # already bounds verification history to rounds < 13
+    from quant_market_data_pipeline_spark import queries as q
+
+    names_r13 = [n for n in names if n not in set(q._R14_NEW)]
+    expected = ss.staleness_sample(
+        13, names_r13, touched, k=k, repo_root=REPO
+    )
     assert sample == expected
 
 

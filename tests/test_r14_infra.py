@@ -87,3 +87,74 @@ def test_lane_gates_compare_unclamped_warm_min():
         '"sf1grown_queries_warm_min"',
     ):
         assert key in src, key
+
+
+def _window():
+    from quant_market_data_pipeline_spark.queries import (
+        _R14_NEW,
+        _R14_SAMPLE,
+        _R14_TOUCHED,
+        load_all,
+    )
+
+    return _R14_NEW, _R14_TOUCHED, _R14_SAMPLE, list(load_all())
+
+
+def test_r14_window_is_live_driver_prefix():
+    new, touched_l, sample, names = _window()
+    window = new + touched_l + sample
+    assert len(window) == 50
+    assert len(set(window)) == 50
+    assert names[:50] == window
+
+
+def test_r14_sample_matches_policy():
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import staleness_sample as ss
+
+    new, touched_l, sample, names = _window()
+    touched = set(new) | set(touched_l)
+    k = 50 - len(new) - len(touched_l)
+    expected = ss.staleness_sample(14, names, touched, k=k, repo_root=REPO)
+    assert sample == expected
+
+
+def test_r14_window_drains_r7_cohort():
+    """Judge directive #3: every query whose latest driver verification
+    is r7 (or older) must be in the r14 window."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import staleness_sample as ss
+
+    new, touched_l, sample, names = _window()
+    window = set(new) | set(touched_l) | set(sample)
+    seen = ss.last_verified_rounds(REPO, before_round=14)
+    registered = set(names)
+    stale_r7 = {
+        n for n, last in seen.items()
+        if last <= 7 and n in registered
+    }
+    missing = stale_r7 - window
+    assert not missing, f"r7-stale queries left out: {missing}"
+
+
+def test_r14_touched_covers_every_query_scratch_site():
+    """Every streaming e2e query creates its scratch through
+    _query_scratch (the ADVICE r13 liveness-touch refactor), and every
+    one of them is in the r14 TOUCHED window."""
+    import re
+
+    from quant_market_data_pipeline_spark import queries as q
+
+    src = open(
+        os.path.join(
+            REPO,
+            "quant_market_data_pipeline_spark",
+            "queries",
+            "streaming_e2e.py",
+        )
+    ).read()
+    names = re.findall(r'@register\(\s*\n?\s*"([^"]+)"', src)
+    assert src.count("= _query_scratch(sf_dir") == len(names)
+    window = set(q._R14_NEW) | set(q._R14_TOUCHED)
+    missing = set(names) - window
+    assert not missing, f"scratch-refactored queries not in window: {missing}"

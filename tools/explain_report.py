@@ -208,6 +208,11 @@ QUERIES = [
     "pq_residual_distortion_report",
     "ann_ivfpq_residual_recall_audit",
     "sq8_recall_audit",
+    # round 14: trained coarse quantizer (cell-balance audit), the
+    # streamed vector-index maintenance e2e, and the OPQ rotation tier
+    "ann_ivfpq_trained_recall_audit",
+    "stream_vector_index_e2e",
+    "opq_rotation_recall_audit",
 ]
 
 # Durable analysis notes re-emitted on every regeneration.
