@@ -439,6 +439,18 @@ def gemm_pair_scores(
             out[c] = v
         return out[[*key_cols, *out_cols]]
 
+    if query_salts == 1:
+        # salt-free fast path (r14 optimization round): pmod(id, 1) is
+        # constantly 0, so the salt neither splits any group nor changes
+        # the output — it only widens the cogroup key.  Dropping it lets
+        # a b-side that is ALREADY hash-partitioned by key_cols (the
+        # bucket_sample_cap window's exchange) satisfy the cogroup's
+        # ClusteredDistribution without a second exchange.
+        return (
+            queries.groupBy(*key_cols)
+            .cogroup(neighbors.groupBy(*key_cols))
+            .applyInPandas(score, schema)
+        )
     q = queries.withColumn(
         "__salt", F.pmod(F.col("query_id"), F.lit(query_salts)).cast("int")
     )
@@ -571,43 +583,71 @@ def lsh_multitable_topk(
     # index build: one pass computes all tables' bucket keys
     vecs = materialize_corpus(vecs)
 
-    per_table = []
-    for t in range(tables):
-        a = vecs.select(
-            F.col(id_col).alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col(f"b{t}").alias("__bk"),
+    # r14 optimization round: the per-table loop (4 bucket_sample_cap
+    # windows + 4 cogrouped gemms + union) planned 12 exchanges and read
+    # the checkpointed corpus 8 times.  Keying every stage by the
+    # COMPOSITE (table, bucket) instead — one explode emits each
+    # vector's ``tables`` bucket rows — runs the identical per-table
+    # group contents (a (t, bucket) group holds exactly table t's bucket
+    # population, so cap slots and gemm groups are unchanged) through
+    # ONE cap window, ONE cogrouped gemm and ONE ranking window.  Same
+    # rows shuffled, ~4x fewer exchanges/stages.
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(str(t)).alias("t"), F.col(f"b{t}").alias("bk")
+                )
+                for t in range(tables)
+            ]
         )
-        nbr = (
-            bucket_sample_cap(vecs, [f"b{t}"], id_col, neighbor_cap)
-            if neighbor_cap
-            else vecs
-        )
-        b = nbr.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col("v").alias("cv"),
-            F.col(f"b{t}").alias("__bk"),
-        )
-        per_table.append(
-            gemm_pair_scores(a, b, ["__bk"], query_salts=query_salts).select(
-                "query_id",
-                "neighbor_id",
-                F.round("cos_sim", round_digits).alias("cos_sim"),
-            )
-        )
-    cand = per_table[0]
-    for extra in per_table[1:]:
-        cand = cand.unionByName(extra)
-    # a pair colliding in several tables scores identically in each, so
-    # distinct() dedups on the scalar triple — no vector re-shuffle
-    cand = cand.distinct()
+    ).alias("__tb")
+    flat = vecs.select(F.col(id_col), F.col("v"), tb).select(
+        id_col,
+        "v",
+        F.col("__tb.t").alias("__t"),
+        F.col("__tb.bk").alias("__bk"),
+    )
+    a = flat.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        "__t",
+        "__bk",
+    )
+    nbr = (
+        bucket_sample_cap(flat, ["__t", "__bk"], id_col, neighbor_cap)
+        if neighbor_cap
+        else flat
+    )
+    b = nbr.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        "__t",
+        "__bk",
+    )
+    cand = gemm_pair_scores(
+        a, b, ["__t", "__bk"], query_salts=query_salts
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", round_digits).alias("cos_sim"),
+    )
+    # A pair colliding in several tables scores identically in each (the
+    # per-group gemm computes the same 64-term dot for the same two
+    # vectors — the invariant the old union+distinct relied on), so
+    # under ORDER BY (cos_sim DESC, neighbor_id) duplicates tie on BOTH
+    # sort keys and dense_rank gives every copy the rank row_number
+    # would give the deduplicated row.  Ranking BEFORE deduplication
+    # moves the distinct from the full candidate set (the widest shuffle
+    # of the old plan) to the n*k ranked survivors.
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.dense_rank().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+        .distinct()
     )
 
 

@@ -1028,12 +1028,40 @@ def q_ann_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from quant_market_data_pipeline_spark.llm.similarity import (
         as_double,
-        cosine,
+        dot,
         lsh_bucket_arrow,
+        norm,
     )
     from quant_market_data_pipeline_spark.queries.llm import _embeddings
     from quant_market_data_pipeline_spark.session import materialize_dim
 
+    # r14 optimization round restructure.  Three changes, all
+    # value-identical to the branch-per-config formulation (the oracle
+    # SQL is untouched; the driver re-hashes the output):
+    #
+    # 1. SLOT WINDOWS (was: 24 windows chained over the full wide frame
+    #    — 24 exchanges each carrying the 64-dim vector + 8 bucket
+    #    strings, with md5(vec_id) recomputed inside every ORDER BY).
+    #    Now: one (table, bucket) explode of a NARROW (vec_id, md5,
+    #    bucket) frame, ONE window per plane count (3 total — a window
+    #    partitioned by (t, substr(bk,1,p)) ranks all 8 tables at
+    #    once), pivoted back to one row per vec_id and joined to the
+    #    wide frame.  Same groups, same (md5, vec_id) order, same slot
+    #    numbers; the vector payload crosses ONE exchange instead of 24
+    #    (guide §2.3: project before the exchange).
+    # 2. PER-VECTOR NORMS hoisted: cosine(a, b) re-folds norm(a) and
+    #    norm(b) per PAIR (three interpreted zip_with folds per pair);
+    #    computing __nv = norm(v) once per vector leaves one fold (the
+    #    dot) per pair — identical doubles, ~3x less interpreted-HOF
+    #    CPU on the 20n base and 32n centroid passes.
+    # 3. CONFIG GRID as ONE pipeline (was: 36 filter->rank->agg branches
+    #    = a 416-Exchange physical plan; planning alone was seconds).
+    #    Each base pair EXPLODES into the configs that contain it, IVF
+    #    pairs explode over the probe counts that reach them, and one
+    #    (family, cfg, query)-keyed rank + two aggregates price every
+    #    config.  The rows entering the single rank window are exactly
+    #    the union of the 36 branch inputs — same bytes, ~30x fewer
+    #    exchanges/stages.
     emb = _embeddings(spark, sf_dir)
     vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     for t in range(_ANN_SWEEP_TMAX):
@@ -1043,36 +1071,66 @@ def q_ann_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _ANN_SWEEP_PMAX, 64, offset=t * _ANN_SWEEP_PMAX
             )(F.col("v")),
         )
-    slotted = vecs
-    for t in range(_ANN_SWEEP_TMAX):
-        for p in _ANN_SWEEP_PLANES:
-            w = Window.partitionBy(
-                F.substring(F.col(f"b{t}"), 1, p)
-            ).orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-            slotted = slotted.withColumn(
-                f"s{t}_{p}", F.row_number().over(w)
-            )
-    # index build: buckets + slots computed once, consumed by the base
-    # join and (id, v) by the centroid pass
-    slotted = materialize_corpus(slotted)
+    vecs = vecs.withColumn("__nv", norm(F.col("v")))
+    # the Arrow bucket pass feeds both the narrow slot frame and the
+    # wide join leg — materialize so it runs once
+    vecs = materialize_corpus(vecs)
 
-    qs = slotted.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(_ANN_SWEEP_TMAX)],
-    ).filter(F.col("query_id") < _ANN_SWEEP_Q)
     tp = [
         (t, p)
         for t in range(_ANN_SWEEP_TMAX)
         for p in _ANN_SWEEP_PLANES
     ]
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"b{t}").alias("bk")
+                )
+                for t in range(_ANN_SWEEP_TMAX)
+            ]
+        )
+    ).alias("__tb")
+    narrow = vecs.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("__mk"), tb
+    ).select(
+        "vec_id",
+        "__mk",
+        F.col("__tb.t").alias("__t"),
+        F.col("__tb.bk").alias("__bk"),
+    )
+    for p in _ANN_SWEEP_PLANES:
+        w = Window.partitionBy(
+            "__t", F.substring(F.col("__bk"), 1, p)
+        ).orderBy("__mk", "vec_id")
+        narrow = narrow.withColumn(f"__s{p}", F.row_number().over(w))
+    slots = narrow.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("__t") == t, F.col(f"__s{p}"))
+            ).alias(f"s{t}_{p}")
+            for t, p in tp
+        ]
+    )
+    slotted = materialize_corpus(vecs.join(slots, "vec_id"))
+
+    qs = slotted.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("__nv").alias("__nq"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(_ANN_SWEEP_TMAX)],
+    ).filter(F.col("query_id") < _ANN_SWEEP_Q)
     base = (
         slotted.join(
             F.broadcast(qs), F.col("vec_id") != F.col("query_id")
         ).select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / F.nullif(F.col("__nq") * F.col("__nv"), F.lit(0.0)),
+                6,
+            ).alias("cos_sim"),
             *[
                 (
                     F.substring(F.col(f"qb{t}"), 1, p)
@@ -1101,107 +1159,166 @@ def q_ann_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents = slotted.filter(
         F.col("vec_id") < max(_ANN_SWEEP_CELLS)
-    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cw"))
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cw"),
+        F.col("__nv").alias("__nc"),
+    )
     csc = (
-        slotted.select("vec_id", "v")
+        slotted.select("vec_id", "v", "__nv")
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
             "cid",
-            F.round(cosine(F.col("v"), F.col("cw")), 6).alias("cs"),
+            F.round(
+                dot(F.col("v"), F.col("cw"))
+                / F.nullif(F.col("__nv") * F.col("__nc"), F.lit(0.0)),
+                6,
+            ).alias("cs"),
         )
     )
-    rank_parts = []
-    for C in _ANN_SWEEP_CELLS:
-        wC = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), "cid")
-        rank_parts.append(
-            csc.filter(F.col("cid") < C)
-            .withColumn("pr", F.row_number().over(wC))
-            .filter(F.col("pr") <= max(_ANN_SWEEP_PROBES))
-            .select(
-                F.lit(C).alias("nc"),
-                "vec_id",
-                F.col("cid").alias("cell"),
-                "pr",
-            )
+    # one fused rank window: explode each (vector, centroid) score into
+    # the nested cell counts it belongs to; partitioning by (nc, vec_id)
+    # ranks all three centroid sets in one exchange
+    wC = Window.partitionBy("nc", "vec_id").orderBy(
+        F.col("cs").desc(), "cid"
+    )
+    ivf_ranks = (
+        csc.select(
+            "vec_id",
+            "cid",
+            "cs",
+            F.explode(
+                F.array(*[F.lit(C) for C in _ANN_SWEEP_CELLS])
+            ).alias("nc"),
         )
-    ivf_ranks = rank_parts[0]
-    for extra in rank_parts[1:]:
-        ivf_ranks = ivf_ranks.unionByName(extra)
+        .filter(F.col("cid") < F.col("nc"))
+        .withColumn("pr", F.row_number().over(wC))
+        .filter(F.col("pr") <= max(_ANN_SWEEP_PROBES))
+        .select("nc", "vec_id", F.col("cid").alias("cell"), "pr")
+    )
     ivf_ranks = materialize_corpus(ivf_ranks)
 
-    def _config_row(family: str, cfg: str, cand: DataFrame) -> DataFrame:
-        top = (
-            cand.withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.col("cos_sim").desc(), "neighbor_id"
-                    )
-                ),
+    # LSH side: each scored pair explodes into the configs whose
+    # predicate (any table t < T matching on the p-prefix with the
+    # neighbor inside the cap slots) admits it — identical to the old
+    # per-config base.filter(pred)
+    lsh_cfg_structs = [
+        F.struct(
+            F.lit(f"t{T}_p{p}_cap{cap}").alias("cfg"),
+            functools.reduce(
+                operator.or_,
+                [
+                    F.col(f"m{t}_{p}") & (F.col(f"s{t}_{p}") <= cap)
+                    for t in range(T)
+                ],
+            ).alias("keep"),
+        )
+        for T in _ANN_SWEEP_TABLES
+        for p in _ANN_SWEEP_PLANES
+        for cap in _ANN_SWEEP_CAPS
+    ]
+    lsx = base.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.explode(
+            F.filter(
+                F.array(*lsh_cfg_structs), lambda s: s.getField("keep")
             )
-            .filter(F.col("rn") <= 3)
-            .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        ).alias("__c"),
+    ).select(
+        F.lit("lsh").alias("family"),
+        F.col("__c.cfg").alias("cfg"),
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+    )
+    # IVF side: a (query, neighbor) pair under cell count nc is reached
+    # iff the neighbor's home cell is the query's qpr-th probe; it
+    # belongs to every config probing np >= qpr cells
+    qq = ivf_ranks.filter(F.col("vec_id") < _ANN_SWEEP_Q).select(
+        "nc",
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.col("pr").alias("qpr"),
+    )
+    nn = ivf_ranks.filter(F.col("pr") == 1).select(
+        "nc", F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    ivf_pairs = qq.join(nn, ["nc", "cell"]).select(
+        "nc", "query_id", "neighbor_id", "qpr"
+    )
+    ivx = (
+        base.select("query_id", "neighbor_id", "cos_sim")
+        .join(ivf_pairs, ["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
+            "nc",
+            "qpr",
+            F.explode(
+                F.array(*[F.lit(p) for p in _ANN_SWEEP_PROBES])
+            ).alias("np"),
         )
-        rec = exact.join(
-            F.broadcast(top), ["query_id", "neighbor_id"], "left"
-        ).agg(
-            F.round(
-                F.count("hit").cast("double") / F.count(F.lit(1)), 6
-            ).alias("recall_at_3")
+        .filter(F.col("np") >= F.col("qpr"))
+        .select(
+            F.lit("ivf").alias("family"),
+            F.format_string("c%d_np%d", "nc", "np").alias("cfg"),
+            "query_id",
+            "neighbor_id",
+            "cos_sim",
         )
-        cnt = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
-        return cnt.crossJoin(rec).select(
-            F.lit(family).alias("family"),
-            F.lit(cfg).alias("cfg"),
-            "n_cand",
-            "recall_at_3",
-        )
+    )
+    allx = lsx.unionByName(ivx)
 
-    rows = []
-    for T in _ANN_SWEEP_TABLES:
-        for p in _ANN_SWEEP_PLANES:
-            for cap in _ANN_SWEEP_CAPS:
-                pred = functools.reduce(
-                    operator.or_,
-                    [
-                        F.col(f"m{t}_{p}") & (F.col(f"s{t}_{p}") <= cap)
-                        for t in range(T)
-                    ],
-                )
-                rows.append(
-                    _config_row(
-                        "lsh",
-                        f"t{T}_p{p}_cap{cap}",
-                        base.filter(pred).select(
-                            "query_id", "neighbor_id", "cos_sim"
-                        ),
-                    )
-                )
-    for C in _ANN_SWEEP_CELLS:
-        for np_ in _ANN_SWEEP_PROBES:
-            qq = ivf_ranks.filter(
-                (F.col("nc") == C)
-                & (F.col("pr") <= np_)
-                & (F.col("vec_id") < _ANN_SWEEP_Q)
-            ).select(F.col("vec_id").alias("query_id"), "cell")
-            nn = ivf_ranks.filter(
-                (F.col("nc") == C) & (F.col("pr") == 1)
-            ).select(F.col("vec_id").alias("neighbor_id"), "cell")
-            keys = qq.join(nn, "cell").select("query_id", "neighbor_id")
-            rows.append(
-                _config_row(
-                    "ivf",
-                    f"c{C}_np{np_}",
-                    base.join(keys, ["query_id", "neighbor_id"]).select(
-                        "query_id", "neighbor_id", "cos_sim"
-                    ),
-                )
-            )
-    out = rows[0]
-    for extra in rows[1:]:
-        out = out.unionByName(extra)
-    return out.orderBy("family", "cfg")
+    counts = allx.groupBy("family", "cfg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand")
+    )
+    wtop = Window.partitionBy("family", "cfg", "query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    hits = (
+        allx.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 3)
+        .join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("family", "cfg")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("__ne"))
+    cfgs = spark.createDataFrame(
+        [
+            ("lsh", f"t{T}_p{p}_cap{cap}")
+            for T in _ANN_SWEEP_TABLES
+            for p in _ANN_SWEEP_PLANES
+            for cap in _ANN_SWEEP_CAPS
+        ]
+        + [
+            ("ivf", f"c{C}_np{np_}")
+            for C in _ANN_SWEEP_CELLS
+            for np_ in _ANN_SWEEP_PROBES
+        ],
+        ["family", "cfg"],
+    )
+    return (
+        cfgs.join(F.broadcast(counts), ["family", "cfg"], "left")
+        .join(F.broadcast(hits), ["family", "cfg"], "left")
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "family",
+            "cfg",
+            F.coalesce(
+                F.col("n_cand"), F.lit(0).cast("bigint")
+            ).alias("n_cand"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("__ne"),
+                6,
+            ).alias("recall_at_3"),
+        )
+        .orderBy("family", "cfg")
+    )
 
 
 # ---------------------------------------------------------------------------
