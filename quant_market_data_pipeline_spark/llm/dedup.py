@@ -122,9 +122,15 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = cls.select(
-        "cid", F.explode(band_structs).alias("b")
-    ).select("cid", "b.band_id", "b.bh")
+    # r14 optimization round: both legs of the banded self-join reference
+    # this frame, and without a truncation point each leg re-ran the
+    # signature distinct + band-hash projection.  The checkpoint is
+    # bands x #classes narrow rows; the distinct now executes once.
+    banded = materialize_corpus(
+        cls.select("cid", F.explode(band_structs).alias("b")).select(
+            "cid", "b.band_id", "b.bh"
+        )
+    )
     cls_pairs = (
         banded.alias("a")
         .join(

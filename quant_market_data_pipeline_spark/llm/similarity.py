@@ -71,19 +71,30 @@ def cosine_topk(
     Broadcast-nested-loop over the query side: correct baseline; use the
     LSH variant when the query set is not broadcastable.
     """
+    # r14 optimization round: norms hoisted to one column per SIDE —
+    # cosine(a, b) would re-fold norm(a) and norm(b) per PAIR (three
+    # interpreted zip_with folds each), so the q x corpus cross paid
+    # 3x the interpreted-HOF CPU of the one unavoidable dot.  The
+    # hoisted expression performs the identical IEEE ops in the same
+    # order (norm(qv) * norm(cv), then nullif/divide/round), so every
+    # cos_sim double is bit-identical.
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("__nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__ncv", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv"))
+                / F.nullif(F.col("__nq") * F.col("__ncv"), F.lit(0.0)),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -663,12 +674,15 @@ def blocked_neardup_pairs(
     vecs = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v"), F.col(block_col)
     )
+    # per-side norms hoisted (r14): one fold per ROW on each join leg
+    # instead of two extra folds per PAIR — identical doubles (same
+    # norm expression, same multiply/divide order as cosine())
     a = vecs.select(
         F.col(id_col).alias("id_lo"), F.col("v").alias("va"), block_col
-    )
+    ).withColumn("__na", norm(F.col("va")))
     b = vecs.select(
         F.col(id_col).alias("id_hi"), F.col("v").alias("vb"), block_col
-    )
+    ).withColumn("__nb", norm(F.col("vb")))
     return (
         a.join(b, block_col)
         .filter(F.col("id_lo") < F.col("id_hi"))
@@ -676,7 +690,11 @@ def blocked_neardup_pairs(
             block_col,
             "id_lo",
             "id_hi",
-            F.round(cosine(F.col("va"), F.col("vb")), round_digits).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                round_digits,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cosine)
     )
@@ -695,11 +713,24 @@ def ivf_assign(
     so the partition function is reproducible and oracle-checkable.
     ``vecs``: (id_col, v); ``centroids``: (cid, cv).
     """
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "v",
-        "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), round_digits).alias("__cs"),
+    scored = (
+        vecs.withColumn("__nv", norm(F.col("v")))
+        .crossJoin(
+            F.broadcast(centroids.withColumn("__nc", norm(F.col("cv"))))
+        )
+        .select(
+            id_col,
+            "v",
+            "cid",
+            # norms hoisted per side (r14): one fold per vector/centroid
+            # instead of two extra folds per (vector, centroid) pair —
+            # identical doubles to cosine()
+            F.round(
+                dot(F.col("v"), F.col("cv"))
+                / F.nullif(F.col("__nv") * F.col("__nc"), F.lit(0.0)),
+                round_digits,
+            ).alias("__cs"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cid"))
     return (
@@ -724,11 +755,22 @@ def ivf_probe_cells(
     map pass + one per-vector window over n_centroids rows.
     Output: (id_col, v, cell, probe_rank).
     """
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        "v",
-        "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), round_digits).alias("__cs"),
+    scored = (
+        vecs.withColumn("__nv", norm(F.col("v")))
+        .crossJoin(
+            F.broadcast(centroids.withColumn("__nc", norm(F.col("cv"))))
+        )
+        .select(
+            id_col,
+            "v",
+            "cid",
+            # norms hoisted per side (r14) — see ivf_assign
+            F.round(
+                dot(F.col("v"), F.col("cv"))
+                / F.nullif(F.col("__nv") * F.col("__nc"), F.lit(0.0)),
+                round_digits,
+            ).alias("__cs"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__cs").desc(), F.col("cid"))
     return (
@@ -780,13 +822,22 @@ def ivf_topk(
             vecs, cents, id_col, n_probe=n_probe, round_digits=round_digits
         )
     )
+    # per-side norms hoisted (r14): one fold per probe/neighbor row
+    # instead of two extra folds per candidate pair
     q = probed.select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell"
     )
     if query_pred is not None:
         q = q.filter(query_pred)
-    c = probed.filter(F.col("probe_rank") == 1).select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv2"), "cell"
+    q = q.withColumn("__nq", norm(F.col("qv")))
+    c = (
+        probed.filter(F.col("probe_rank") == 1)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("v").alias("cv2"),
+            "cell",
+        )
+        .withColumn("__nn", norm(F.col("cv2")))
     )
     scored = (
         q.join(c, "cell")
@@ -795,9 +846,11 @@ def ivf_topk(
             "query_id",
             "neighbor_id",
             "cell",
-            F.round(cosine(F.col("qv"), F.col("cv2")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("qv"), F.col("cv2"))
+                / F.nullif(F.col("__nq") * F.col("__nn"), F.lit(0.0)),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -534,65 +534,92 @@ def q_minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    rows_out = []
-    for bands, rows in _SWEEP_CONFIGS:
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    band_hash(sig_cols, b, rows).alias("bh"),
-                )
-                for b in range(bands)
-            ]
-        )
-        banded = sig.select(
-            "doc_id", F.explode(band_structs).alias("b")
-        ).select("doc_id", "b.band_id", "b.bh")
-        pairs = (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.bh") == F.col("b.bh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # r14 optimization round: the three config branches each planned a
+    # banded self-join + distinct + aggregate over the SAME checkpointed
+    # signature frame.  One explode emitting (bands, rows_per_band,
+    # band_id, bh) for every config's bands keys all three through ONE
+    # self-join, one distinct and one grouped aggregate — per-config
+    # join groups are identical (the composite key carries the config's
+    # distinct `bands` value), so candidate sets and counts are
+    # unchanged.  A config that produced no pairs must still emit its
+    # row with the branch formulation's values (n=0, NULL twin fields —
+    # the shape a global agg over an empty frame yields), so the config
+    # list left-joins the grouped result.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.lit(b).alias("band_id"),
+                band_hash(sig_cols, b, rows).alias("bh"),
             )
-            .filter(F.col("a.doc_id") < _SWEEP_SAMPLE)
-            .select(
-                F.col("a.doc_id").alias("doc_lo"),
-                F.col("b.doc_id").alias("doc_hi"),
-            )
-            .distinct()
+            for bands, rows in _SWEEP_CONFIGS
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", F.explode(band_structs).alias("b")
+    ).select("doc_id", "b.bands", "b.rows_per_band", "b.band_id", "b.bh")
+    pairs = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.bands") == F.col("b.bands"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        rows_out.append(
-            pairs.crossJoin(F.broadcast(off_frame)).agg(
-                F.lit(bands).cast("integer").alias("bands"),
-                F.lit(rows).cast("integer").alias("rows_per_band"),
-                F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        .filter(F.col("a.doc_id") < _SWEEP_SAMPLE)
+        .select(
+            F.col("a.bands").alias("bands"),
+            F.col("a.rows_per_band").alias("rows_per_band"),
+            F.col("a.doc_id").alias("doc_lo"),
+            F.col("b.doc_id").alias("doc_hi"),
+        )
+        .distinct()
+    )
+    grouped = (
+        pairs.crossJoin(F.broadcast(off_frame))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+            F.sum(
+                F.when(
+                    F.col("doc_hi") == F.col("doc_lo") + F.col("__off"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_twins_caught"),
+            F.round(
                 F.sum(
                     F.when(
                         F.col("doc_hi") == F.col("doc_lo") + F.col("__off"),
-                        1,
-                    ).otherwise(0)
+                        1.0,
+                    ).otherwise(0.0)
                 )
-                .cast("bigint")
-                .alias("n_twins_caught"),
-                F.round(
-                    F.sum(
-                        F.when(
-                            F.col("doc_hi")
-                            == F.col("doc_lo") + F.col("__off"),
-                            1.0,
-                        ).otherwise(0.0)
-                    )
-                    / F.first("__n_sample"),
-                    6,
-                ).alias("twin_catch_rate"),
-            )
+                / F.first("__n_sample"),
+                6,
+            ).alias("twin_catch_rate"),
         )
-    out = rows_out[0]
-    for extra in rows_out[1:]:
-        out = out.unionByName(extra)
-    return out
+    )
+    cfgs = spark.createDataFrame(
+        list(_SWEEP_CONFIGS), ["bands", "rows_per_band"]
+    ).select(
+        F.col("bands").cast("integer").alias("bands"),
+        F.col("rows_per_band").cast("integer").alias("rows_per_band"),
+    )
+    return cfgs.join(
+        F.broadcast(grouped), ["bands", "rows_per_band"], "left"
+    ).select(
+        "bands",
+        "rows_per_band",
+        F.coalesce(
+            F.col("n_candidate_pairs"), F.lit(0).cast("bigint")
+        ).alias("n_candidate_pairs"),
+        "n_twins_caught",
+        "twin_catch_rate",
+    )
 
 
 # ---------------------------------------------------------------------------

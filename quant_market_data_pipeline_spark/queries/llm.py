@@ -41,6 +41,7 @@ from quant_market_data_pipeline_spark.queries import register
 from quant_market_data_pipeline_spark.session import (
     configure_runtime,
     materialize_corpus,
+    materialize_dim,
 )
 from quant_market_data_pipeline_spark.sources.tables import (
     load_table,
@@ -5872,11 +5873,18 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("tokens", 1, 30).alias("tokens"),
     )
     corpus = toks.unionByName(planted)
-    shingled = corpus.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(F.col("tokens")))
-        ).alias("sh"),
+    # r14 optimization round: four consumers reference the shingled
+    # corpus (the signature pipeline, the per-doc sizes, the sample leg
+    # and the inverted-index leg of the exact side) — without a
+    # truncation point each one re-ran the scan + tokenize + shingle
+    # explode.  One materialization, one corpus pass.
+    shingled = materialize_corpus(
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("tokens")))
+            ).alias("sh"),
+        )
     )
     sigs = minhash_signatures(shingled)
     lsh = (
@@ -6300,7 +6308,11 @@ def q_minhash_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_shingles(F.col("tokens")))
         ).alias("sh"),
     )
-    qsigs = minhash_signatures(qsh, id_col="query_id")
+    # r14 optimization round: the query-side signature frame feeds BOTH
+    # the banded probe and the agreement scorer — materialize the
+    # 5-row dimension so its take-ordered + shingle + signature subtree
+    # builds once instead of once per broadcast.
+    qsigs = materialize_dim(minhash_signatures(qsh, id_col="query_id"))
 
     def banded(df: DataFrame, idc: str) -> DataFrame:
         return df.select(

@@ -34,7 +34,10 @@ from quant_market_data_pipeline_spark.llm.hashing import (
 )
 from quant_market_data_pipeline_spark.operators.bars import build_bars
 from quant_market_data_pipeline_spark.queries import register
-from quant_market_data_pipeline_spark.session import configure_runtime
+from quant_market_data_pipeline_spark.session import (
+    configure_runtime,
+    materialize_corpus,
+)
 from quant_market_data_pipeline_spark.sources.tables import load_table
 
 
@@ -823,11 +826,28 @@ def q_peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = sess.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
-    deltas = spans.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(
-        spans.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
-    ).withColumn("day", F.to_date("ts"))
+    # r14 optimization round: the previous start/end unionAll planned the
+    # whole session-window subtree (scan + user window + span agg) once
+    # PER BRANCH; an explode of the two inline structs emits both sweep
+    # deltas from one subtree.  The narrow (ts, delta, day) frame is then
+    # materialized because two consumers (the per-day offset dimension
+    # and the in-day running sum) would otherwise each re-run it.
+    deltas = materialize_corpus(
+        spans.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("ts"), F.lit(1).alias("delta")
+                    ),
+                    F.struct(
+                        F.col("e").alias("ts"), F.lit(-1).alias("delta")
+                    ),
+                )
+            ).alias("__d")
+        )
+        .select(F.col("__d.ts").alias("ts"), F.col("__d.delta").alias("delta"))
+        .withColumn("day", F.to_date("ts"))
+    )
     # sharded prefix: per-day totals -> offsets over the #days frame
     day_tot = deltas.groupBy("day").agg(F.sum("delta").alias("dtot"))
     woff = Window.orderBy("day").rowsBetween(
