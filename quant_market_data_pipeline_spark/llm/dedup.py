@@ -122,15 +122,15 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    # r14 optimization round: both legs of the banded self-join reference
-    # this frame, and without a truncation point each leg re-ran the
-    # signature distinct + band-hash projection.  The checkpoint is
-    # bands x #classes narrow rows; the distinct now executes once.
-    banded = materialize_corpus(
-        cls.select("cid", F.explode(band_structs).alias("b")).select(
-            "cid", "b.band_id", "b.bh"
-        )
-    )
+    # NOT materialized (r14 optimization round, measured): both self-join
+    # legs re-run the signature distinct + band explode, but that
+    # duplicated hash-agg is cheaper than a checkpoint barrier on the
+    # bands x #classes frame — adding materialize_corpus here regressed
+    # minhash_lsh_pairs in EVERY lane (sf0.1 2.0 -> 3.1 s, x16 docs
+    # 3.7 -> 5.0 s, sf1 3.0 -> 3.9 s) and was reverted.
+    banded = cls.select(
+        "cid", F.explode(band_structs).alias("b")
+    ).select("cid", "b.band_id", "b.bh")
     cls_pairs = (
         banded.alias("a")
         .join(
