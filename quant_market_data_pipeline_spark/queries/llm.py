@@ -3610,8 +3610,12 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    per_doc = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("k")
+    # r14 optimization round: the collapsed (doc, gram, k) frame feeds
+    # both the dup-gram total and the join-back leg — without a
+    # truncation point the scan + in-row gram explode + first groupBy
+    # ran twice.
+    per_doc = materialize_corpus(
+        grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("k"))
     )
     dup = (
         per_doc.groupBy("gram")
