@@ -3610,12 +3610,14 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    # r14 optimization round: the collapsed (doc, gram, k) frame feeds
-    # both the dup-gram total and the join-back leg — without a
-    # truncation point the scan + in-row gram explode + first groupBy
-    # ran twice.
-    per_doc = materialize_corpus(
-        grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("k"))
+    # r14 tried a materialize_corpus truncation point here (the collapsed
+    # frame feeds both the dup-gram total and the join-back leg) — the
+    # driver's docscale run measured it 0.66x (2.21 -> 3.36 s): the
+    # synchronous checkpoint barrier costs more than the duplicated
+    # partial agg, the same mechanism as the reverted lsh_candidate_pairs
+    # materialization.  Reverted in r15; do not retry.
+    per_doc = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("k")
     )
     dup = (
         per_doc.groupBy("gram")
