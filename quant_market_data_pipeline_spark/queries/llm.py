@@ -498,28 +498,44 @@ def q_snm_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", "tokens"), 1, _SNM_KEY_LEN
         ).alias("snm_key"),
     ).withColumn("blk", F.substring("snm_key", 1, _SNM_BLK_LEN))
+    # r15 optimization round: the rank-distance-d self-join IS lead(d)
+    # over the SAME window that assigned the ranks — "b.rn - a.rn = d
+    # within blk" and "lead(x, d) over (partition blk order snm_key,
+    # doc_id)" name the same row by definition (the ordering is total:
+    # doc_id is unique), so fetching the w-1 neighbors as lead columns
+    # replaces the whole probe-explode + equi-join subtree: the 3x
+    # offset explode of array-carrying rows, BOTH join-side exchanges
+    # on (blk, rn_b), and the materialize barrier (ranked had two
+    # consumers; the lead frame has one) all disappear.  One exchange
+    # (the window's hash(blk)) carries the shingle arrays once — the
+    # minimum possible, since the verify step needs both sides' arrays
+    # in one row.
     wrn = Window.partitionBy("blk").orderBy("snm_key", "doc_id")
-    ranked = materialize_corpus(
-        keyed.select(
-            "doc_id", "sh", "blk", F.row_number().over(wrn).alias("rn")
-        )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.lead("doc_id", d).over(wrn).alias("id_b"),
+                F.lead("sh", d).over(wrn).alias("sh_b"),
+            )
+            for d in range(1, _SNM_W)
+        ]
     )
-    probe = ranked.select(
-        "blk",
-        "rn",
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
-    ).withColumn(
-        "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W)]))
-    ).withColumn("rn_b", F.col("rn") + F.col("d"))
-    cand = probe.join(
-        ranked.select(
-            "blk",
-            F.col("rn").alias("rn_b"),
-            F.col("doc_id").alias("id_b"),
-            F.col("sh").alias("sh_b"),
-        ),
-        ["blk", "rn_b"],
+    cand = (
+        keyed.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("sh").alias("sh_a"),
+            nbrs.alias("__nb"),
+        )
+        .select("id_a", "sh_a", F.explode("__nb").alias("__p"))
+        .filter(F.col("__p.id_b").isNotNull())
+        .select(
+            "id_a",
+            "sh_a",
+            F.col("__p.d").alias("d"),
+            F.col("__p.id_b").alias("id_b"),
+            F.col("__p.sh_b").alias("sh_b"),
+        )
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     sz_sum = F.size("sh_a") + F.size("sh_b")
@@ -702,23 +718,22 @@ def q_snm_neardup_pairs_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def pass_cands(key_col: str, pass_no: int) -> DataFrame:
+        # r15: rank-distance-d pairs via lead(doc_id, d) over the same
+        # window instead of the probe-explode + (blk, rn_b) equi-join —
+        # identical pair set (the ordering is total within blk), two
+        # exchanges and the 3x key explode removed per pass; see
+        # q_snm_neardup_pairs.
         wrn = Window.partitionBy("blk").orderBy(key_col, "doc_id")
-        ranked = keyed.withColumn(
-            "blk", F.substring(key_col, 1, _SNM_BLK_LEN)
-        ).select("doc_id", "blk", F.row_number().over(wrn).alias("rn"))
-        probe = ranked.select(
-            "blk", "rn", F.col("doc_id").alias("id_a")
-        ).withColumn(
-            "d", F.explode(F.array(*[F.lit(i) for i in range(1, _SNM_W)]))
-        ).withColumn("rn_b", F.col("rn") + F.col("d"))
-        return probe.join(
-            ranked.select(
-                "blk",
-                F.col("rn").alias("rn_b"),
-                F.col("doc_id").alias("id_b"),
-            ),
-            ["blk", "rn_b"],
-        ).select(F.lit(pass_no).alias("pass"), "id_a", "id_b")
+        nbrs = F.array(
+            *[F.lead("doc_id", d).over(wrn) for d in range(1, _SNM_W)]
+        )
+        return (
+            keyed.withColumn("blk", F.substring(key_col, 1, _SNM_BLK_LEN))
+            .select(F.col("doc_id").alias("id_a"), nbrs.alias("__nb"))
+            .select("id_a", F.explode("__nb").alias("id_b"))
+            .filter(F.col("id_b").isNotNull())
+            .select(F.lit(pass_no).alias("pass"), "id_a", "id_b")
+        )
 
     cand = pass_cands("k1", 1).unionByName(pass_cands("k2", 2))
     pairs = (
@@ -5838,10 +5853,13 @@ WITH corpus AS (
   WHERE a.doc_id < {_MH_AUDIT_SAMPLE}
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), shh AS (
+  SELECT doc_id, ('0x' || substr(md5('mri|' || sh), 1, 15))::BIGINT AS h
+  FROM sh
 ), inter AS (
   SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
          CAST(count(*) AS BIGINT) AS i
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
   WHERE a.doc_id < {_MH_AUDIT_SAMPLE}
   GROUP BY 1, 2
 ), truth AS (
@@ -5899,10 +5917,26 @@ def q_minhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.filter(F.col("doc_id") < _MH_AUDIT_SAMPLE)
+    # r15 optimization round (guide §2.3/§3.1): the inverted-index join
+    # carried raw ~20-byte shingle STRINGS through a full corpus-side
+    # exchange.  Two changes, value-identical: (a) the join key is the
+    # 60-bit seeded-md5 long of the shingle — the shingle_novelty
+    # discipline: md5 is bit-identical in DuckDB, the oracle's inter CTE
+    # hashes the SAME way, so even an (astronomically rare) collision
+    # merges the same keys on both engines and the comparison cannot
+    # diverge (verified injective on every local fixture: distinct-h ==
+    # distinct-sh); the reported values (i, u, jaccard, caught) are
+    # untouched.  (b) the sample side is a BOUNDED frame by the audit
+    # contract (doc_id < 100 at any corpus size) — broadcast it, so the
+    # corpus side is never exchanged at all and the pair counts
+    # partial-aggregate map-side.
+    sh_h = shingled.select(
+        "doc_id", seeded_md5_long("mri", F.col("sh")).alias("h")
+    )
+    a = sh_h.filter(F.col("doc_id") < _MH_AUDIT_SAMPLE)
     inter = (
-        a.alias("a")
-        .join(shingled.alias("b"), "sh")
+        F.broadcast(a.alias("a"))
+        .join(sh_h.alias("b"), "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_lo"),
