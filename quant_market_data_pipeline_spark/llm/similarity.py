@@ -874,10 +874,33 @@ PQ_SUB = 16  # dims per subspace
 PQ_K = 16  # codebook entries per subspace
 
 
-def l2_sq(a: Column, b: Column, round_digits: int = 6) -> Column:
+def l2_sq(
+    a: Column, b: Column, round_digits: int = 6, dim: int | None = None
+) -> Column:
     """Rounded squared L2 distance — the PQ/ADC metric.  Left-fold sum
     in element order, so DuckDB's list_sum over the same comprehension
-    reproduces every double bit-for-bit."""
+    reproduces every double bit-for-bit.
+
+    ``dim`` (r15): unrolls the fold into the left-associated chain
+    ``((0.0 + d0*d0) + d1*d1) + ...`` of plain Add/Multiply/GetArrayItem
+    nodes — the SAME IEEE ops in the SAME order (bit-identical doubles),
+    but whole-stage-codegen-able where zip_with/aggregate are
+    CodegenFallback expressions evaluated interpreted per element.
+    Measured: ~3x faster on the n x sqrt(n) cell-assign cross joins
+    (x16 corpus, same-session ABAB), but each unrolled site adds
+    ~0.3-0.6 s of driver planning/codegen time, so ONLY the
+    million-pair sites pass ``dim`` — small-volume sites (PQ encode
+    legs, 20-query exact legs, the Lloyd training loop, which re-plans
+    per iteration) measured net-slower unrolled and keep the fold.
+    Caller contract: the arrays are EXACTLY ``dim`` wide — a shorter
+    array yields NULL here (out-of-range get) where the fold would
+    return a partial sum."""
+    if dim is not None:
+        acc: Column = F.lit(0.0)
+        for i in range(dim):
+            d = F.get(a, i) - F.get(b, i)
+            acc = acc + d * d
+        return F.round(acc, round_digits)
     return F.round(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),

@@ -4620,7 +4620,7 @@ def q_ann_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
     )
     cscored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv"), dim=64).alias("cd2")
     )
     wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
     probed = materialize_corpus(
@@ -4900,7 +4900,7 @@ def q_ann_ivfpq_adaptive_recall_audit(
         F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
     )
     cscored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv"), dim=64).alias("cd2")
     )
     wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
     probed = materialize_corpus(
@@ -5127,7 +5127,7 @@ def _residual_spark_parts(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("ccid"), F.col("v").alias("ccv")
     )
     cscored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+        "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv"), dim=64).alias("cd2")
     )
     wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
     probed = materialize_corpus(
@@ -6665,7 +6665,7 @@ def q_ann_ivfpq_trained_recall_audit(
 
     def _assign_rank(cents: DataFrame, upto: int) -> DataFrame:
         scored = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv")).alias("cd2")
+            "vec_id", "ccid", l2_sq(F.col("v"), F.col("ccv"), dim=64).alias("cd2")
         )
         wp = Window.partitionBy("vec_id").orderBy("cd2", "ccid")
         return (
