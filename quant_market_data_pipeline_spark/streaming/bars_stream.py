@@ -210,6 +210,19 @@ def parquet_bar_sink(
         (
             batch_df.withColumn("trading_date", F.to_date("bar_ts"))
             .withColumn("batch_id", F.lit(batch_id))
+            # r15 (guide §6): cluster the batch by its partition columns
+            # before the write — without this every one of the frame's
+            # shuffle partitions opens a file in every partition leaf it
+            # touches (measured at sf0.1: 4,797 files for 38,900 bar
+            # rows, and the per-batch addBatch wall is file-commit
+            # bound, 42 s for batch 1).  One hash exchange of the
+            # batch's bar rows (dimension-sized: bars, not ticks) makes
+            # each (trading_date, key) leaf exactly one task's output —
+            # same rows, same partition values, ~10x fewer files here
+            # and file count ~ leaf count at any scale.  Hot leaves
+            # stay bounded: a (date, key) pair holds at most one bar
+            # row per window, so single-task leaves cannot skew.
+            .repartition(*part_cols)
             .write.mode("overwrite")
             .partitionBy(*part_cols, "batch_id")
             .option("partitionOverwriteMode", "dynamic")
